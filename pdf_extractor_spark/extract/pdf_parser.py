@@ -1,0 +1,493 @@
+"""From-scratch PDF text extractor (pdfminer-style, no pdfminer).
+
+Replaces the reference's remote-LLM PDF extraction (reference
+src/extractor.py:38-136, src/pdf_uploader.py:27-74) with a deterministic
+layout parser:
+
+  glyph runs -> text lines -> reading-order blocks via x/y clustering.
+
+Supported PDF subset (documented per SURVEY.md §7 "hard parts"):
+  - objects scanned as ``N G obj ... endobj`` with one optional stream each;
+  - FlateDecode (zlib) and uncompressed content streams;
+  - text operators ``BT ET Tf TL Td TD Tm T* Tj TJ ' "``;
+  - literal ``(...)`` strings with escapes and ``<...>`` hex strings,
+    decoded as WinAnsi/Latin-1;
+  - per-page MediaBox (default US-Letter 612x792);
+  - header/footer margin bands excluded; up to two columns per page detected
+    by the gutter in line x-starts.
+
+Out of scope (returns best-effort text): font programs, ToUnicode CMaps,
+rotated text matrices, encrypted files.
+
+Pure function: output depends only on input bytes — byte-identical across
+partitionings.
+"""
+
+from __future__ import annotations
+
+import re
+import zlib
+
+# --- geometry constants -------------------------------------------------------
+
+DEFAULT_PAGE_W = 612.0
+DEFAULT_PAGE_H = 792.0
+MARGIN_BAND = 50.0  # lines within this distance of top/bottom edge = header/footer
+LINE_Y_TOL = 2.0  # runs within this y-distance share a text line
+COLUMN_MIN_GUTTER_FRAC = 0.22  # min gutter (fraction of page width) to split columns
+BLOCK_GAP_FACTOR = 1.6  # line gap > factor*median gap starts a new block
+
+_OBJ_RE = re.compile(rb"(\d+)\s+(\d+)\s+obj\b")
+_STREAM_RE = re.compile(rb"stream\r?\n")
+
+
+# --- file-level parsing -------------------------------------------------------
+
+
+def _parse_objects(data: bytes) -> dict[int, tuple[bytes, bytes | None]]:
+    """Scan ``N G obj … endobj`` — returns {obj_num: (header_dict_bytes, stream_bytes|None)}."""
+    objects: dict[int, tuple[bytes, bytes | None]] = {}
+    for m in _OBJ_RE.finditer(data):
+        num = int(m.group(1))
+        body_start = m.end()
+        sm = _STREAM_RE.search(data, body_start)
+        end_obj = data.find(b"endobj", body_start)
+        if end_obj < 0:
+            end_obj = len(data)
+        if sm and sm.start() < end_obj:
+            header = data[body_start : sm.start()]
+            length = _dict_int(header, b"/Length")
+            if length is not None and sm.end() + length <= len(data):
+                stream = data[sm.end() : sm.end() + length]
+                end_obj = data.find(b"endobj", sm.end() + length)
+                if end_obj < 0:
+                    end_obj = len(data)
+            else:
+                es = data.find(b"endstream", sm.end())
+                if es < 0:
+                    es = len(data)
+                stream = data[sm.end() : es]
+                if stream.endswith(b"\r\n"):
+                    stream = stream[:-2]
+                elif stream.endswith(b"\n"):
+                    stream = stream[:-1]
+                end_obj = data.find(b"endobj", es)
+                if end_obj < 0:
+                    end_obj = len(data)
+            objects[num] = (header, stream)
+        else:
+            objects[num] = (data[body_start:end_obj], None)
+    return objects
+
+
+def _dict_int(header: bytes, key: bytes) -> int | None:
+    m = re.search(re.escape(key) + rb"\s+(\d+)(?!\s+\d+\s+R)", header)
+    return int(m.group(1)) if m else None
+
+
+def _dict_refs(header: bytes, key: bytes) -> list[int]:
+    """Values of /Key as object references — single ``N G R`` or array of them."""
+    m = re.search(re.escape(key) + rb"\s*\[((?:[^\]])*)\]", header)
+    if m:
+        return [int(x) for x in re.findall(rb"(\d+)\s+\d+\s+R", m.group(1))]
+    m = re.search(re.escape(key) + rb"\s+(\d+)\s+\d+\s+R", header)
+    return [int(m.group(1))] if m else []
+
+
+def _media_box(header: bytes) -> tuple[float, float]:
+    m = re.search(
+        rb"/MediaBox\s*\[\s*([\d.+-]+)\s+([\d.+-]+)\s+([\d.+-]+)\s+([\d.+-]+)\s*\]",
+        header,
+    )
+    if not m:
+        return DEFAULT_PAGE_W, DEFAULT_PAGE_H
+    x0, y0, x1, y1 = (float(m.group(i)) for i in range(1, 5))
+    return abs(x1 - x0) or DEFAULT_PAGE_W, abs(y1 - y0) or DEFAULT_PAGE_H
+
+
+def _maybe_inflate(header: bytes, stream: bytes) -> bytes | None:
+    if b"/FlateDecode" in header:
+        try:
+            return zlib.decompress(stream)
+        except zlib.error:
+            return None
+    if b"/Filter" in header:
+        return None  # unsupported filter
+    return stream
+
+
+# --- content-stream tokenizer -------------------------------------------------
+
+_NUM_RE = re.compile(rb"[+-]?(?:\d+\.?\d*|\.\d+)")
+_NAME_RE = re.compile(rb"/[^\s/\[\]()<>{}%]*")
+_OP_RE = re.compile(rb"[A-Za-z'\"*]+")
+_ESCAPES = {
+    ord("n"): "\n", ord("r"): "\r", ord("t"): "\t", ord("b"): "\b",
+    ord("f"): "\f", ord("("): "(", ord(")"): ")", ord("\\"): "\\",
+}
+
+
+def _decode_literal(data: bytes, pos: int) -> tuple[str, int]:
+    """Decode a ``(...)`` literal starting at the '('. Returns (text, pos_after)."""
+    out: list[str] = []
+    depth = 1
+    i = pos + 1
+    n = len(data)
+    while i < n and depth > 0:
+        c = data[i]
+        if c == 0x5C:  # backslash
+            i += 1
+            if i >= n:
+                break
+            c2 = data[i]
+            if c2 in _ESCAPES:
+                out.append(_ESCAPES[c2])
+                i += 1
+            elif 0x30 <= c2 <= 0x37:  # octal \ddd
+                j = i
+                while j < min(i + 3, n) and 0x30 <= data[j] <= 0x37:
+                    j += 1
+                out.append(chr(int(data[i:j], 8) & 0xFF))
+                i = j
+            elif c2 in (0x0A, 0x0D):  # line continuation
+                i += 1
+                if c2 == 0x0D and i < n and data[i] == 0x0A:
+                    i += 1
+            else:
+                out.append(chr(c2))
+                i += 1
+        elif c == 0x28:
+            depth += 1
+            out.append("(")
+            i += 1
+        elif c == 0x29:
+            depth -= 1
+            if depth > 0:
+                out.append(")")
+            i += 1
+        else:
+            out.append(chr(c))  # WinAnsi ~ Latin-1 for the supported subset
+            i += 1
+    return "".join(out), i
+
+
+def _decode_hex(data: bytes, pos: int) -> tuple[str, int]:
+    end = data.find(b">", pos)
+    if end < 0:
+        end = len(data)
+    hexstr = re.sub(rb"\s", b"", data[pos + 1 : end])
+    if len(hexstr) % 2:
+        hexstr += b"0"
+    try:
+        raw = bytes.fromhex(hexstr.decode("ascii"))
+    except ValueError:
+        raw = b""
+    return raw.decode("latin-1"), end + 1
+
+
+def _tokenize_content(data: bytes):
+    """Yield ('num', f) | ('str', s) | ('name', b) | ('op', b) | ('arr_open'/'arr_close', None)."""
+    i = 0
+    n = len(data)
+    while i < n:
+        c = data[i]
+        if c in b" \t\r\n\x00":
+            i += 1
+        elif c == 0x25:  # % comment
+            j = data.find(b"\n", i)
+            i = n if j < 0 else j + 1
+        elif c == 0x28:
+            s, i = _decode_literal(data, i)
+            yield ("str", s)
+        elif c == 0x3C:
+            if i + 1 < n and data[i + 1] == 0x3C:  # dict << — skip balanced
+                depth = 1
+                i += 2
+                while i < n and depth:
+                    if data[i : i + 2] == b"<<":
+                        depth += 1
+                        i += 2
+                    elif data[i : i + 2] == b">>":
+                        depth -= 1
+                        i += 2
+                    else:
+                        i += 1
+            else:
+                s, i = _decode_hex(data, i)
+                yield ("str", s)
+        elif c == 0x5B:
+            yield ("arr_open", None)
+            i += 1
+        elif c == 0x5D:
+            yield ("arr_close", None)
+            i += 1
+        elif c == 0x2F:
+            m = _NAME_RE.match(data, i)
+            yield ("name", m.group(0))
+            i = m.end()
+        else:
+            m = _NUM_RE.match(data, i)
+            if m and m.end() > i:
+                yield ("num", float(m.group(0)))
+                i = m.end()
+                continue
+            m = _OP_RE.match(data, i)
+            if m and m.end() > i:
+                yield ("op", m.group(0))
+                i = m.end()
+            else:
+                i += 1
+
+
+class _Run:
+    __slots__ = ("x", "y", "text", "page", "src_start", "src_end")
+
+    def __init__(self, x: float, y: float, text: str, page: int) -> None:
+        self.x = x
+        self.y = y
+        self.text = text
+        self.page = page
+        self.src_start = -1
+        self.src_end = -1
+
+
+def _interpret(content: bytes, page: int) -> list[_Run]:
+    """Execute text operators; return glyph runs with origins."""
+    runs: list[_Run] = []
+    lx = ly = 0.0  # line matrix origin
+    cx = cy = 0.0  # current text position
+    leading = 12.0
+    in_array: list | None = None
+
+    def show(s: str) -> None:
+        if s:
+            runs.append(_Run(cx, cy, s, page))
+
+    stack: list[float | str] = []
+    for kind, val in _tokenize_content(content):
+        if kind == "num":
+            if in_array is not None:
+                in_array.append(val)
+            else:
+                stack.append(val)
+        elif kind == "str":
+            if in_array is not None:
+                in_array.append(val)
+            else:
+                stack.append(val)
+        elif kind == "arr_open":
+            in_array = []
+        elif kind == "arr_close":
+            stack.append(in_array or [])
+            in_array = None
+        elif kind == "name":
+            stack.append(val)
+        elif kind == "op":
+            op = val
+            try:
+                if op == b"BT":
+                    lx = ly = cx = cy = 0.0
+                elif op == b"TL" and stack:
+                    leading = float(stack[-1])
+                elif op == b"Td" and len(stack) >= 2:
+                    lx += float(stack[-2])
+                    ly += float(stack[-1])
+                    cx, cy = lx, ly
+                elif op == b"TD" and len(stack) >= 2:
+                    leading = -float(stack[-1])
+                    lx += float(stack[-2])
+                    ly += float(stack[-1])
+                    cx, cy = lx, ly
+                elif op == b"Tm" and len(stack) >= 6:
+                    lx, ly = float(stack[-2]), float(stack[-1])
+                    cx, cy = lx, ly
+                elif op == b"T*":
+                    ly -= leading
+                    cx, cy = lx, ly
+                elif op == b"Tj" and stack and isinstance(stack[-1], str):
+                    show(stack[-1])
+                elif op == b"TJ" and stack and isinstance(stack[-1], list):
+                    show("".join(x for x in stack[-1] if isinstance(x, str)))
+                elif op == b"'" and stack and isinstance(stack[-1], str):
+                    ly -= leading
+                    cx, cy = lx, ly
+                    show(stack[-1])
+                elif op == b'"' and stack and isinstance(stack[-1], str):
+                    ly -= leading
+                    cx, cy = lx, ly
+                    show(stack[-1])
+            finally:
+                stack = []
+    return runs
+
+
+# --- layout analysis ----------------------------------------------------------
+
+
+def _group_lines(runs: list[_Run]) -> list[tuple[float, list[_Run]]]:
+    """Cluster runs into text lines by y (tolerance LINE_Y_TOL), top-down."""
+    lines: list[tuple[float, list[_Run]]] = []
+    for r in sorted(runs, key=lambda r: (-r.y, r.x)):
+        if lines and abs(lines[-1][0] - r.y) <= LINE_Y_TOL:
+            lines[-1][1].append(r)
+        else:
+            lines.append((r.y, [r]))
+    for _y, rs in lines:
+        rs.sort(key=lambda r: r.x)
+    return lines
+
+
+_EST_CHAR_W = 5.5  # ~0.5 em at 11 pt Helvetica — no font metrics in scope
+_MIN_GUTTER = 30.0
+_MIN_COL_RUNS = 4
+_MIN_COL_MEDIAN_LEN = 20  # short runs = table cells, not column text
+
+
+def _median(vals: list[float]) -> float:
+    s = sorted(vals)
+    return s[len(s) // 2] if s else 0.0
+
+
+def _split_columns(runs: list[_Run], page_w: float) -> list[list[_Run]]:
+    """Detect a 2-column layout over glyph runs.
+
+    A boundary qualifies when no run crosses it, both sides have enough
+    long-ish runs (table cells are short — that distinguishes a table's
+    x-clusters from genuine text columns), and the sides overlap vertically.
+    """
+    if len(runs) < 2 * _MIN_COL_RUNS:
+        return [runs]
+
+    def est_end(r: _Run) -> float:
+        return r.x + _EST_CHAR_W * len(r.text)
+
+    xs = sorted({r.x for r in runs})
+    best: tuple[float, float] | None = None  # (gap, boundary)
+    for a, b in zip(xs, xs[1:]):
+        if b - a <= _MIN_GUTTER:
+            continue
+        boundary = b  # the right column's start x
+        left = [r for r in runs if r.x < boundary]
+        right = [r for r in runs if r.x >= boundary]
+        if len(left) < _MIN_COL_RUNS or len(right) < _MIN_COL_RUNS:
+            continue
+        if any(est_end(r) > boundary - 1.0 for r in left):
+            continue
+        if (
+            _median([float(len(r.text)) for r in left]) < _MIN_COL_MEDIAN_LEN
+            or _median([float(len(r.text)) for r in right]) < _MIN_COL_MEDIAN_LEN
+        ):
+            continue
+        ly0, ly1 = min(r.y for r in left), max(r.y for r in left)
+        ry0, ry1 = min(r.y for r in right), max(r.y for r in right)
+        overlap = min(ly1, ry1) - max(ly0, ry0)
+        if overlap < 0.5 * max(ly1 - ly0, ry1 - ry0, 1.0):
+            continue
+        gap = min(r.x for r in right) - max(est_end(r) for r in left)
+        if best is None or gap > best[0]:
+            best = (gap, boundary)
+    if best is None:
+        return [runs]
+    boundary = best[1]
+    return [
+        [r for r in runs if r.x < boundary],
+        [r for r in runs if r.x >= boundary],
+    ]
+
+
+def _split_blocks(
+    lines: list[tuple[float, list[_Run]]]
+) -> list[list[tuple[float, list[_Run]]]]:
+    """Split a column's lines into blocks at vertical gaps > BLOCK_GAP_FACTOR*median."""
+    if not lines:
+        return []
+    if len(lines) < 3:
+        return [lines]
+    gaps = [a[0] - b[0] for a, b in zip(lines, lines[1:])]
+    median = sorted(gaps)[len(gaps) // 2]
+    blocks: list[list[tuple[float, list[_Run]]]] = [[lines[0]]]
+    for gap, line in zip(gaps, lines[1:]):
+        if median > 0 and gap > BLOCK_GAP_FACTOR * median:
+            blocks.append([line])
+        else:
+            blocks[-1].append(line)
+    return blocks
+
+
+def extract_pdf_one(payload: bytes) -> tuple[str, list[tuple[int, int]], int]:
+    """bytes -> (main text, spans into the decoded run sequence, n_blocks).
+
+    The span coordinate space is the concatenation of all decoded glyph-run
+    texts in content-stream order; each output block maps to the (merged)
+    source segments of its runs in reading order.
+    """
+    objects = _parse_objects(payload)
+
+    # page objects in document order; fall back to "any stream containing BT"
+    pages: list[tuple[bytes, list[int]]] = []  # (page_header, content_obj_nums)
+    for num in sorted(objects):
+        header, _ = objects[num]
+        if re.search(rb"/Type\s*/Page\b(?!s)", header):
+            pages.append((header, _dict_refs(header, b"/Contents")))
+
+    page_streams: list[tuple[bytes, float, float]] = []  # (content, page_w, page_h)
+    if pages:
+        for header, content_refs in pages:
+            w, h = _media_box(header)
+            parts = []
+            for ref in content_refs:
+                if ref in objects:
+                    oh, os_ = objects[ref]
+                    if os_ is not None:
+                        dec = _maybe_inflate(oh, os_)
+                        if dec:
+                            parts.append(dec)
+            if parts:
+                page_streams.append((b"\n".join(parts), w, h))
+    else:
+        for num in sorted(objects):
+            oh, os_ = objects[num]
+            if os_ is None:
+                continue
+            dec = _maybe_inflate(oh, os_)
+            if dec and b"BT" in dec:
+                page_streams.append((dec, DEFAULT_PAGE_W, DEFAULT_PAGE_H))
+
+    # interpret all pages; assign source-sequence offsets in stream order
+    all_runs: list[_Run] = []
+    per_page: list[tuple[list[_Run], float, float]] = []
+    for pageno, (content, w, h) in enumerate(page_streams):
+        runs = _interpret(content, pageno)
+        per_page.append((runs, w, h))
+        all_runs.extend(runs)
+    offset = 0
+    for r in all_runs:
+        r.src_start = offset
+        offset += len(r.text)
+        r.src_end = offset
+
+    out_blocks: list[str] = []
+    spans: list[tuple[int, int]] = []
+    for runs, page_w, page_h in per_page:
+        body = [
+            r
+            for r in runs
+            if MARGIN_BAND < r.y < page_h - MARGIN_BAND and r.text.strip()
+        ]
+        for column_runs in _split_columns(body, page_w):
+            lines = _group_lines(column_runs)
+            for block_lines in _split_blocks(lines):
+                line_texts = []
+                block_spans: list[tuple[int, int]] = []
+                for _y, rs in block_lines:
+                    line_texts.append(" ".join(r.text for r in rs).strip())
+                    for r in rs:
+                        if block_spans and block_spans[-1][1] == r.src_start:
+                            block_spans[-1] = (block_spans[-1][0], r.src_end)
+                        else:
+                            block_spans.append((r.src_start, r.src_end))
+                text = "\n".join(t for t in line_texts if t)
+                if text:
+                    out_blocks.append(text)
+                    spans.extend(block_spans)
+    return "\n\n".join(out_blocks), spans, len(out_blocks)

@@ -1,0 +1,85 @@
+"""Vectorized pandas UDFs wrapping the pure parsers.
+
+This is the engine's only JVM<->Python boundary. The reference's equivalent
+operator is the per-document remote call with retry + continue-on-error
+(reference src/extractor.py:38-136, main.py:852-854); here:
+
+- per-row *data* errors never throw — the UDF returns ``ok=false, error=...``
+  rows (the Spark analog of the reference's catch-log-continue batch loop);
+- infra failures are left to Spark task retries (``spark.task.maxFailures``);
+- payload kind is sniffed from magic bytes (``%PDF-`` vs markup), mirroring
+  the reference's suffix check (reference src/pdf_uploader.py:42-48) but
+  content-based, as the north rule's table stores both kinds in one binary
+  column.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BooleanType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from pdf_extractor_spark.extract.html_parser import extract_html_one
+from pdf_extractor_spark.extract.pdf_parser import extract_pdf_one
+
+SPAN_SCHEMA = ArrayType(
+    StructType(
+        [StructField("start", LongType()), StructField("end", LongType())]
+    )
+)
+
+EXTRACT_RESULT_SCHEMA = StructType(
+    [
+        StructField("text", StringType()),
+        StructField("spans", SPAN_SCHEMA),
+        StructField("n_blocks", IntegerType()),
+        StructField("kind", StringType()),
+        StructField("ok", BooleanType()),
+        StructField("error", StringType()),
+    ]
+)
+
+
+def extract_one(payload: bytes | None) -> tuple:
+    """Dispatch one payload by magic bytes; never raises."""
+    if payload is None or len(payload) == 0:
+        return ("", [], 0, "empty", False, "empty payload")
+    try:
+        if payload[:5] == b"%PDF-":
+            text, spans, n = extract_pdf_one(payload)
+            kind = "pdf"
+        else:
+            text, spans, n = extract_html_one(payload)
+            kind = "html"
+        return (
+            text,
+            [{"start": s, "end": e} for s, e in spans],
+            n,
+            kind,
+            True,
+            None,
+        )
+    except Exception as exc:  # data error -> error row, never a task failure
+        return ("", [], 0, "error", False, f"{type(exc).__name__}: {exc}")
+
+
+@F.pandas_udf(EXTRACT_RESULT_SCHEMA)
+def extract_udf(payload: pd.Series) -> pd.DataFrame:
+    """Arrow-batched extraction: Series[bytes] -> DataFrame[text, spans, ...].
+
+    The per-payload loop below runs inside the Arrow batch in the Python
+    worker — permitted batch-local Python (SURVEY.md §4.6); the prohibition
+    is per-row Python on the Spark side (no ``udf()``, no ``rdd.map``).
+    """
+    rows = [extract_one(p) for p in payload]
+    return pd.DataFrame(
+        rows, columns=["text", "spans", "n_blocks", "kind", "ok", "error"]
+    )

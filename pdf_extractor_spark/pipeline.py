@@ -1,0 +1,95 @@
+"""The flagship extraction pipeline (SURVEY.md §3.1 re-expressed in Spark).
+
+One declarative DataFrame program replaces the reference's stages 2-10
+(reference main.py:160-786):
+
+    scan (url, html pruned-read)
+      -> resume anti-join vs committed snapshots        [S3]
+      -> salted repartition (url bucket + heavy-host salt)
+      -> vectorized extract UDF (the one Python stage)  [M1/M6]
+      -> project result struct to columns
+      -> snapshot commit + per-partition lineage append
+
+Physical shape: one explicit Exchange, one ArrowEvalPython, everything else
+whole-stage codegen. Per-doc failures are ``ok=false`` rows, never task
+failures (reference main.py:852-854 continue-on-error).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from pdf_extractor_spark.extract.udfs import extract_udf
+from pdf_extractor_spark.plans.partitioning import salted_repartition
+from pdf_extractor_spark.sources import catalog
+
+RESULT_COLUMNS = ["url", "warc_ts", "lang", "text", "spans", "n_blocks", "kind", "ok", "error"]
+
+
+def extract_documents(
+    df: DataFrame,
+    n_partitions: int | None = None,
+    heavy: list[str] | None = None,
+) -> DataFrame:
+    """Pure transformation: (url, warc_ts, html, lang, ...) -> extraction results.
+
+    ``n_partitions=None`` skips the explicit repartition (small inputs /
+    already-bucketed tables); pass it on big scans so the UDF stage is
+    salted against host skew.
+    """
+    if n_partitions:
+        df = salted_repartition(df, n_partitions, heavy=heavy)
+    extracted = df.withColumn("_x", extract_udf(F.col("html")))
+    keep = [c for c in ["url", "warc_ts", "lang", "html"] if c in df.columns]
+    return extracted.select(
+        *keep,
+        F.col("_x.text").alias("text"),
+        F.col("_x.spans").alias("spans"),
+        F.col("_x.n_blocks").alias("n_blocks"),
+        F.col("_x.kind").alias("kind"),
+        F.col("_x.ok").alias("ok"),
+        F.col("_x.error").alias("error"),
+    )
+
+
+def run_extraction_job(
+    spark: SparkSession,
+    input_df: DataFrame,
+    output_table: str,
+    n_partitions: int | None = None,
+    resume: bool = True,
+) -> dict:
+    """Resumable batch job: extract everything not yet committed.
+
+    Returns a small metrics dict (driver-side; one count + one commit).
+    A killed run leaves no visible partial snapshot; re-running picks up
+    exactly the unprocessed urls (catalog.remaining anti-join).
+    """
+    todo = catalog.remaining(spark, input_df, output_table) if resume else input_df
+    extracted = extract_documents(todo, n_partitions=n_partitions)
+    # keep html out of the committed output (it's the 100-TB column); lineage
+    # needs its length, so compute sizes before dropping.
+    sized = extracted.withColumn("bytes_in", F.length("html")).drop("html")
+    sized = sized.persist()
+    try:
+        snap_id = catalog.commit_snapshot(sized, output_table)
+        marker = f"snap_{snap_id}"
+        # bytes_in is already a length here -> sum it directly (lineage_for's
+        # length() form is for DataFrames that still carry the binary column)
+        lineage = (
+            sized.withColumn("partition_id", F.spark_partition_id())
+            .groupBy("partition_id")
+            .agg(
+                F.count(F.lit(1)).alias("doc_count"),
+                F.coalesce(F.sum("bytes_in"), F.lit(0)).alias("bytes_in"),
+                F.coalesce(F.sum(F.length("text")), F.lit(0)).alias("bytes_out"),
+            )
+            .withColumn("checkpoint_marker", F.lit(marker))
+        )
+        catalog.commit_snapshot(lineage, os.path.join(output_table, "_lineage"))
+        n_rows = sized.count()
+    finally:
+        sized.unpersist()
+    return {"snapshot": snap_id, "rows": n_rows, "marker": marker}

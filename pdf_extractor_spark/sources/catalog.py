@@ -1,0 +1,88 @@
+"""Snapshot catalog seam: Iceberg-style atomic commits over plain Parquet.
+
+The north rule asks for Iceberg tables with resume-from-last-committed-
+snapshot. No Iceberg runtime jar exists in this sandbox (verified: offline,
+/opt/spark/jars has none — SURVEY.md §7), so this module emulates the part of
+Iceberg the engine depends on, behind a seam a real catalog can replace:
+
+- a table is a directory of snapshot subdirs ``snap_<n>/`` (Parquet);
+- a snapshot is VISIBLE only once its marker file ``_committed_<n>`` exists —
+  the marker is written last, making the commit atomic: a killed job leaves
+  an orphan snapshot dir that readers never see (reference analog: the upload
+  cache that makes re-runs skip completed work, src/pdf_uploader.py:25,51-54);
+- ``read_committed`` unions all visible snapshots;
+- ``remaining`` is the resume anti-join: input rows whose key is absent from
+  every committed snapshot (SURVEY.md §2.1 S3).
+
+On a real cluster, swap these four functions for Iceberg
+``writeTo(...).append()`` / ``spark.read.format("iceberg")`` / ``MERGE INTO``.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+_SNAP_RE = re.compile(r"^snap_(\d+)$")
+_MARKER = "_committed_{n}"
+
+
+def _committed_ids(table_path: str) -> list[int]:
+    if not os.path.isdir(table_path):
+        return []
+    names = set(os.listdir(table_path))
+    out = []
+    for name in names:
+        m = _SNAP_RE.match(name)
+        if m and _MARKER.format(n=m.group(1)) in names:
+            out.append(int(m.group(1)))
+    return sorted(out)
+
+
+def next_snapshot_id(table_path: str) -> int:
+    existing = [
+        int(m.group(1))
+        for m in (
+            _SNAP_RE.match(n) for n in (os.listdir(table_path) if os.path.isdir(table_path) else [])
+        )
+        if m
+    ]
+    return (max(existing) + 1) if existing else 1
+
+
+def commit_snapshot(df: DataFrame, table_path: str, snapshot_id: int | None = None) -> int:
+    """Write ``df`` as a new snapshot; the commit marker is written last."""
+    os.makedirs(table_path, exist_ok=True)
+    n = next_snapshot_id(table_path) if snapshot_id is None else snapshot_id
+    snap_dir = os.path.join(table_path, f"snap_{n}")
+    df.write.mode("overwrite").parquet(snap_dir)
+    # atomic visibility flip: marker exists <=> snapshot is committed
+    with open(os.path.join(table_path, _MARKER.format(n=n)), "w") as fh:
+        fh.write(str(n))
+    return n
+
+
+def read_committed(spark: SparkSession, table_path: str) -> DataFrame | None:
+    """Union of all committed snapshots; None when the table is empty."""
+    ids = _committed_ids(table_path)
+    if not ids:
+        return None
+    paths = [os.path.join(table_path, f"snap_{n}") for n in ids]
+    return spark.read.parquet(*paths)
+
+
+def remaining(
+    spark: SparkSession, input_df: DataFrame, table_path: str, key: str = "url"
+) -> DataFrame:
+    """Resume frontier: input rows not present in any committed snapshot.
+
+    ``left_anti`` on the key — at 100 TB the committed side is read with only
+    the key column (column-pruned scan) and the join is a shuffle-free
+    broadcast when the done-set is small, else a standard shuffled anti-join.
+    """
+    done = read_committed(spark, table_path)
+    if done is None:
+        return input_df
+    return input_df.join(done.select(key).distinct(), on=key, how="left_anti")

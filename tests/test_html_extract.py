@@ -1,0 +1,111 @@
+"""Unit tests for the from-scratch HTML main-content extractor."""
+
+from __future__ import annotations
+
+import pytest
+
+from pdf_extractor_spark.extract.html_parser import (
+    extract_html_one,
+    strip_tags_and_normalize,
+)
+from pdf_extractor_spark.fixtures.synth import make_html_page
+
+
+def _page(body: str) -> bytes:
+    return f"<html><head><title>t</title></head><body>{body}</body></html>".encode()
+
+
+LONG = "This paragraph is certainly long enough to count as real article content here."
+
+
+def test_simple_article():
+    text, spans, n = extract_html_one(
+        _page(f"<article><h1>Headline</h1><p>{LONG}</p><p>{LONG} Again {LONG}</p></article>")
+    )
+    assert text.split("\n\n") == ["Headline", LONG, f"{LONG} Again {LONG}"]
+    assert n == 3 and len(spans) == 3
+
+
+def test_nav_footer_aside_excluded():
+    text, _, _ = extract_html_one(
+        _page(
+            '<nav><a href="/">Home</a><a href="/x">About</a></nav>'
+            f"<p>{LONG}</p>"
+            f"<aside><p>{LONG}</p></aside>"
+            f"<footer><p>{LONG}</p></footer>"
+        )
+    )
+    assert text == LONG  # nav/aside/footer text dropped even when long
+
+
+def test_link_density_drops_linklists():
+    links = "".join(f'<a href="/{i}">item number {i}</a> ' for i in range(10))
+    text, _, _ = extract_html_one(_page(f"<div>{links}</div><p>{LONG}</p>"))
+    assert text == LONG
+
+
+def test_content_with_some_links_kept():
+    p = f'{LONG} See <a href="/a">this link</a> for details, plus more prose after it.'
+    text, _, _ = extract_html_one(_page(f"<p>{p}</p>"))
+    assert "See this link for details" in text
+
+
+def test_script_style_comment_excluded():
+    text, _, _ = extract_html_one(
+        _page(
+            f"<script>var x = 'not content at all, definitely long enough';</script>"
+            f"<style>.c {{ color: red; }}</style><!-- a comment that is long enough too -->"
+            f"<p>{LONG}</p>"
+        )
+    )
+    assert text == LONG
+
+
+def test_entities_decoded():
+    text, _, _ = extract_html_one(
+        _page("<p>Tom &amp; Jerry passed the caf&#233; &nbsp; on their way home today.</p>")
+    )
+    assert "Tom & Jerry" in text and "café" in text
+
+
+def test_empty_and_boilerplate_only():
+    assert extract_html_one(_page("")) == ("", [], 0)
+    text, spans, n = extract_html_one(
+        _page('<nav><a href="/">Home</a></nav><footer>short</footer>')
+    )
+    assert text == "" and spans == [] and n == 0
+
+
+def test_malformed_unclosed_tags_no_crash():
+    text, _, _ = extract_html_one(_page(f"<div><p>{LONG}<div><p>{LONG}"))
+    assert text.count(LONG) == 2
+
+
+def test_short_block_between_content_kept():
+    text, _, _ = extract_html_one(
+        _page(f"<p>{LONG}</p><p>A short quote.</p><p>{LONG}</p>")
+    )
+    assert "A short quote." in text
+
+
+def test_heading_kept_only_with_content():
+    text, _, _ = extract_html_one(_page("<h2>Only a heading</h2>"))
+    assert text == ""
+    text, _, _ = extract_html_one(_page(f"<h2>Real heading</h2><p>{LONG}</p>"))
+    assert text.startswith("Real heading")
+
+
+@pytest.mark.parametrize("doc_id", [0, 1, 2, 3, 15, 16, 17, 18, 19, 41, 97])
+def test_span_invariant_on_fixture_pages(doc_id):
+    page = make_html_page(doc_id)
+    source = page.decode("utf-8", errors="replace")
+    text, spans, n = extract_html_one(page)
+    blocks = text.split("\n\n") if text else []
+    assert len(blocks) == len(spans) == n
+    for (s, e), block in zip(spans, blocks):
+        assert strip_tags_and_normalize(source[s:e]) == block
+
+
+def test_deterministic():
+    page = make_html_page(7)
+    assert extract_html_one(page) == extract_html_one(page)

@@ -1,0 +1,111 @@
+"""Unit tests for the from-scratch PDF layout parser."""
+
+from __future__ import annotations
+
+import random
+
+from pdf_extractor_spark.extract.pdf_parser import extract_pdf_one
+from pdf_extractor_spark.fixtures.synth import make_pdf, make_pdf_payload
+
+H = 792.0
+
+
+def _body_runs(lines: list[str], x: float = 72.0, y0: float = 700.0, dy: float = 14.0):
+    return [(x, y0 - i * dy, s) for i, s in enumerate(lines)]
+
+
+def test_single_column_reading_order():
+    runs = _body_runs(["first line of text", "second line of text", "third line of text"])
+    text, spans, n = extract_pdf_one(make_pdf([runs]))
+    assert text == "first line of text\nsecond line of text\nthird line of text"
+    assert n == 1
+
+
+def test_paragraph_gap_splits_blocks():
+    runs = _body_runs(["para one line a", "para one line b"]) + [
+        (72.0, 700.0 - 14 * 4, "para two line a"),
+        (72.0, 700.0 - 14 * 5, "para two line b"),
+    ]
+    text, _, n = extract_pdf_one(make_pdf([runs]))
+    assert n == 2
+    assert text == "para one line a\npara one line b\n\npara two line a\npara two line b"
+
+
+def test_shuffled_stream_order_restored():
+    lines = [f"line number {i} with padding text" for i in range(8)]
+    runs = _body_runs(lines)
+    ordered = extract_pdf_one(make_pdf([runs]))[0]
+    shuffled = extract_pdf_one(
+        make_pdf([runs], shuffle_runs_rng=random.Random(123))
+    )[0]
+    assert ordered == shuffled
+    assert ordered.replace("\n\n", "\n").split("\n") == lines
+
+
+def test_two_column_reading_order():
+    left = [(72.0, 700.0 - 14 * i, f"left column line {i} padded out wide") for i in range(6)]
+    right = [(330.0, 700.0 - 14 * i, f"right column line {i} padded out wide") for i in range(6)]
+    text, _, n = extract_pdf_one(make_pdf([left + right]))
+    body = text.split("\n\n")
+    assert len(body) == 2
+    assert all("left" in ln for ln in body[0].split("\n"))
+    assert all("right" in ln for ln in body[1].split("\n"))
+
+
+def test_header_footer_excluded():
+    runs = [(72.0, H - 30, "HEADER TEXT"), (72.0, 25.0, "FOOTER TEXT")] + _body_runs(
+        ["real body content line one", "real body content line two"]
+    )
+    text, _, _ = extract_pdf_one(make_pdf([runs]))
+    assert "HEADER" not in text and "FOOTER" not in text
+    assert "real body content" in text
+
+
+def test_table_cells_join_left_to_right():
+    runs = [
+        (72.0, 700.0, "Row 1"), (220.0, 700.0, "10"), (320.0, 700.0, "20"),
+        (72.0, 686.0, "Row 2"), (220.0, 686.0, "30"), (320.0, 686.0, "40"),
+    ]
+    text, _, _ = extract_pdf_one(make_pdf([runs]))
+    assert "Row 1 10 20" in text and "Row 2 30 40" in text
+
+
+def test_multi_page_order():
+    p1 = _body_runs(["page one content line alpha"])
+    p2 = _body_runs(["page two content line beta"])
+    text, _, _ = extract_pdf_one(make_pdf([p1, p2]))
+    assert text.index("page one") < text.index("page two")
+
+
+def test_uncompressed_stream():
+    runs = _body_runs(["uncompressed stream body line"])
+    text, _, _ = extract_pdf_one(make_pdf([runs], compress=False))
+    assert text == "uncompressed stream body line"
+
+
+def test_escapes_and_parens():
+    runs = _body_runs([r"parens () and backslash \ inside"])
+    text, _, _ = extract_pdf_one(make_pdf([runs]))
+    assert "parens () and backslash \\ inside" in text
+
+
+def test_latin1_text():
+    runs = _body_runs(["café naïve über señal"])
+    text, _, _ = extract_pdf_one(make_pdf([runs]))
+    assert "café naïve über señal" in text
+
+
+def test_garbage_payload_no_crash():
+    assert extract_pdf_one(b"%PDF-1.4 garbage") == ("", [], 0)
+
+
+def test_fixture_corpus_deterministic_and_margin_clean():
+    for doc_id in range(0, 40):
+        payload = make_pdf_payload(doc_id)
+        r1 = extract_pdf_one(payload)
+        r2 = extract_pdf_one(payload)
+        assert r1 == r2
+        assert "Annual Report" not in r1[0]
+        assert "Page 1" not in r1[0]
+        if doc_id % 5 != 2:  # table pages can be short
+            assert len(r1[0]) > 50
