@@ -42,17 +42,20 @@ _MULTIBYTE = {
 _NAV_ITEMS = ["Home", "About", "Products", "Blog", "Contact", "Careers", "Login"]
 
 
+_ZIPF_CUM: list[float] = []
+_acc = 0.0
+for _k in range(1, N_HOSTS + 1):
+    _acc += 1.0 / (_k**ZIPF_S)
+    _ZIPF_CUM.append(_acc)
+_ZIPF_TOTAL = _acc
+
+
 def _zipf_host(rng: random.Random) -> int:
     # inverse-CDF sample over a fixed Zipf(s) mass on N_HOSTS ranks
-    weights = [1.0 / (k**ZIPF_S) for k in range(1, N_HOSTS + 1)]
-    total = sum(weights)
-    u = rng.random() * total
-    acc = 0.0
-    for i, w in enumerate(weights):
-        acc += w
-        if u <= acc:
-            return i
-    return N_HOSTS - 1
+    import bisect
+
+    u = rng.random() * _ZIPF_TOTAL
+    return min(bisect.bisect_left(_ZIPF_CUM, u), N_HOSTS - 1)
 
 
 def _sentence(rng: random.Random, lang: str) -> str:
@@ -94,8 +97,12 @@ def _footer_html() -> str:
     )
 
 
-def make_html_page(doc_id: int, seed: int = 42) -> bytes:
-    """One deterministic page. Layout case keyed off doc_id % 20."""
+def make_html_page(doc_id: int, seed: int = 42, scale: int = 1) -> bytes:
+    """One deterministic page. Layout case keyed off doc_id % 20.
+
+    ``scale`` multiplies article length (bench corpora use scale>1 so pages
+    approach realistic Common-Crawl sizes and the UDF stage is compute-bound).
+    """
     rng = random.Random((seed << 20) ^ doc_id)
     lang = LANGS[doc_id % len(LANGS)]
     case = doc_id % 20
@@ -111,7 +118,7 @@ def make_html_page(doc_id: int, seed: int = 42) -> bytes:
             + "</body></html>"
         ).encode("utf-8")
 
-    n_paras = 1 if case == 17 else rng.randint(3, 12)
+    n_paras = 1 if case == 17 else rng.randint(3, 12) * scale
     title = _sentence(rng, lang).rstrip(".")
     paras = []
     for i in range(n_paras):
@@ -279,7 +286,7 @@ def make_pdf_payload(doc_id: int, seed: int = 42) -> bytes:
 # --- corpus assembly ----------------------------------------------------------
 
 
-def make_document_row(doc_id: int, seed: int = 42) -> dict:
+def make_document_row(doc_id: int, seed: int = 42, scale: int = 1) -> dict:
     """One (url, warc_ts, html, text, lang) row — the north-rule input shape."""
     rng = random.Random((seed << 22) ^ doc_id)
     host = _zipf_host(rng)
@@ -289,7 +296,7 @@ def make_document_row(doc_id: int, seed: int = 42) -> dict:
         payload = make_pdf_payload(doc_id, seed)
         path = "reports"
     else:
-        payload = make_html_page(doc_id, seed)
+        payload = make_html_page(doc_id, seed, scale=scale)
         path = "articles"
     url = f"https://host{host}.example/{path}/{doc_id}"
     warc_ts = EPOCH_BASE + datetime.timedelta(seconds=doc_id * 37)

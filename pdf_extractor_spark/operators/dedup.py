@@ -1,0 +1,352 @@
+"""Deduplication operators for corpus-scale training-data pipelines.
+
+Five dedup families, each a pure DataFrame transformation:
+
+- exact:        hash-groupBy on raw text (md5)
+- fingerprint:  exact on normalized text (textstats.content_fingerprint)
+- minhash+LSH:  shingle -> k engine-agnostic min-hashes -> banded bucket join
+- simhash:      bitwise-majority token hash -> hamming-bucket candidates
+- ngram-jaccard: verified similarity on candidate pairs (or bounded self-join)
+- embedding cosine near-dup: see operators/similarity.py
+
+Scale notes (100 TB posture):
+- every candidate generator is a *bucketed equi-join* (shuffle on short hash
+  keys), never a cross join; verification (jaccard) runs only on candidates;
+- hashes are md5-hex-string based so results are engine-agnostic and the
+  DuckDB oracle can reproduce them exactly (no Spark-private hash functions
+  in any result the oracle checks).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+DEFAULT_MINHASH_K = 12
+DEFAULT_BANDS = 4  # rows-per-band = K / BANDS
+SIMHASH_BITS = 16
+
+
+def word_tokens(col: Column) -> Column:
+    """Lowercased alphanumeric word tokens (engine-agnostic normalization)."""
+    normalized = F.trim(F.regexp_replace(F.lower(col), r"[^a-z0-9]+", " "))
+    return F.when(F.length(normalized) == 0, F.array().cast("array<string>")).otherwise(
+        F.split(normalized, " ")
+    )
+
+
+def shingles_from_tokens(toks: Column, n: int = 3) -> Column:
+    """n-gram shingles from an ALREADY-MATERIALIZED token array column.
+
+    Pass an attribute here in staged pipelines: if ``toks`` is a full
+    expression tree, the slice lambda re-evaluates it per element — O(n²)
+    in document length.
+    """
+    return F.when(F.size(toks) < n, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        )
+    )
+
+
+def word_shingles(col: Column, n: int = 3) -> Column:
+    """n-gram word shingles as strings (single-expression form; prefer the
+    staged token column + shingles_from_tokens on large inputs)."""
+    return shingles_from_tokens(word_tokens(col), n)
+
+
+def minhash_signature(col: Column, k: int = DEFAULT_MINHASH_K, shingle_n: int = 3) -> Column:
+    """k min-hashes; permutation i = md5('<i>:' + shingle) (string min).
+
+    md5-as-string minimum is a valid exchangeable hash family and is
+    reproducible in any engine with md5().
+    """
+    sh = word_shingles(col, shingle_n)
+
+    def _one(seed: int) -> Column:
+        prefix = f"{seed}:"
+        # NOTE: the lambda must take exactly one arg — a two-arg lambda makes
+        # F.transform pass the element INDEX as the second argument.
+        return F.array_min(
+            F.transform(sh, lambda s: F.md5(F.concat(F.lit(prefix), s)))
+        )
+
+    return F.array(*[_one(i) for i in range(k)])
+
+
+def minhash_bands(col: Column, k: int = DEFAULT_MINHASH_K, bands: int = DEFAULT_BANDS,
+                  shingle_n: int = 3) -> Column:
+    """LSH band keys: md5 of each band's concatenated signature rows."""
+    sig = minhash_signature(col, k, shingle_n)
+    rows_per_band = k // bands
+    return F.array(
+        *[
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    *[F.element_at(sig, b * rows_per_band + r + 1) for r in range(rows_per_band)],
+                )
+            )
+            for b in range(bands)
+        ]
+    )
+
+
+def with_minhash_bands(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = DEFAULT_MINHASH_K,
+    bands: int = DEFAULT_BANDS,
+    shingle_n: int = 3,
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """(id, band, key) bucket rows, computed in STAGES so the expensive
+    shingle/signature subtrees are materialized attributes, not expression
+    trees Catalyst re-inlines per band (CollapseProject would otherwise
+    multiply the md5 work k*bands times).
+
+    The repartition between stages is deliberate: it is an optimization
+    BARRIER (projections cannot collapse across an Exchange) and it spreads
+    the md5-heavy projection across the cluster regardless of input file
+    splits — a 5000-row single-file parquet otherwise runs one task.
+    """
+    staged = df.select(
+        F.col(id_col).alias("id"), word_tokens(F.col(text_col)).alias("_t")
+    )
+    if n_partitions:
+        staged = staged.repartition(n_partitions, "id")
+    staged = staged.select(
+        "id", shingles_from_tokens(F.col("_t"), shingle_n).alias("_sh")
+    )
+
+    def _one(seed: int):
+        prefix = f"{seed}:"
+        return F.array_min(
+            F.transform(F.col("_sh"), lambda s: F.md5(F.concat(F.lit(prefix), s)))
+        )
+
+    staged = staged.select(
+        "id", F.array(*[_one(i) for i in range(k)]).alias("_sig")
+    )
+    rows_per_band = k // bands
+    band_keys = F.array(
+        *[
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    *[
+                        F.element_at(F.col("_sig"), b * rows_per_band + r + 1)
+                        for r in range(rows_per_band)
+                    ],
+                )
+            )
+            for b in range(bands)
+        ]
+    )
+    return staged.select("id", F.posexplode(band_keys).alias("band", "key"))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = DEFAULT_MINHASH_K,
+    bands: int = DEFAULT_BANDS,
+    shingle_n: int = 3,
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """Candidate near-dup pairs: docs sharing >=1 LSH band bucket.
+
+    Plan shape: staged signature projection -> posexplode -> shuffle on
+    (band, key) -> self-equi-join inside buckets (identical subplans, so the
+    shuffle is a ReusedExchange — the signatures are computed ONCE) ->
+    distinct pairs. No cross join; at 100 TB the shuffle key is a 32-char
+    hash with near-uniform distribution.
+    """
+    banded = with_minhash_bands(
+        df, id_col, text_col, k, bands, shingle_n, n_partitions
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def jaccard_similarity(a: Column, b: Column) -> Column:
+    """Jaccard over two string-array columns (distinct-element semantics)."""
+    ad = F.array_distinct(a)
+    bd = F.array_distinct(b)
+    inter = F.size(F.array_intersect(ad, bd))
+    union = F.size(ad) + F.size(bd) - inter
+    return F.when(union <= 0, F.lit(0.0)).otherwise(
+        F.round(inter.cast("double") / union, 6)
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_col: str | None = None,
+    shingle_n: int = 2,
+    threshold: float = 0.5,
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """Verified near-dup pairs by n-gram Jaccard within a blocking group.
+
+    ``group_col`` bounds the self-join (at corpus scale: pre-bucket by LSH
+    band or by a cheap key like host/source — never unblocked).
+    """
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        (F.col(group_col) if group_col else F.lit(1)).alias("grp"),
+        word_tokens(F.col(text_col)).alias("_t"),
+    )
+    if n_partitions:
+        # barrier + spread: token/shingle projections run pre-join, spread by
+        # id (grp has few values); the join adds its own grp exchange, which
+        # both sides share (ReusedExchange)
+        sh = sh.repartition(n_partitions, "id")
+    # per-doc work done ONCE before the pair join: distinct shingles + size
+    sh = sh.select(
+        "id", "grp",
+        F.array_distinct(shingles_from_tokens(F.col("_t"), shingle_n)).alias("sh"),
+    ).select("id", "grp", "sh", F.size("sh").alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    paired = a.join(
+        b, (F.col("a.grp") == F.col("b.grp")) & (F.col("a.id") < F.col("b.id"))
+    ).select(
+        F.col("a.id").alias("id_a"),
+        F.col("b.id").alias("id_b"),
+        F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh"))).alias("inter"),
+        F.col("a.n").alias("na"),
+        F.col("b.n").alias("nb"),
+    )
+    union = paired["na"] + paired["nb"] - paired["inter"]
+    jac = F.when(union <= 0, F.lit(0.0)).otherwise(
+        F.round(paired["inter"].cast("double") / union, 6)
+    )
+    return paired.select("id_a", "id_b", jac.alias("jaccard")).filter(
+        F.col("jaccard") >= threshold
+    )
+
+
+def _hex_nibble(c: Column) -> Column:
+    """hex char -> 0..15 via strpos (portable to any engine)."""
+    return F.position(c, F.lit("0123456789abcdef")) - 1
+
+
+def simhash(col: Column, bits: int = SIMHASH_BITS) -> Column:
+    """SimHash over word tokens, ``bits`` wide (<=16: first 4 md5 hex chars).
+
+    bit j of the result = majority vote of bit j across token md5 hashes.
+    Pure expression (transform/aggregate) — runs in codegen, and is
+    reproducible in SQL via the same strpos arithmetic.
+    """
+    toks = word_tokens(col)
+    # per-token 16-bit hash from the first 4 md5 hex chars
+    h16 = F.transform(
+        toks,
+        lambda t: (
+            _hex_nibble(F.substring(F.md5(t), 1, 1)) * 4096
+            + _hex_nibble(F.substring(F.md5(t), 2, 1)) * 256
+            + _hex_nibble(F.substring(F.md5(t), 3, 1)) * 16
+            + _hex_nibble(F.substring(F.md5(t), 4, 1))
+        ),
+    )
+    def _votes(j: int) -> Column:
+        def merge(acc: Column, h: Column) -> Column:
+            return acc + F.when(
+                F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1
+            ).otherwise(-1)
+
+        return F.aggregate(h16, F.lit(0), merge)
+
+    out = F.lit(0)
+    for j in range(bits):
+        out = out + F.when(_votes(j) > 0, F.lit(2**j)).otherwise(F.lit(0))
+    return F.when(F.size(toks) == 0, F.lit(0)).otherwise(out)
+
+
+def with_simhash(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = SIMHASH_BITS,
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """(id, simhash) with the token-hash array materialized once (staged
+    projections + exchange barrier), instead of ``bits`` re-expansions."""
+    staged = df.select(
+        F.col(id_col).alias("id"), word_tokens(F.col(text_col)).alias("_t")
+    )
+    if n_partitions:
+        staged = staged.repartition(n_partitions, "id")
+    h16 = F.transform(
+        F.col("_t"),
+        lambda t: (
+            _hex_nibble(F.substring(F.md5(t), 1, 1)) * 4096
+            + _hex_nibble(F.substring(F.md5(t), 2, 1)) * 256
+            + _hex_nibble(F.substring(F.md5(t), 3, 1)) * 16
+            + _hex_nibble(F.substring(F.md5(t), 4, 1))
+        ),
+    )
+    staged = staged.select("id", F.size("_t").alias("_n"), h16.alias("_h"))
+
+    def _votes(j: int) -> Column:
+        def merge(acc: Column, h: Column) -> Column:
+            return acc + F.when(
+                F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1
+            ).otherwise(-1)
+
+        return F.aggregate(F.col("_h"), F.lit(0), merge)
+
+    out = F.lit(0)
+    for j in range(bits):
+        out = out + F.when(_votes(j) > 0, F.lit(2**j)).otherwise(F.lit(0))
+    return staged.select(
+        "id",
+        F.when(F.col("_n") == 0, F.lit(0)).otherwise(out).alias("simhash"),
+    )
+
+
+def exact_duplicates(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", normalized: bool = False
+) -> DataFrame:
+    """Exact-dup groups: hash key, keep-first representative, member count.
+
+    ``normalized=True`` uses the punctuation/case-insensitive fingerprint.
+    Map-side partial aggregation makes this one shuffle of (hash, id).
+    """
+    if normalized:
+        from pdf_extractor_spark.operators.textstats import content_fingerprint
+
+        key = content_fingerprint(F.col(text_col))
+    else:
+        key = F.md5(F.encode(F.col(text_col), "UTF-8"))
+    return (
+        df.select(key.alias("text_hash"), F.col(id_col).alias("id"))
+        .groupBy("text_hash")
+        .agg(
+            F.min("id").alias("keep_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def drop_exact_duplicates(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Keep one representative (min id) per exact text; preserves all columns."""
+    w_key = df.withColumn("_h", F.md5(F.encode(F.col(text_col), "UTF-8")))
+    reps = w_key.groupBy("_h").agg(F.min(id_col).alias(id_col))
+    return w_key.join(reps, ["_h", id_col], "inner").drop("_h")

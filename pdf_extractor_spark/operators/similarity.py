@@ -1,0 +1,162 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths, as a training-data pipeline needs at 100 TB:
+
+- brute-force cosine top-k: exact baseline. The query vector is a literal
+  broadcast into a codegen'd zip_with/aggregate dot product — one scan, one
+  top-k (TakeOrderedAndProject), zero shuffles beyond the final k.
+- LSH-bucketed ANN: sign-of-projection bucket keys against deterministic
+  md5-derived hyperplanes; candidates = bucket equi-join, then exact
+  re-scoring of candidates only. The scale path: the full N x N or N x Q
+  cross product never materializes.
+
+Embedding-cosine near-duplicate detection reuses the same pieces.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+DEFAULT_PLANES = 12
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    denom = norm(a) * norm(b)
+    return F.when(denom == 0, F.lit(0.0)).otherwise(dot(a, b) / denom)
+
+
+def cosine_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_id: int | None = None,
+) -> DataFrame:
+    """Exact top-k by cosine to a literal query vector.
+
+    Plan: Scan -> Project(cosine) -> TakeOrderedAndProject(k). The query
+    vector rides in the plan as a literal array (broadcast semantics).
+    """
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    scored = df.select(
+        F.col(id_col),
+        F.round(cosine(F.col(vec_col), q), 6).alias("cosine_sim"),
+    )
+    if exclude_id is not None:
+        scored = scored.filter(F.col(id_col) != exclude_id)
+    return scored.orderBy(F.desc("cosine_sim"), F.col(id_col)).limit(k)
+
+
+# --- LSH (random hyperplane / SRP) -------------------------------------------
+
+
+def _plane_component(p: int, d: int) -> float:
+    """Deterministic pseudo-random hyperplane component in [-1, 1).
+
+    Derived from md5(f"{p}_{d}") — reproducible in any engine / language,
+    no RNG state. Public construction: sign-random-projection LSH
+    (Charikar, STOC'02).
+    """
+    import hashlib
+
+    h = int(hashlib.md5(f"{p}_{d}".encode()).hexdigest()[:8], 16)
+    return (h / 0x7FFFFFFF) - 1.0
+
+
+def hyperplanes(n_planes: int, dim: int) -> list[list[float]]:
+    return [[_plane_component(p, d) for d in range(dim)] for p in range(n_planes)]
+
+
+def srp_bucket(vec_col: Column, planes: list[list[float]]) -> Column:
+    """Sign-of-projection bucket key: one bit per hyperplane, as a long."""
+    out = F.lit(0)
+    for j, plane in enumerate(planes):
+        pcol = F.array(*[F.lit(c) for c in plane])
+        out = out + F.when(dot(vec_col, pcol) >= 0, F.lit(2**j)).otherwise(F.lit(0))
+    return out
+
+
+def ann_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_planes: int = DEFAULT_PLANES,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN top-k: score only vectors in the query's SRP bucket.
+
+    Recall < 1.0 by construction; multiprobe (flipping low-margin bits) or
+    fewer planes raise recall. Candidate set is a partition-pruned filter —
+    at scale, write the table bucketed by ``srp_bucket`` and this becomes a
+    single-bucket scan.
+    """
+    dim = len(query_vec)
+    planes = hyperplanes(n_planes, dim)
+    qbits = 0
+    for j, plane in enumerate(planes):
+        s = sum(float(a) * b for a, b in zip(query_vec, plane))
+        if s >= 0:
+            qbits += 2**j
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (
+        df.filter(srp_bucket(F.col(vec_col), planes) == qbits)
+        .select(
+            F.col(id_col),
+            F.round(cosine(F.col(vec_col), q), 6).alias("cosine_sim"),
+        )
+        .orderBy(F.desc("cosine_sim"), F.col(id_col))
+        .limit(k)
+    )
+
+
+def cosine_near_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.95,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs via SRP-bucket blocking + exact rescore.
+
+    Same shape as minhash_lsh_pairs: bucket equi-join (shuffle on a short
+    key), exact cosine only on candidates.
+    """
+    dim_row = df.select(F.size(F.col(vec_col)).alias("d")).first()
+    planes = hyperplanes(n_planes, dim_row["d"])
+    keyed = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        srp_bucket(F.col(vec_col), planes).alias("bucket"),
+    )
+    a, b = keyed.alias("a"), keyed.alias("b")
+    return (
+        a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id")))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.round(cosine(F.col("a.v"), F.col("b.v")), 6).alias("cosine_sim"),
+        )
+        .filter(F.col("cosine_sim") >= threshold)
+    )

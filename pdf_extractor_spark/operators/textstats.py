@@ -1,0 +1,124 @@
+"""Text-analysis operators for a training-data pipeline over `documents`.
+
+All JVM-side column expressions (no UDFs): language ID via stopword-hit
+scoring, quality scoring (length/punctuation/stopword ratios), token
+counting (whitespace + a BPE-ish regex), and document fingerprinting.
+These extend the reference's content sanity predicates
+(reference src/validator.py:234-292) into corpus-scale text hygiene.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# Small, fixed stopword kernels — deliberately tiny so the same lists are
+# reproducible in ANSI SQL for the DuckDB oracle.
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "for"],
+    "de": ["der", "die", "und", "das", "ist", "nicht", "ein", "mit"],
+    "fr": ["le", "la", "et", "les", "des", "est", "dans", "que"],
+    "es": ["el", "la", "los", "las", "es", "en", "una", "por"],
+}
+
+_WORD_SPLIT = r"\s+"
+# BPE-ish pre-tokenizer: word pieces, numbers, or single non-space symbols
+BPE_RE = r"[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]"
+_PUNCT_RE = r"[.,;:!?()\[\]\"']"
+
+
+def whitespace_token_count(col: Column) -> Column:
+    """Whitespace token count; empty/blank text -> 0."""
+    return F.when(
+        F.length(F.trim(col)) == 0, F.lit(0)
+    ).otherwise(F.size(F.split(F.trim(col), _WORD_SPLIT)))
+
+
+def bpe_token_count(col: Column) -> Column:
+    """BPE-ish token count: alpha runs + digit runs + single symbols."""
+    return F.coalesce(F.regexp_count(col, F.lit(BPE_RE)), F.lit(0))
+
+
+def stopword_hits(col: Column, lang: str) -> Column:
+    """Number of stopword occurrences (word-bounded) for one language kernel."""
+    pat = r"\b(" + "|".join(STOPWORDS[lang]) + r")\b"
+    return F.coalesce(F.regexp_count(F.lower(col), F.lit(pat)), F.lit(0))
+
+
+def cjk_char_count(col: Column) -> Column:
+    return F.coalesce(F.regexp_count(col, F.lit(r"[一-鿿]")), F.lit(0))
+
+
+def language_id(col: Column) -> Column:
+    """Heuristic language ID: CJK chars -> zh; else argmax stopword hits.
+
+    Ties break deterministically by the fixed order en > de > fr > es;
+    zero hits everywhere -> 'und' (undetermined).
+    """
+    hits = {lang: stopword_hits(col, lang) for lang in STOPWORDS}
+    best = F.greatest(*hits.values())
+    result = F.lit("und")
+    # reversed so earlier languages win ties (last when() wins in a chain;
+    # build from lowest priority upward)
+    for lang in reversed(list(STOPWORDS)):
+        result = F.when(hits[lang] == best, F.lit(lang)).otherwise(result)
+    result = F.when(best == 0, F.lit("und")).otherwise(result)
+    return F.when(cjk_char_count(col) > 0, F.lit("zh")).otherwise(result)
+
+
+def quality_features(col: Column) -> dict[str, Column]:
+    """Raw quality signals: length, tokens, mean word length, punct ratio,
+    stopword ratio, uppercase ratio."""
+    n_chars = F.length(col)
+    n_tokens = whitespace_token_count(col)
+    n_punct = F.coalesce(F.regexp_count(col, F.lit(_PUNCT_RE)), F.lit(0))
+    n_stop = sum(stopword_hits(col, lang) for lang in STOPWORDS)
+    safe_tokens = F.greatest(n_tokens, F.lit(1))
+    safe_chars = F.greatest(n_chars, F.lit(1))
+    return {
+        "n_chars": n_chars,
+        "n_tokens": n_tokens,
+        "mean_word_len": F.round(n_chars.cast("double") / safe_tokens, 4),
+        "punct_ratio": F.round(n_punct.cast("double") / safe_chars, 4),
+        "stopword_ratio": F.round(n_stop.cast("double") / safe_tokens, 4),
+    }
+
+
+def quality_score(col: Column) -> Column:
+    """Composite [0,100] quality score, Gopher-rules-flavored:
+
+    + up to 40 pts for length (saturates at 2000 chars)
+    + up to 30 pts for stopword ratio (saturates at 0.3)
+    + up to 30 pts for sane mean word length (3..12 chars)
+    - heavy punctuation penalized implicitly via word-length distortion
+    """
+    f = quality_features(col)
+    length_pts = F.least(F.lit(40.0), f["n_chars"].cast("double") / 50.0)
+    stop_pts = F.least(F.lit(30.0), f["stopword_ratio"] * 100.0)
+    wl = f["mean_word_len"]
+    wl_pts = F.when((wl >= 3.0) & (wl <= 12.0), F.lit(30.0)).otherwise(F.lit(0.0))
+    return F.round(length_pts + stop_pts + wl_pts, 2)
+
+
+def content_fingerprint(col: Column) -> Column:
+    """Document fingerprint: hash of the case/whitespace/punct-normalized text.
+
+    Robust exact-dup key (differs from md5(text) by surviving formatting
+    noise). Rolling/shingled near-dup keys live in operators/dedup.py.
+    """
+    normalized = F.regexp_replace(F.lower(col), r"[^a-z0-9]+", " ")
+    return F.md5(F.encode(F.trim(normalized), "UTF-8"))
+
+
+def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Attach the full stat bundle to a documents DataFrame."""
+    c = F.col(text_col)
+    feats = quality_features(c)
+    out = df
+    for name, expr in feats.items():
+        out = out.withColumn(name, expr)
+    return (
+        out.withColumn("n_tokens_bpe", bpe_token_count(c))
+        .withColumn("lang_pred", language_id(c))
+        .withColumn("quality", quality_score(c))
+        .withColumn("fingerprint", content_fingerprint(c))
+    )

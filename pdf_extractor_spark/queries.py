@@ -1,0 +1,940 @@
+"""Driver-contract query catalog: SURVEY.md §2 operators as (Spark, oracle SQL)
+pairs over the /root/testdata tables.
+
+Every entry returns a DataFrame whose column names/aliases match its oracle
+exactly (the driver hashes values after sorting columns by name). Float
+outputs are rounded identically on both sides. All hashes in checked results
+are md5-hex-string based so DuckDB reproduces them bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from pdf_extractor_spark.functions import normalize as N
+from pdf_extractor_spark.operators import dedup as D
+from pdf_extractor_spark.operators import similarity as S
+from pdf_extractor_spark.operators import textstats as T
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+_QUERIES: dict[str, QueryFn] = {}
+_ORACLES: dict[str, str] = {}
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _par(spark: SparkSession) -> int:
+    """Target partition count for compute-heavy per-row stages: the driver
+    tables are single parquet files (one input split), so without an explicit
+    repartition an expensive projection runs on ONE core."""
+    return spark.sparkContext.defaultParallelism
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn: QueryFn) -> QueryFn:
+        _QUERIES[name] = fn
+        if oracle is not None:
+            _ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def all_queries() -> dict[str, QueryFn]:
+    return dict(_QUERIES)
+
+
+def all_oracles() -> dict[str, str]:
+    return dict(_ORACLES)
+
+
+# =============================================================================
+# Relational core (SURVEY.md §2.4-2.6 join/agg/window behaviors)
+# =============================================================================
+
+
+@query(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           round(avg(l_quantity), 4) AS avg_qty,
+           count(*) AS count_order
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def q1(spark: SparkSession, sf: str) -> DataFrame:
+    """A8/A10-class aggregation: the canonical partial+final groupBy."""
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@query(
+    "q3_shipping_priority",
+    """
+    SELECT o.o_orderkey AS orderkey,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+    GROUP BY o.o_orderkey, o.o_orderdate
+    ORDER BY revenue DESC, orderkey
+    LIMIT 10
+    """,
+)
+def q3(spark: SparkSession, sf: str) -> DataFrame:
+    """Multi-join + agg + top-k (TakeOrderedAndProject)."""
+    c = _t(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf, "orders")
+    li = _t(spark, sf, "lineitem")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select(
+            F.col("o_orderkey").alias("orderkey"),
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+        )
+        .orderBy(F.desc("revenue"), "orderkey")
+        .limit(10)
+    )
+
+
+@query(
+    "q5_nation_volume",
+    """
+    SELECT n.n_name AS nation,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY n.n_name
+    ORDER BY nation
+    """,
+)
+def q5(spark: SparkSession, sf: str) -> DataFrame:
+    """Star join: small dims explicitly broadcast (no shuffle for dim sides)."""
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")
+    li = _t(spark, sf, "lineitem")
+    n = _t(spark, sf, "nation")
+    r = _t(spark, sf, "region")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select(F.col("n_name").alias("nation"), "revenue")
+        .orderBy("nation")
+    )
+
+
+@query(
+    "w1_top_orders_per_customer",
+    """
+    SELECT o_custkey AS custkey, o_orderkey AS orderkey, o_totalprice AS totalprice
+    FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders
+    ) WHERE rn <= 2
+    """,
+)
+def w1(spark: SparkSession, sf: str) -> DataFrame:
+    """W1/W3 — row_number window, top-2 per key (last-wins-merge shape)."""
+    o = _t(spark, sf, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.col("o_orderkey"))
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 2)
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            F.col("o_orderkey").alias("orderkey"),
+            F.col("o_totalprice").alias("totalprice"),
+        )
+    )
+
+
+@query(
+    "w2_first_last_order_dates",
+    """
+    SELECT o_custkey AS custkey,
+           strftime(min(o_orderdate), '%Y-%m-%d') AS first_order,
+           strftime(max(o_orderdate), '%Y-%m-%d') AS last_order,
+           (min(struct_pack(d := o_orderdate, k := o_orderkey))).k AS first_orderkey,
+           (max(struct_pack(d := o_orderdate, k := o_orderkey))).k AS last_orderkey
+    FROM orders GROUP BY o_custkey
+    """,
+)
+def w2(spark: SparkSession, sf: str) -> DataFrame:
+    """W2 — first/last per group. Struct-min/max rather than min_by so date
+    ties break deterministically by orderkey (min_by tie-break is undefined)."""
+    o = _t(spark, sf, "orders")
+    pair = F.struct(F.col("o_orderdate").alias("d"), F.col("o_orderkey").alias("k"))
+    return o.groupBy("o_custkey").agg(
+        F.date_format(F.min("o_orderdate"), "yyyy-MM-dd").alias("first_order"),
+        F.date_format(F.max("o_orderdate"), "yyyy-MM-dd").alias("last_order"),
+        F.min(pair)["k"].alias("first_orderkey"),
+        F.max(pair)["k"].alias("last_orderkey"),
+    ).withColumnRenamed("o_custkey", "custkey")
+
+
+@query(
+    "j_anti_resume",
+    """
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def j_anti(spark: SparkSession, sf: str) -> DataFrame:
+    """S3/A4 — the resume/retry-remaining anti-join."""
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@query(
+    "j_semi_urgent",
+    """
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+    """,
+)
+def j_semi(spark: SparkSession, sf: str) -> DataFrame:
+    """P3-class predicate as a semi-join (needs-retry worklist shape)."""
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@query(
+    "a3_first_seen_dedupe",
+    """
+    SELECT event_type, min(event_id) AS first_event_id, count(*) AS n_events
+    FROM events GROUP BY event_type
+    """,
+)
+def a3(spark: SparkSession, sf: str) -> DataFrame:
+    """A3 — order-preserving dedupe = keep first occurrence per key."""
+    e = _t(spark, sf, "events")
+    return e.groupBy("event_type").agg(
+        F.min("event_id").alias("first_event_id"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@query(
+    "a5_group_issues",
+    """
+    SELECT user_id, count(DISTINCT event_type) AS n_types,
+           round(sum(value), 2) AS total_value
+    FROM events GROUP BY user_id
+    """,
+)
+def a5(spark: SparkSession, sf: str) -> DataFrame:
+    """A5/A9 — per-key set-size + metric totals (issues-by-note shape)."""
+    e = _t(spark, sf, "events")
+    return e.groupBy("user_id").agg(
+        F.countDistinct("event_type").alias("n_types"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+
+
+@query(
+    "a2_dotted_sort",
+    """
+    SELECT ref, row_number() OVER (
+        ORDER BY cast(split_part(ref, '.', 1) AS INT),
+                 cast(split_part(ref, '.', 2) AS INT)) AS rank
+    FROM (SELECT DISTINCT concat(n_regionkey, '.', n_nationkey) AS ref FROM nation)
+    """,
+)
+def a2(spark: SparkSession, sf: str) -> DataFrame:
+    """A2 — numeric-dotted sort: '3.2' < '3.10' (tuple-of-ints order)."""
+    n = _t(spark, sf, "nation")
+    refs = n.select(
+        F.concat_ws(".", "n_regionkey", "n_nationkey").alias("ref")
+    ).distinct()
+    w = Window.orderBy(
+        N.dotted_sort_key(F.col("ref"))[0], N.dotted_sort_key(F.col("ref"))[1]
+    )
+    return refs.withColumn("rank", F.row_number().over(w))
+
+
+@query(
+    "a6_chunked_batches",
+    """
+    SELECT cast(floor(event_id / 5) AS BIGINT) AS batch_id, count(*) AS batch_size,
+           min(event_id) AS first_id, max(event_id) AS last_id
+    FROM events GROUP BY 1
+    """,
+)
+def a6(spark: SparkSession, sf: str) -> DataFrame:
+    """A6 — chunk-into-batches-of-5 as a floor-div grouping."""
+    e = _t(spark, sf, "events")
+    return e.groupBy(
+        F.floor(F.col("event_id") / 5).cast("bigint").alias("batch_id")
+    ).agg(
+        F.count(F.lit(1)).alias("batch_size"),
+        F.min("event_id").alias("first_id"),
+        F.max("event_id").alias("last_id"),
+    )
+
+
+@query(
+    "a10_totals_reconciliation",
+    """
+    SELECT o.o_orderkey AS orderkey,
+           round(sum(l.l_extendedprice), 2) AS component_sum,
+           round(o.o_totalprice, 2) AS declared_total,
+           (abs(sum(l.l_extendedprice) - o.o_totalprice) < 0.01) AS reconciles
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderkey, o.o_totalprice
+    """,
+)
+def a10(spark: SparkSession, sf: str) -> DataFrame:
+    """A10 — totals reconciliation: Total column == sum of components."""
+    o = _t(spark, sf, "orders")
+    li = _t(spark, sf, "lineitem")
+    return (
+        o.join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderkey", "o_totalprice")
+        .agg(F.sum("l_extendedprice").alias("_sum"))
+        .select(
+            F.col("o_orderkey").alias("orderkey"),
+            F.round(F.col("_sum"), 2).alias("component_sum"),
+            F.round(F.col("o_totalprice"), 2).alias("declared_total"),
+            (F.abs(F.col("_sum") - F.col("o_totalprice")) < 0.01).alias("reconciles"),
+        )
+    )
+
+
+@query(
+    "a11_confidence",
+    """
+    SELECT n_nationkey AS key,
+           greatest(0, least(100, 100 - 10 * (n_nationkey % 12)
+                                  - 5 * (n_regionkey % 4))) AS confidence
+    FROM nation
+    """,
+)
+def a11(spark: SparkSession, sf: str) -> DataFrame:
+    """A11 — confidence = clamp(100 - 10e - 5w, 0, 100)."""
+    n = _t(spark, sf, "nation")
+    return n.select(
+        F.col("n_nationkey").alias("key"),
+        N.confidence_score(
+            F.col("n_nationkey") % 12, F.col("n_regionkey") % 4
+        ).alias("confidence"),
+    )
+
+
+@query(
+    "w4_preview_truncation",
+    """
+    SELECT doc_id, substr(text, 1, 80) AS preview, n_chars
+    FROM documents ORDER BY n_chars DESC, doc_id LIMIT 5
+    """,
+)
+def w4(spark: SparkSession, sf: str) -> DataFrame:
+    """W4/S11 — truncation limits: first-500-chars preview, head-N rows."""
+    d = _t(spark, sf, "documents")
+    return (
+        d.select("doc_id", F.substring("text", 1, 80).alias("preview"), "n_chars")
+        .orderBy(F.desc("n_chars"), "doc_id")
+        .limit(5)
+    )
+
+
+# =============================================================================
+# Scalar normalization catalog (SURVEY.md §2.7)
+# =============================================================================
+
+
+@query(
+    "f1_snake_case",
+    """
+    SELECT p_partkey,
+           trim(regexp_replace(regexp_replace(lower(p_name), '["'']', '', 'g'),
+                               '[^a-z0-9]+', '_', 'g'), '_') AS snake
+    FROM part
+    """,
+)
+def f1(spark: SparkSession, sf: str) -> DataFrame:
+    p = _t(spark, sf, "part")
+    return p.select("p_partkey", N.snake_case(F.col("p_name")).alias("snake"))
+
+
+@query(
+    "f2_iso_date_flag",
+    """
+    SELECT o_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS iso,
+           regexp_matches(strftime(o_orderdate, '%Y-%m-%d'),
+                          '^\\d{4}-\\d{2}-\\d{2}$') AS is_iso
+    FROM orders
+    """,
+)
+def f2(spark: SparkSession, sf: str) -> DataFrame:
+    o = _t(spark, sf, "orders")
+    iso = F.date_format("o_orderdate", "yyyy-MM-dd")
+    return o.select(
+        "o_orderkey", iso.alias("iso"), N.is_iso_date(iso).alias("is_iso")
+    )
+
+
+_DIRTY_SQL = """
+    CASE o_orderkey % 5
+      WHEN 0 THEN concat(' ', cast(o_orderkey AS VARCHAR), ',', '250 ')
+      WHEN 1 THEN concat('(', cast(o_orderkey AS VARCHAR), ')')
+      WHEN 2 THEN 'n/a'
+      WHEN 3 THEN '—'
+      ELSE cast(o_orderkey AS VARCHAR)
+    END
+"""
+
+
+def _dirty_col() -> F.Column:
+    k = F.col("o_orderkey")
+    return (
+        F.when(k % 5 == 0, F.concat(F.lit(" "), k.cast("string"), F.lit(","), F.lit("250 ")))
+        .when(k % 5 == 1, F.concat(F.lit("("), k.cast("string"), F.lit(")")))
+        .when(k % 5 == 2, F.lit("n/a"))
+        .when(k % 5 == 3, F.lit("—"))
+        .otherwise(k.cast("string"))
+    )
+
+
+@query(
+    "f3_numeric_coercion",
+    f"""
+    SELECT o_orderkey, dirty,
+           CASE WHEN lower(trim(dirty)) IN ('', '-', '—', '–', 'n/a', 'na', 'null', 'none')
+                THEN NULL
+                WHEN regexp_matches(regexp_replace(trim(dirty), '[,\\s]', '', 'g'), '^\\(.*\\)$')
+                THEN -cast(regexp_replace(regexp_replace(trim(dirty), '[,\\s]', '', 'g'), '[()]', '', 'g') AS DOUBLE)
+                ELSE try_cast(regexp_replace(trim(dirty), '[,\\s]', '', 'g') AS DOUBLE)
+           END AS parsed
+    FROM (SELECT o_orderkey, {_DIRTY_SQL} AS dirty FROM orders)
+    """,
+)
+def f3(spark: SparkSession, sf: str) -> DataFrame:
+    """F3/F4 — numeric-string coercion incl. '(x)' negatives and null-likes."""
+    o = _t(spark, sf, "orders")
+    return o.select(
+        "o_orderkey",
+        _dirty_col().alias("dirty"),
+        N.coerce_numeric_string(_dirty_col()).alias("parsed"),
+    )
+
+
+@query(
+    "f5_percent",
+    """
+    SELECT o_orderkey,
+           cast(regexp_extract(concat(cast(o_orderkey % 200 AS VARCHAR), '%'),
+                               '^(-?\\d+(?:\\.\\d+)?)\\s*%$', 1) AS DOUBLE) AS pct
+    FROM orders
+    """,
+)
+def f5(spark: SparkSession, sf: str) -> DataFrame:
+    o = _t(spark, sf, "orders")
+    pct_str = F.concat((F.col("o_orderkey") % 200).cast("string"), F.lit("%"))
+    return o.select("o_orderkey", N.coerce_percent(pct_str).alias("pct"))
+
+
+@query(
+    "f6_units_scaling",
+    """
+    SELECT l_orderkey, l_linenumber,
+           CASE WHEN l_quantity != 0 AND abs(l_quantity) < 1000
+                THEN l_quantity * 1000 ELSE l_quantity END AS scaled
+    FROM lineitem
+    """,
+)
+def f6(spark: SparkSession, sf: str) -> DataFrame:
+    li = _t(spark, sf, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        N.scale_units(F.col("l_quantity"), F.lit(1000)).alias("scaled"),
+    )
+
+
+@query(
+    "f8_note_ref",
+    """
+    SELECT n_nationkey,
+           regexp_extract(concat('Note ', cast(n_regionkey AS VARCHAR), '.',
+                                 cast(n_nationkey AS VARCHAR), ' (continued)'),
+                          '(\\d+(?:\\.\\d+)*)', 1) AS note_id
+    FROM nation
+    """,
+)
+def f8(spark: SparkSession, sf: str) -> DataFrame:
+    n = _t(spark, sf, "nation")
+    raw = F.concat(
+        F.lit("Note "),
+        F.col("n_regionkey").cast("string"),
+        F.lit("."),
+        F.col("n_nationkey").cast("string"),
+        F.lit(" (continued)"),
+    )
+    return n.select("n_nationkey", N.normalize_note_ref(raw).alias("note_id"))
+
+
+@query(
+    "f9_note_key_roundtrip",
+    """
+    SELECT note_id,
+           concat('note_', replace(note_id, '.', '_')) AS note_key,
+           replace(regexp_replace(concat('note_', replace(note_id, '.', '_')),
+                                  '^note_', ''), '_', '.') AS back
+    FROM (SELECT DISTINCT concat(cast(n_regionkey AS VARCHAR), '.',
+                                 cast(n_nationkey AS VARCHAR)) AS note_id FROM nation)
+    """,
+)
+def f9(spark: SparkSession, sf: str) -> DataFrame:
+    n = _t(spark, sf, "nation")
+    ids = n.select(
+        F.concat(
+            F.col("n_regionkey").cast("string"),
+            F.lit("."),
+            F.col("n_nationkey").cast("string"),
+        ).alias("note_id")
+    ).distinct()
+    key = N.note_id_to_key(F.col("note_id"))
+    return ids.select(
+        "note_id", key.alias("note_key"), N.note_key_to_id(key).alias("back")
+    )
+
+
+@query(
+    "f11_is_total",
+    """
+    SELECT p_partkey, label,
+           CASE WHEN row_kind = 'subtotal' THEN true
+                ELSE coalesce(regexp_matches(lower(label), '\\b(sub)?total\\b'), false)
+           END AS is_total
+    FROM (SELECT p_partkey,
+                 CASE p_partkey % 3 WHEN 0 THEN concat('Total ', p_type)
+                                    WHEN 1 THEN p_name ELSE concat(p_name, ' subtotal') END AS label,
+                 CASE p_partkey % 4 WHEN 0 THEN 'subtotal' ELSE 'position' END AS row_kind
+          FROM part)
+    """,
+)
+def f11(spark: SparkSession, sf: str) -> DataFrame:
+    p = _t(spark, sf, "part")
+    label = (
+        F.when(F.col("p_partkey") % 3 == 0, F.concat(F.lit("Total "), F.col("p_type")))
+        .when(F.col("p_partkey") % 3 == 1, F.col("p_name"))
+        .otherwise(F.concat(F.col("p_name"), F.lit(" subtotal")))
+    )
+    row_kind = F.when(F.col("p_partkey") % 4 == 0, F.lit("subtotal")).otherwise(
+        F.lit("position")
+    )
+    return p.select(
+        "p_partkey",
+        label.alias("label"),
+        N.derive_is_total(row_kind, label).alias("is_total"),
+    )
+
+
+# =============================================================================
+# Text analysis (training-data ops over `documents`)
+# =============================================================================
+
+
+@query(
+    "t_token_counts",
+    f"""
+    SELECT doc_id,
+           CASE WHEN length(trim(text)) = 0 THEN 0
+                ELSE array_length(regexp_split_to_array(trim(text), '\\s+')) END AS n_ws_tokens,
+           length(regexp_extract_all(text, '{T.BPE_RE}')) AS n_bpe_tokens
+    FROM documents
+    """,
+)
+def t_tokens(spark: SparkSession, sf: str) -> DataFrame:
+    d = _t(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        T.whitespace_token_count(F.col("text")).alias("n_ws_tokens"),
+        T.bpe_token_count(F.col("text")).alias("n_bpe_tokens"),
+    )
+
+
+@query(
+    "t_quality",
+    """
+    SELECT doc_id, n_chars2 AS n_chars, n_tokens,
+           round(cast(n_chars2 AS DOUBLE) / greatest(n_tokens, 1), 4) AS mean_word_len,
+           round(least(40.0, cast(n_chars2 AS DOUBLE) / 50.0)
+                 + least(30.0, round(cast(n_stop AS DOUBLE) / greatest(n_tokens, 1), 4) * 100.0)
+                 + CASE WHEN round(cast(n_chars2 AS DOUBLE) / greatest(n_tokens, 1), 4)
+                             BETWEEN 3.0 AND 12.0 THEN 30.0 ELSE 0.0 END, 2) AS quality
+    FROM (
+      SELECT doc_id, length(text) AS n_chars2,
+             CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE array_length(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens,
+             length(regexp_extract_all(lower(text), '\\b(the|and|of|to|in|is|that|for)\\b'))
+             + length(regexp_extract_all(lower(text), '\\b(der|die|und|das|ist|nicht|ein|mit)\\b'))
+             + length(regexp_extract_all(lower(text), '\\b(le|la|et|les|des|est|dans|que)\\b'))
+             + length(regexp_extract_all(lower(text), '\\b(el|la|los|las|es|en|una|por)\\b')) AS n_stop
+      FROM documents)
+    """,
+)
+def t_quality(spark: SparkSession, sf: str) -> DataFrame:
+    d = _t(spark, sf, "documents")
+    feats = T.quality_features(F.col("text"))
+    return d.select(
+        "doc_id",
+        feats["n_chars"].alias("n_chars"),
+        feats["n_tokens"].alias("n_tokens"),
+        feats["mean_word_len"].alias("mean_word_len"),
+        T.quality_score(F.col("text")).alias("quality"),
+    )
+
+
+@query(
+    "t_langid",
+    """
+    SELECT doc_id,
+      CASE WHEN length(regexp_extract_all(text, '[一-鿿]')) > 0 THEN 'zh'
+           WHEN greatest(en, de, fr, es) = 0 THEN 'und'
+           WHEN en = greatest(en, de, fr, es) THEN 'en'
+           WHEN de = greatest(en, de, fr, es) THEN 'de'
+           WHEN fr = greatest(en, de, fr, es) THEN 'fr'
+           ELSE 'es' END AS lang_pred
+    FROM (
+      SELECT doc_id, text,
+        length(regexp_extract_all(lower(text), '\\b(the|and|of|to|in|is|that|for)\\b')) AS en,
+        length(regexp_extract_all(lower(text), '\\b(der|die|und|das|ist|nicht|ein|mit)\\b')) AS de,
+        length(regexp_extract_all(lower(text), '\\b(le|la|et|les|des|est|dans|que)\\b')) AS fr,
+        length(regexp_extract_all(lower(text), '\\b(el|la|los|las|es|en|una|por)\\b')) AS es
+      FROM documents)
+    """,
+)
+def t_langid(spark: SparkSession, sf: str) -> DataFrame:
+    d = _t(spark, sf, "documents")
+    return d.select("doc_id", T.language_id(F.col("text")).alias("lang_pred"))
+
+
+@query(
+    "t_fingerprint",
+    """
+    SELECT doc_id,
+           md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fingerprint
+    FROM documents
+    """,
+)
+def t_fp(spark: SparkSession, sf: str) -> DataFrame:
+    d = _t(spark, sf, "documents")
+    return d.select(
+        "doc_id", T.content_fingerprint(F.col("text")).alias("fingerprint")
+    )
+
+
+# =============================================================================
+# Deduplication (training-data ops)
+# =============================================================================
+
+
+@query(
+    "d_exact_dup_groups",
+    """
+    SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS n_copies
+    FROM documents GROUP BY md5(text)
+    """,
+)
+def d_exact(spark: SparkSession, sf: str) -> DataFrame:
+    d = _t(spark, sf, "documents")
+    return D.exact_duplicates(d)
+
+
+_TOK_SQL = "regexp_split_to_array(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')"
+_SHINGLE_SQL = f"""
+    list_transform(range(1, greatest(array_length({_TOK_SQL}) - 1, 0) + 1),
+                   i -> array_to_string(list_slice({_TOK_SQL}, i, i + 1), ' '))
+"""
+
+
+@query(
+    "d_minhash_signature",
+    f"""
+    SELECT doc_id,
+           list_min(list_transform({_SHINGLE_SQL}, s -> md5(concat('0:', s)))) AS mh0,
+           list_min(list_transform({_SHINGLE_SQL}, s -> md5(concat('1:', s)))) AS mh1,
+           list_min(list_transform({_SHINGLE_SQL}, s -> md5(concat('2:', s)))) AS mh2,
+           list_min(list_transform({_SHINGLE_SQL}, s -> md5(concat('3:', s)))) AS mh3
+    FROM documents
+    """,
+)
+def d_minhash(spark: SparkSession, sf: str) -> DataFrame:
+    """MinHash signatures (k=4, word-bigram shingles) — engine-agnostic md5
+    family. Staged projection: shingles materialized once, then 4 min-hashes
+    over the attribute (not 4 re-expansions of the shingle tree)."""
+    d = _t(spark, sf, "documents")
+    staged = (
+        d.select("doc_id", D.word_tokens(F.col("text")).alias("_t"))
+        .repartition(_par(spark), "doc_id")
+        .select("doc_id", D.shingles_from_tokens(F.col("_t"), 2).alias("_sh"))
+    )
+
+    def _one(seed: int):
+        prefix = f"{seed}:"
+        return F.array_min(
+            F.transform(F.col("_sh"), lambda s: F.md5(F.concat(F.lit(prefix), s)))
+        )
+
+    return staged.select(
+        "doc_id",
+        _one(0).alias("mh0"),
+        _one(1).alias("mh1"),
+        _one(2).alias("mh2"),
+        _one(3).alias("mh3"),
+    )
+
+
+@query(
+    "d_lsh_pairs",
+    f"""
+    WITH sig AS (
+      SELECT doc_id,
+             md5(concat_ws('|',
+               list_min(list_transform({_SHINGLE_SQL}, s -> md5(concat('0:', s)))),
+               list_min(list_transform({_SHINGLE_SQL}, s -> md5(concat('1:', s)))))) AS band0,
+             md5(concat_ws('|',
+               list_min(list_transform({_SHINGLE_SQL}, s -> md5(concat('2:', s)))),
+               list_min(list_transform({_SHINGLE_SQL}, s -> md5(concat('3:', s)))))) AS band1
+      FROM documents),
+    buckets AS (
+      SELECT doc_id, 0 AS band, band0 AS key FROM sig
+      UNION ALL SELECT doc_id, 1, band1 FROM sig)
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM buckets a JOIN buckets b
+      ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+    """,
+)
+def d_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    """MinHash-LSH candidate pairs (k=4, 2 bands of 2 rows)."""
+    d = _t(spark, sf, "documents")
+    return D.minhash_lsh_pairs(d, k=4, bands=2, shingle_n=2, n_partitions=_par(spark))
+
+
+@query(
+    "d_ngram_jaccard",
+    f"""
+    WITH sh AS (SELECT doc_id, source, {_SHINGLE_SQL} AS sh FROM documents)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(CASE WHEN (array_length(list_distinct(a.sh)) + array_length(list_distinct(b.sh))
+                            - array_length(list_intersect(a.sh, b.sh))) <= 0 THEN 0.0
+                 ELSE cast(array_length(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                      / (array_length(list_distinct(a.sh)) + array_length(list_distinct(b.sh))
+                         - array_length(list_intersect(a.sh, b.sh))) END, 6) AS jaccard
+    FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
+    WHERE round(CASE WHEN (array_length(list_distinct(a.sh)) + array_length(list_distinct(b.sh))
+                           - array_length(list_intersect(a.sh, b.sh))) <= 0 THEN 0.0
+                ELSE cast(array_length(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                     / (array_length(list_distinct(a.sh)) + array_length(list_distinct(b.sh))
+                        - array_length(list_intersect(a.sh, b.sh))) END, 6) >= 0.2
+    """,
+)
+def d_jaccard(spark: SparkSession, sf: str) -> DataFrame:
+    """n-gram Jaccard near-dup pairs, blocked by source."""
+    d = _t(spark, sf, "documents")
+    return D.ngram_jaccard_pairs(
+        d, group_col="source", shingle_n=2, threshold=0.2, n_partitions=_par(spark)
+    )
+
+
+@query(
+    "d_simhash",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_TOK_SQL}) AS t FROM documents),
+    h AS (
+      SELECT doc_id,
+             (strpos('0123456789abcdef', substr(md5(t), 1, 1)) - 1) * 4096
+           + (strpos('0123456789abcdef', substr(md5(t), 2, 1)) - 1) * 256
+           + (strpos('0123456789abcdef', substr(md5(t), 3, 1)) - 1) * 16
+           + (strpos('0123456789abcdef', substr(md5(t), 4, 1)) - 1) AS h16
+      FROM tok),
+    bits AS (
+      SELECT doc_id, j,
+             sum(CASE WHEN (h16 // power(2, j)::int) % 2 = 1 THEN 1 ELSE -1 END) AS vote
+      FROM h CROSS JOIN range(16) r(j) GROUP BY doc_id, j)
+    SELECT doc_id,
+           cast(sum(CASE WHEN vote > 0 THEN power(2, j)::bigint ELSE 0 END) AS BIGINT) AS simhash
+    FROM bits GROUP BY doc_id
+    """,
+)
+def d_simhash(spark: SparkSession, sf: str) -> DataFrame:
+    """16-bit SimHash per document (majority vote across token hashes)."""
+    d = _t(spark, sf, "documents")
+    return D.with_simhash(d, n_partitions=_par(spark)).select(
+        F.col("id").alias("doc_id"), F.col("simhash").cast("bigint").alias("simhash")
+    )
+
+
+# =============================================================================
+# Embedding similarity
+# =============================================================================
+
+
+def _query_vec(spark: SparkSession, sf: str) -> list[float]:
+    row = (
+        _t(spark, sf, "embeddings").filter(F.col("vec_id") == 0).select("embedding").first()
+    )
+    return [float(x) for x in row["embedding"]]
+
+
+@query(
+    "e_cosine_topk",
+    """
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+    SELECT vec_id,
+           round(list_dot_product(embedding::DOUBLE[], qv::DOUBLE[])
+                 / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+                    * sqrt(list_dot_product(qv::DOUBLE[], qv::DOUBLE[]))), 6) AS cosine_sim
+    FROM embeddings, q
+    WHERE vec_id != 0
+    ORDER BY cosine_sim DESC, vec_id LIMIT 10
+    """,
+)
+def e_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Brute-force cosine top-10 to embedding #0 (exact ANN baseline)."""
+    e = _t(spark, sf, "embeddings")
+    return S.cosine_topk(e, _query_vec(spark, sf), k=10, exclude_id=0)
+
+
+@query(
+    "e_label_centroid_sim",
+    """
+    WITH e2 AS (
+      SELECT vec_id, label, unnest(embedding)::DOUBLE AS v,
+             generate_subscripts(embedding, 1) AS d
+      FROM embeddings),
+    c AS (SELECT label, d, avg(v) AS cv FROM e2 GROUP BY label, d),
+    j AS (
+      SELECT e2.vec_id, e2.label,
+             sum(e2.v * c.cv) AS dp, sum(e2.v * e2.v) AS n1, sum(c.cv * c.cv) AS n2
+      FROM e2 JOIN c ON e2.label = c.label AND e2.d = c.d
+      GROUP BY e2.vec_id, e2.label)
+    SELECT vec_id, label, round(dp / (sqrt(n1) * sqrt(n2)), 4) AS centroid_sim
+    FROM j
+    """,
+)
+def e_centroid(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-label centroid + each vector's cosine to its centroid (IVF building
+    block: centroid assignment = the coarse quantizer of an IVF index)."""
+    e = _t(spark, sf, "embeddings")
+    dim = 64
+    cent = e.groupBy("label").agg(
+        F.array(
+            *[F.avg(F.col("embedding")[i].cast("double")) for i in range(dim)]
+        ).alias("centroid")
+    )
+    return e.join(cent, "label").select(
+        "vec_id",
+        "label",
+        F.round(S.cosine(F.col("embedding"), F.col("centroid")), 4).alias(
+            "centroid_sim"
+        ),
+    )
+
+
+# =============================================================================
+# Flagship: the extraction pipeline itself (M1/M6), oracle-checked
+# =============================================================================
+
+_PAGE_PREFIX = (
+    '<html><head><title>doc</title><style>p{margin:0}</style></head><body>'
+    '<nav><a href="/">Home</a> <a href="/about">About</a> <a href="/blog">Blog</a></nav>'
+    '<article><p>'
+)
+_PAGE_SUFFIX = (
+    "</p></article>"
+    '<footer><a href="/privacy">Privacy</a> <a href="/terms">Terms</a> '
+    "© 2024 Example</footer></body></html>"
+)
+
+
+def synthesize_page(text_col: F.Column) -> F.Column:
+    """Wrap a text column in a deterministic boilerplated HTML page (binary)."""
+    return F.encode(
+        F.concat(F.lit(_PAGE_PREFIX), text_col, F.lit(_PAGE_SUFFIX)), "UTF-8"
+    )
+
+
+@query(
+    "x_extract_pipeline",
+    """
+    SELECT doc_id,
+           CASE WHEN length(trim(regexp_replace(text, '\\s+', ' ', 'g'))) >= 25
+                THEN trim(regexp_replace(text, '\\s+', ' ', 'g')) ELSE '' END AS extracted,
+           CASE WHEN length(trim(regexp_replace(text, '\\s+', ' ', 'g'))) >= 25
+                THEN 1 ELSE 0 END AS n_blocks,
+           true AS ok
+    FROM documents
+    """,
+)
+def x_extract(spark: SparkSession, sf: str) -> DataFrame:
+    """End-to-end extraction over pages synthesized from `documents.text`:
+    the boilerplate (nav/footer) must be stripped and the article text
+    recovered byte-identically — the north-rule gate as a DuckDB oracle."""
+    from pdf_extractor_spark.extract.udfs import extract_udf
+
+    d = _t(spark, sf, "documents")
+    pages = d.select("doc_id", synthesize_page(F.col("text")).alias("html"))
+    # single-file input -> one split; spread the UDF stage explicitly
+    pages = pages.repartition(_par(spark), "doc_id")
+    out = pages.withColumn("_x", extract_udf(F.col("html")))
+    return out.select(
+        "doc_id",
+        F.col("_x.text").alias("extracted"),
+        F.col("_x.n_blocks").alias("n_blocks"),
+        F.col("_x.ok").alias("ok"),
+    )

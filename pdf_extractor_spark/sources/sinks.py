@@ -1,0 +1,118 @@
+"""Multi-format sinks (SURVEY.md §2.1 S6-S11; reference src/formatter.py).
+
+The reference writes one document's payload to json/txt/csv/md files; here the
+same fan-out is DataFrame writers with a single upstream materialization:
+``save_multiple_formats`` persists once and scans once per sink (reference
+src/formatter.py:338-369 re-reads the dict per format — same idea, N sinks,
+one payload).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from pdf_extractor_spark.functions.normalize import extract_fenced_json
+
+SUPPORTED_FORMATS = ("json", "txt", "csv", "md")
+
+
+def save_json(df: DataFrame, path: str) -> None:
+    """S6 — JSON sink (reference src/formatter.py:117-141)."""
+    df.write.mode("overwrite").json(path)
+
+
+def save_text(df: DataFrame, path: str, text_col: str = "text") -> None:
+    """S7 — raw text sink (reference src/formatter.py:143-164)."""
+    df.select(F.col(text_col)).write.mode("overwrite").text(path)
+
+
+def save_csv(df: DataFrame, path: str) -> None:
+    """S8 — CSV sink with nested-structure flattening (reference
+    src/formatter.py:166-206): arrays/structs/maps are JSON-encoded per cell
+    (CSV cannot nest), scalars pass through."""
+    flat_cols = []
+    for field in df.schema.fields:
+        if field.dataType.typeName() in ("array", "struct", "map"):
+            flat_cols.append(F.to_json(F.col(field.name)).alias(field.name))
+        else:
+            flat_cols.append(F.col(field.name))
+    df.select(*flat_cols).write.mode("overwrite").option("header", True).csv(path)
+
+
+def save_markdown(df: DataFrame, path: str, title: str = "Extraction Report") -> None:
+    """S9 — markdown report sink (reference src/formatter.py:208-244).
+
+    Small-report sink by design: meant for head()-scale summaries, so it
+    collects to the driver (the reference writes a single .md per document)."""
+    rows = df.limit(1000).toJSON().collect()
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(path, "w", encoding="utf-8") as fh:
+        fh.write(f"# {title}\n\n```json\n")
+        fh.write("\n".join(rows))
+        fh.write("\n```\n")
+
+
+def save_multiple_formats(
+    df: DataFrame, base_path: str, formats: list[str] | tuple[str, ...] = SUPPORTED_FORMATS,
+    text_col: str = "text",
+) -> dict[str, str]:
+    """S10 — one payload, N sinks, ONE upstream computation (persist)."""
+    unknown = set(formats) - set(SUPPORTED_FORMATS)
+    if unknown:
+        raise ValueError(f"unsupported formats: {sorted(unknown)}")
+    df = df.persist()
+    out: dict[str, str] = {}
+    try:
+        df.count()  # materialize once
+        for fmt in formats:
+            path = os.path.join(base_path, fmt)
+            if fmt == "json":
+                save_json(df, path)
+            elif fmt == "txt":
+                save_text(df, path, text_col)
+            elif fmt == "csv":
+                save_csv(df, path)
+            elif fmt == "md":
+                path = os.path.join(base_path, "report.md")
+                save_markdown(df, path)
+            out[fmt] = path
+    finally:
+        df.unpersist()
+    return out
+
+
+def read_json_with_repair(
+    spark: SparkSession, df: DataFrame, raw_col: str, schema: str | None = None
+) -> DataFrame:
+    """S6's repair path (reference src/formatter.py:30-115): strip markdown
+    fences / extract outermost braces, then parse; unparseable rows become
+    error-wrapped rows instead of failing (reference :106-111)."""
+    repaired = df.withColumn("_json", extract_fenced_json(F.col(raw_col)))
+    if schema is None:
+        sample = [r["_json"] for r in repaired.select("_json").limit(100).collect() if r["_json"]]
+        schema = (
+            spark.range(1)
+            .select(F.schema_of_json(F.lit(sample[0])).alias("s"))
+            .first()["s"]
+            if sample
+            else "struct<>"
+        )
+    return repaired.select(
+        "*",
+        F.from_json(F.col("_json"), schema).alias("parsed"),
+    ).withColumn(
+        "parse_ok", F.col("parsed").isNotNull() & (F.length("_json") > 0)
+    ).drop("_json")
+
+
+def display_preview(df: DataFrame, n: int = 10, max_chars: int = 500) -> str:
+    """S11 — truncated console preview (reference src/formatter.py:278-300)."""
+    cols = [
+        F.substring(F.col(f.name).cast("string"), 1, max_chars).alias(f.name)
+        if f.dataType.typeName() == "string"
+        else F.col(f.name)
+        for f in df.schema.fields
+    ]
+    return df.select(*cols)._show_string(n, 60, False)

@@ -1,0 +1,207 @@
+"""Unit tests for dedup / similarity / textstats / merge operators."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from pdf_extractor_spark.operators import dedup as D
+from pdf_extractor_spark.operators import merges as M
+from pdf_extractor_spark.operators import similarity as S
+from pdf_extractor_spark.operators import textstats as T
+
+
+# --- textstats ---------------------------------------------------------------
+
+
+def test_token_counts(spark):
+    df = spark.createDataFrame(
+        [("the quick brown fox",), ("  ",), ("a-b c.d",)], ["text"]
+    )
+    got = df.select(
+        T.whitespace_token_count(F.col("text")).alias("ws"),
+        T.bpe_token_count(F.col("text")).alias("bpe"),
+    ).collect()
+    assert [r["ws"] for r in got] == [4, 0, 2]
+    # 'a-b c.d' -> a, -, b, c, ., d = 6 BPE-ish tokens
+    assert [r["bpe"] for r in got] == [4, 0, 6]
+
+
+def test_language_id(spark):
+    df = spark.createDataFrame(
+        [
+            ("the cat and the dog is in the house",),
+            ("der hund ist nicht mit der katze",),
+            ("le chat est dans la maison et les arbres",),
+            ("el perro es en la casa por una razón",),
+            ("数据处理系统",),
+            ("xyzzy plugh",),
+        ],
+        ["text"],
+    )
+    got = [r["l"] for r in df.select(T.language_id(F.col("text")).alias("l")).collect()]
+    assert got == ["en", "de", "fr", "es", "zh", "und"]
+
+
+def test_quality_score_monotone(spark):
+    df = spark.createDataFrame(
+        [("short",), ("the and of to in is that for " * 40,)], ["text"]
+    )
+    got = [r["q"] for r in df.select(T.quality_score(F.col("text")).alias("q")).collect()]
+    assert got[1] > got[0]
+
+
+def test_fingerprint_normalizes(spark):
+    df = spark.createDataFrame(
+        [("Hello,  World!",), ("hello world",), ("different text",)], ["text"]
+    )
+    got = [r["f"] for r in df.select(T.content_fingerprint(F.col("text")).alias("f")).collect()]
+    assert got[0] == got[1] != got[2]
+
+
+# --- dedup -------------------------------------------------------------------
+
+
+def _docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog", "a"),
+        (2, "the quick brown fox jumps over the lazy dog", "a"),  # exact dup of 1
+        (3, "the quick brown fox jumps over the lazy cat", "a"),  # near dup
+        (4, "completely different content about spark engines", "a"),
+        (5, "unrelated text regarding query optimizers", "b"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text", "source"])
+
+
+def test_exact_duplicates(spark):
+    groups = D.exact_duplicates(_docs(spark)).collect()
+    dups = [g for g in groups if g["n_copies"] > 1]
+    assert len(dups) == 1 and dups[0]["keep_id"] == 1 and dups[0]["n_copies"] == 2
+
+
+def test_drop_exact_duplicates(spark):
+    out = D.drop_exact_duplicates(_docs(spark))
+    ids = sorted(r["doc_id"] for r in out.collect())
+    assert ids == [1, 3, 4, 5]
+
+
+def test_minhash_lsh_finds_near_dups(spark):
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in D.minhash_lsh_pairs(_docs(spark), k=8, bands=4, shingle_n=2).collect()
+    }
+    assert (1, 2) in pairs  # exact dups always collide
+    assert (1, 3) in pairs or (2, 3) in pairs  # near-dup should share a band
+    assert (4, 5) not in pairs
+
+
+def test_ngram_jaccard_pairs(spark):
+    got = D.ngram_jaccard_pairs(
+        _docs(spark), group_col="source", shingle_n=2, threshold=0.5
+    ).collect()
+    by_pair = {(r["id_a"], r["id_b"]): r["jaccard"] for r in got}
+    assert by_pair[(1, 2)] == 1.0
+    assert 0.5 <= by_pair[(1, 3)] < 1.0
+    assert (1, 4) not in by_pair
+
+
+def test_simhash_near_for_near_dups(spark):
+    got = {r["doc_id"]: r["s"] for r in _docs(spark).select(
+        "doc_id", D.simhash(F.col("text")).alias("s")).collect()}
+    assert got[1] == got[2]
+
+    def hamming(a, b):
+        return bin(a ^ b).count("1")
+
+    assert hamming(got[1], got[3]) <= hamming(got[1], got[4])
+    assert 0 <= got[1] < 2**16
+
+
+def test_simhash_empty_is_zero(spark):
+    df = spark.createDataFrame([("",), ("  ",)], ["text"])
+    got = [r["s"] for r in df.select(D.simhash(F.col("text")).alias("s")).collect()]
+    assert got == [0, 0]
+
+
+# --- similarity --------------------------------------------------------------
+
+
+def _vecs(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0], 0),
+        (1, [0.9, 0.1, 0.0], 0),   # close to 0
+        (2, [0.0, 1.0, 0.0], 1),   # orthogonal
+        (3, [-1.0, 0.0, 0.0], 1),  # opposite
+        (4, [0.95, 0.05, 0.0], 0),
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+
+
+def test_cosine_topk_exact(spark):
+    got = S.cosine_topk(_vecs(spark), [1.0, 0.0, 0.0], k=2, exclude_id=0).collect()
+    assert [r["vec_id"] for r in got] == [4, 1]
+    assert got[0]["cosine_sim"] > got[1]["cosine_sim"] > 0.98
+
+
+def test_cosine_math(spark):
+    df = spark.createDataFrame([([1.0, 2.0], [3.0, 4.0])], "a array<double>, b array<double>")
+    got = df.select(S.cosine(F.col("a"), F.col("b")).alias("c")).first()["c"]
+    want = (1 * 3 + 2 * 4) / (math.sqrt(5) * math.sqrt(25))
+    assert abs(got - want) < 1e-9
+
+
+def test_ann_topk_recovers_bucket_neighbors(spark):
+    got = S.ann_topk(_vecs(spark), [1.0, 0.0, 0.0], k=3, n_planes=4).collect()
+    ids = [r["vec_id"] for r in got]
+    # the query's own bucket must contain the identical vector first
+    assert ids[0] == 0
+    # opposite vector can never share all SRP signs with the query
+    assert 3 not in ids
+
+
+def test_cosine_near_dup_pairs(spark):
+    got = S.cosine_near_dup_pairs(_vecs(spark), threshold=0.95, n_planes=4).collect()
+    pairs = {(r["id_a"], r["id_b"]) for r in got}
+    assert (0, 4) in pairs
+    assert all(r["cosine_sim"] >= 0.95 for r in got)
+
+
+# --- merges ------------------------------------------------------------------
+
+
+def test_last_wins_merge(spark):
+    df = spark.createDataFrame(
+        [("t1", 1, "old"), ("t1", 2, "new"), ("t2", 1, "only")],
+        ["table_id", "round", "payload"],
+    )
+    got = {r["table_id"]: r["payload"] for r in M.last_wins_merge(df, ["table_id"], "round").collect()}
+    assert got == {"t1": "new", "t2": "only"}
+
+
+def test_first_seen_dedupe(spark):
+    df = spark.createDataFrame(
+        [("a", 3), ("a", 1), ("b", 2)], ["key", "pos"]
+    )
+    got = {(r["key"], r["pos"]) for r in M.first_seen_dedupe(df, ["key"], "pos").collect()}
+    assert got == {("a", 1), ("b", 2)}
+
+
+def test_retry_remaining(spark):
+    req = spark.createDataFrame([("1",), ("2",), ("3",)], ["note_id"])
+    done = spark.createDataFrame([("2",)], ["note_id"])
+    got = sorted(r["note_id"] for r in M.retry_remaining(req, done, "note_id").collect())
+    assert got == ["1", "3"]
+
+
+def test_collect_note_refs(spark):
+    df = spark.createDataFrame(
+        [
+            ("u1", ["Note 7.2", "3", "note 7.2"]),
+            ("u1", ["Note 10.1"]),
+            ("u2", ["1.2"]),
+        ],
+        ["url", "notes_reference"],
+    )
+    got = [(r["url"], r["note_id"]) for r in M.collect_note_refs(df).collect()]
+    assert got == [("u1", "3"), ("u1", "7.2"), ("u1", "10.1"), ("u2", "1.2")]

@@ -1,0 +1,121 @@
+"""Scale-posture tests: physical-plan hygiene + skew salting.
+
+These assert properties of the PLAN, not just results — at 100 TB the plan
+is the product: column pruning must keep the html binary column out of
+metadata-only scans, filters must reach the parquet reader, the hot path
+must contain exactly one Arrow Python stage, and salting must flatten
+Zipf-host compute skew.
+"""
+
+from __future__ import annotations
+
+import statistics
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from pdf_extractor_spark.pipeline import extract_documents
+from pdf_extractor_spark.plans.partitioning import heavy_hosts, salted_repartition
+
+
+@pytest.fixture(scope="module")
+def doc_parquet(spark, tmp_path_factory):
+    """Small parquet table with a heavily skewed host distribution:
+    ~70% of urls on host0, the rest spread over 20 hosts."""
+    path = str(tmp_path_factory.mktemp("docs") / "t")
+    rows = []
+    for i in range(2000):
+        host = "host0" if i % 10 < 7 else f"host{1 + i % 20}"
+        rows.append(
+            (f"https://{host}.example/d/{i}", b"<p>%b</p>" % (b"word " * 40), "en")
+        )
+    spark.createDataFrame(rows, "url string, html binary, lang string").write.mode(
+        "overwrite"
+    ).parquet(path)
+    return path
+
+
+def _explain(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_column_pruning_excludes_html(spark, doc_parquet):
+    """A metadata-only query must never read the (100 TB) html column."""
+    df = spark.read.parquet(doc_parquet).groupBy("lang").count()
+    plan = _explain(df)
+    assert "ReadSchema" in plan
+    read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    assert "html" not in read_schema
+    assert "lang" in read_schema
+
+
+def test_filter_pushdown_reaches_scan(spark, doc_parquet):
+    df = spark.read.parquet(doc_parquet).filter(F.col("lang") == "en").select("url")
+    plan = _explain(df)
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert pushed and "lang" in pushed[0]
+
+
+def test_extract_plan_single_arrow_stage(spark, doc_parquet):
+    """Hot path: exactly one ArrowEvalPython, zero row-at-a-time Python."""
+    import re
+
+    df = extract_documents(spark.read.parquet(doc_parquet), n_partitions=8)
+    plan = _explain(df)
+    # formatted explain lists each node once in the tree and once in the
+    # details — count unique node ids
+    assert len(re.findall(r"\(\d+\) ArrowEvalPython", plan)) == 1
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1  # one shuffle only
+    assert "BatchEvalPython" not in plan  # row-at-a-time Python UDF marker
+
+
+def test_heavy_host_detection(spark, doc_parquet):
+    df = spark.read.parquet(doc_parquet)
+    heavy = heavy_hosts(df, fraction=0.3)
+    assert heavy == ["host0.example"]
+
+
+def test_salting_flattens_partition_skew(spark, doc_parquet):
+    df = spark.read.parquet(doc_parquet)
+    n_parts = 16
+
+    def partition_counts(frame):
+        rows = (
+            frame.withColumn("pid", F.spark_partition_id())
+            .groupBy("pid")
+            .count()
+            .collect()
+        )
+        return [r["count"] for r in rows]
+
+    # host-partitioned (what a naive host-keyed layout would do): one
+    # partition holds ~70% of all rows
+    naive = df.repartition(n_parts, F.parse_url("url", F.lit("HOST")))
+    naive_counts = partition_counts(naive)
+
+    salted = salted_repartition(df, n_parts, heavy=["host0.example"], n_salts=16)
+    salted_counts = partition_counts(salted)
+
+    assert max(naive_counts) > 0.6 * 2000
+    assert max(salted_counts) < 0.25 * 2000
+    # salted spread is reasonably even: max within 3x mean
+    assert max(salted_counts) < 3 * statistics.mean(salted_counts)
+
+
+def test_salted_output_identical(spark, doc_parquet):
+    """Salting changes placement, never results."""
+    df = spark.read.parquet(doc_parquet)
+    plain = {
+        r["url"]: r["text"]
+        for r in extract_documents(df).select("url", "text").collect()
+    }
+    salted = {
+        r["url"]: r["text"]
+        for r in extract_documents(df, n_partitions=16)
+        .select("url", "text")
+        .collect()
+    }
+    assert plain == salted

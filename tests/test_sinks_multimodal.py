@@ -1,0 +1,129 @@
+"""Tests for multi-format sinks, multimodal plumbing, incremental batches."""
+
+from __future__ import annotations
+
+import datetime
+import glob
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from pdf_extractor_spark.operators.multimodal import (
+    extract_image_features,
+    frame_sample_plan,
+)
+from pdf_extractor_spark.sources.sinks import (
+    display_preview,
+    read_json_with_repair,
+    save_multiple_formats,
+)
+
+
+def _df(spark):
+    return spark.createDataFrame(
+        [(1, "hello world", ["7.1", "8"]), (2, "second doc", [])],
+        "doc_id long, text string, refs array<string>",
+    )
+
+
+def test_multi_format_fanout(spark, tmp_path):
+    out = save_multiple_formats(_df(spark), str(tmp_path), ("json", "txt", "csv", "md"))
+    # json
+    json_rows = []
+    for p in glob.glob(out["json"] + "/part-*"):
+        with open(p) as fh:
+            json_rows += [json.loads(line) for line in fh if line.strip()]
+    assert {r["doc_id"] for r in json_rows} == {1, 2}
+    # txt
+    txt = ""
+    for p in glob.glob(out["txt"] + "/part-*"):
+        txt += open(p).read()
+    assert "hello world" in txt
+    # csv has header and JSON-encoded array cells
+    csv_text = ""
+    for p in glob.glob(out["csv"] + "/part-*.csv"):
+        csv_text += open(p).read()
+    assert "doc_id" in csv_text and '"[\\"7.1\\",\\"8\\"]"' in csv_text
+    # md report exists with fenced json
+    md = open(out["md"]).read()
+    assert md.startswith("# ") and "```json" in md
+
+
+def test_unknown_format_rejected(spark, tmp_path):
+    import pytest
+
+    with pytest.raises(ValueError):
+        save_multiple_formats(_df(spark), str(tmp_path), ("parquet",))
+
+
+def test_read_json_with_repair(spark):
+    rows = [
+        (1, '```json\n{"a": 1, "b": "x"}\n```'),
+        (2, 'noise before {"a": 2, "b": "y"} noise after'),
+        (3, "not json at all"),
+    ]
+    df = spark.createDataFrame(rows, "id long, raw string")
+    out = read_json_with_repair(spark, df, "raw", "a INT, b STRING")
+    got = {r["id"]: (r["parse_ok"], r["parsed"]) for r in out.collect()}
+    assert got[1][0] is True and got[1][1]["a"] == 1
+    assert got[2][0] is True and got[2][1]["b"] == "y"
+    assert got[3][0] is False
+
+
+def test_display_preview_truncates(spark):
+    df = spark.createDataFrame([("x" * 1000,)], "text string")
+    s = display_preview(df, max_chars=50)
+    assert "x" * 10 in s and "x" * 200 not in s
+
+
+def test_image_features_fake_plumbing(spark):
+    rows = [(1, b"imagebytes-1"), (2, b"imagebytes-2"), (3, None)]
+    df = spark.createDataFrame(rows, "media_id long, payload binary").repartition(2)
+    out = extract_image_features(df, fake=True).collect()
+    by_id = {r["media_id"]: r for r in out}
+    assert by_id[1]["decode_ok"] and len(by_id[1]["features"]) == 16
+    assert all(0.0 <= v < 1.0 for v in by_id[1]["features"])
+    # determinism across partitionings
+    out2 = extract_image_features(df.repartition(3), fake=True).collect()
+    assert {r["media_id"]: r["features"] for r in out2}[1] == by_id[1]["features"]
+    assert by_id[3]["n_bytes"] == 0
+
+
+def test_image_decode_stub_errors_per_row(spark):
+    df = spark.createDataFrame([(1, b"x")], "media_id long, payload binary")
+    out = extract_image_features(df, fake=False).first()
+    assert out["decode_ok"] is False
+    assert "NotImplementedError" in out["error"]
+
+
+def test_frame_sample_plan(spark):
+    df = spark.createDataFrame([(1, 3500), (2, 0)], "media_id long, duration_ms long")
+    out = frame_sample_plan(df, every_ms=1000).groupBy("media_id").count().collect()
+    got = {r["media_id"]: r["count"] for r in out}
+    assert got[1] == 4  # 0,1000,2000,3000
+    assert got[2] == 1  # frame 0
+
+
+def test_incremental_batches(spark, tmp_path):
+    from pdf_extractor_spark.sources import catalog
+    from pdf_extractor_spark.streaming.incremental import process_in_batches
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = [
+        (f"u{i}", base + datetime.timedelta(hours=i), b"<p>%b</p>" % (b"content words enough to keep %d " % i * 3), "", "en")
+        for i in range(6)
+    ]
+    df = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, html binary, text string, lang string"
+    )
+    table = str(tmp_path / "inc")
+    metrics = process_in_batches(
+        spark, df, table, datetime.timedelta(hours=2), n_partitions=2
+    )
+    assert [m["rows"] for m in metrics] == [2, 2, 2]
+    done = catalog.read_committed(spark, table)
+    assert done.count() == 6
+    # re-running is a no-op (resume)
+    metrics2 = process_in_batches(spark, df, table, datetime.timedelta(hours=3))
+    assert sum(m["rows"] for m in metrics2) == 0
