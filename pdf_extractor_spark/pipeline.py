@@ -93,3 +93,57 @@ def run_extraction_job(
     finally:
         sized.unpersist()
     return {"snapshot": snap_id, "rows": n_rows, "marker": marker}
+
+
+def rerun_failed(
+    spark: SparkSession,
+    input_df: DataFrame,
+    output_table: str,
+    max_rounds: int = 3,
+    n_partitions: int | None = None,
+) -> list[dict]:
+    """V7 — bounded repair loop (reference main.py:321-337, :486-519):
+    re-extract only the committed rows with ok=false (e.g. after a parser
+    fix), as new snapshots, for at most ``max_rounds`` rounds or until no
+    failures remain. The frontier shrinks by a semi-join each round — the
+    distributed form of the reference's retry-remaining set.
+    """
+    metrics: list[dict] = []
+    for _ in range(max_rounds):
+        done = catalog.read_committed(spark, output_table)
+        if done is None:
+            break
+        failed = done.filter(~F.col("ok")).select("url").distinct()
+        if failed.isEmpty():
+            break
+        todo = input_df.join(failed, on="url", how="left_semi")
+        extracted = extract_documents(todo, n_partitions=n_partitions)
+        sized = extracted.withColumn("bytes_in", F.length("html")).drop("html")
+        # last-wins: newer snapshot rows supersede older ones for the same
+        # url at read time via dedupe_latest
+        snap_id = catalog.commit_snapshot(sized, output_table)
+        n_fixed = sized.filter(F.col("ok")).count()
+        metrics.append({"snapshot": snap_id, "retried": sized.count(), "fixed": n_fixed})
+        if n_fixed == 0:
+            break  # no progress; stop burning rounds
+    return metrics
+
+
+def read_latest(spark: SparkSession, output_table: str) -> DataFrame | None:
+    """Committed rows with last-wins per url across snapshots (repair rounds
+    append newer rows for the same url; reference main.py:715-725 merge)."""
+    from pyspark.sql import Window
+
+    done = catalog.read_committed(spark, output_table)
+    if done is None:
+        return None
+    w = Window.partitionBy("url").orderBy(F.desc("_snapshot"))
+    with_snap = done.withColumn(
+        "_snapshot",
+        F.regexp_extract(F.input_file_name(), r"snap_(\d+)", 1).cast("int"),
+    )
+    return (
+        with_snap.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "_snapshot")
+    )

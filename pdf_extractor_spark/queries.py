@@ -886,6 +886,108 @@ def e_centroid(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@query(
+    "m3_reassemble_chunks",
+    """
+    SELECT l_orderkey AS doc_key,
+           string_agg(l_returnflag, '' ORDER BY l_linenumber, l_returnflag) AS text,
+           count(*) AS n_chunks
+    FROM lineitem GROUP BY l_orderkey
+    """,
+)
+def m3(spark: SparkSession, sf: str) -> DataFrame:
+    """M3 — continuation-chunk reassembly: deterministic ordered concat per
+    key (reference src/extractor.py:226-243 loop as one groupBy)."""
+    from pdf_extractor_spark.operators.chunks import reassemble_chunks
+
+    li = _t(spark, sf, "lineitem").select(
+        F.col("l_orderkey").alias("doc_key"),
+        F.col("l_linenumber").alias("chunk_id"),
+        F.col("l_returnflag").alias("chunk_text"),
+    )
+    return reassemble_chunks(li, key_col="doc_key")
+
+
+@query(
+    "p6_quick_validate",
+    """
+    SELECT doc_id,
+           (length(trim(text)) = 0) AS is_empty,
+           contains(text, '[CONTINUE]') AS has_continuation,
+           (contains(upper(text), 'ERROR') OR contains(upper(text), 'FAILED')) AS has_error_marker,
+           (length(trim(text)) > 0 AND NOT contains(text, '[CONTINUE]')
+            AND NOT (contains(upper(text), 'ERROR') OR contains(upper(text), 'FAILED'))) AS passes
+    FROM documents
+    """,
+)
+def p6(spark: SparkSession, sf: str) -> DataFrame:
+    """P6 — content sanity predicates (reference src/validator.py:234-292
+    quick_validate: empty output, [CONTINUE] marker, ERROR/FAILED)."""
+    d = _t(spark, sf, "documents")
+    t = F.col("text")
+    is_empty = F.length(F.trim(t)) == 0
+    has_cont = t.contains("[CONTINUE]")
+    has_err = F.upper(t).contains("ERROR") | F.upper(t).contains("FAILED")
+    return d.select(
+        "doc_id",
+        is_empty.alias("is_empty"),
+        has_cont.alias("has_continuation"),
+        has_err.alias("has_error_marker"),
+        (~is_empty & ~has_cont & ~has_err).alias("passes"),
+    )
+
+
+@query(
+    "a1_collect_note_refs",
+    """
+    WITH raw AS (
+      SELECT n_nationkey, unnest([
+        concat('Note ', cast(n_regionkey AS VARCHAR), '.', cast(n_nationkey % 4 AS VARCHAR)),
+        concat(cast(n_regionkey AS VARCHAR), '.', cast(n_nationkey % 3 AS VARCHAR), ' (continued)'),
+        'no digits here'
+      ]) AS ref FROM nation),
+    norm AS (
+      SELECT DISTINCT regexp_extract(ref, '(\\d+(?:\\.\\d+)*)', 1) AS note_id FROM raw
+      WHERE length(regexp_extract(ref, '(\\d+(?:\\.\\d+)*)', 1)) > 0)
+    SELECT note_id, row_number() OVER (
+      ORDER BY cast(split_part(note_id, '.', 1) AS INT),
+               cast(split_part(note_id, '.', 2) AS INT)) AS rank
+    FROM norm
+    """,
+)
+def a1(spark: SparkSession, sf: str) -> DataFrame:
+    """A1/A2 — collect + normalize + dedupe + dotted-sort note references
+    (reference src/notes_extractor.py:29-68)."""
+    n = _t(spark, sf, "nation")
+    refs = n.select(
+        F.explode(
+            F.array(
+                F.concat(
+                    F.lit("Note "),
+                    F.col("n_regionkey").cast("string"),
+                    F.lit("."),
+                    (F.col("n_nationkey") % 4).cast("string"),
+                ),
+                F.concat(
+                    F.col("n_regionkey").cast("string"),
+                    F.lit("."),
+                    (F.col("n_nationkey") % 3).cast("string"),
+                    F.lit(" (continued)"),
+                ),
+                F.lit("no digits here"),
+            )
+        ).alias("ref")
+    )
+    norm = (
+        refs.select(N.normalize_note_ref(F.col("ref")).alias("note_id"))
+        .filter(F.length("note_id") > 0)
+        .distinct()
+    )
+    key = N.dotted_sort_key(F.col("note_id"))
+    w = Window.orderBy(key[0], key[1])
+    return norm.withColumn("rank", F.row_number().over(w))
+
+
 # =============================================================================
 # Flagship: the extraction pipeline itself (M1/M6), oracle-checked
 # =============================================================================

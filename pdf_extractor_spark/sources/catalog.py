@@ -73,6 +73,63 @@ def read_committed(spark: SparkSession, table_path: str) -> DataFrame | None:
     return spark.read.parquet(*paths)
 
 
+def list_snapshots(spark: SparkSession, table_path: str) -> DataFrame:
+    """S4 — catalog listing (reference src/pdf_uploader.py:120-140
+    list_uploaded_files; Iceberg's ``tbl.snapshots`` metadata table analog):
+    one row per committed snapshot with file count and total bytes."""
+    import glob as _glob
+
+    rows = []
+    for n in _committed_ids(table_path):
+        snap_dir = os.path.join(table_path, f"snap_{n}")
+        files = _glob.glob(os.path.join(snap_dir, "*.parquet")) + _glob.glob(
+            os.path.join(snap_dir, "part-*")
+        )
+        files = sorted(set(files))
+        rows.append(
+            (n, snap_dir, len(files), sum(os.path.getsize(f) for f in files))
+        )
+    return spark.createDataFrame(
+        rows, "snapshot_id int, path string, n_files int, total_bytes long"
+    )
+
+
+def delete_where(
+    spark: SparkSession, table_path: str, keys: DataFrame, key: str = "url"
+) -> int:
+    """S5 — delete rows by key (reference src/pdf_uploader.py:100-118
+    delete_file; Iceberg ``DELETE FROM`` analog): rewrite the table as one
+    consolidated snapshot minus the keys, commit it, then drop the old
+    snapshots' markers (old data dirs become invisible orphans, mirroring
+    Iceberg's snapshot expiry)."""
+    current = read_committed(spark, table_path)
+    if current is None:
+        return 0
+    old_ids = _committed_ids(table_path)
+    kept = current.join(keys.select(key).distinct(), on=key, how="left_anti")
+    n = commit_snapshot(kept, table_path)
+    for old in old_ids:
+        marker = os.path.join(table_path, _MARKER.format(n=old))
+        if os.path.exists(marker):
+            os.remove(marker)
+    return n
+
+
+def compact(spark: SparkSession, table_path: str) -> int:
+    """Consolidate all committed snapshots into one (snapshot-expiry
+    housekeeping; keeps the resume anti-join cheap as commits accumulate)."""
+    current = read_committed(spark, table_path)
+    if current is None:
+        return 0
+    old_ids = _committed_ids(table_path)
+    n = commit_snapshot(current, table_path)
+    for old in old_ids:
+        marker = os.path.join(table_path, _MARKER.format(n=old))
+        if os.path.exists(marker):
+            os.remove(marker)
+    return n
+
+
 def remaining(
     spark: SparkSession, input_df: DataFrame, table_path: str, key: str = "url"
 ) -> DataFrame:
