@@ -74,14 +74,14 @@ def cosine_topk(
 def _plane_component(p: int, d: int) -> float:
     """Deterministic pseudo-random hyperplane component in [-1, 1).
 
-    Derived from md5(f"{p}_{d}") — reproducible in any engine / language,
-    no RNG state. Public construction: sign-random-projection LSH
-    (Charikar, STOC'02).
+    Derived from the first 16 bits of md5(f"{p}_{d}") — reproducible in any
+    engine (plain string/strpos arithmetic in SQL), no RNG state. Public
+    construction: sign-random-projection LSH (Charikar, STOC'02).
     """
     import hashlib
 
-    h = int(hashlib.md5(f"{p}_{d}".encode()).hexdigest()[:8], 16)
-    return (h / 0x7FFFFFFF) - 1.0
+    h = int(hashlib.md5(f"{p}_{d}".encode()).hexdigest()[:4], 16)
+    return (h / 32768.0) - 1.0
 
 
 def hyperplanes(n_planes: int, dim: int) -> list[list[float]]:

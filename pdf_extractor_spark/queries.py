@@ -887,6 +887,43 @@ def e_centroid(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "e_srp_buckets",
+    """
+    WITH planes AS (
+      SELECT p, d,
+             (((strpos('0123456789abcdef', substr(md5(concat(p, '_', d)), 1, 1)) - 1) * 4096
+             + (strpos('0123456789abcdef', substr(md5(concat(p, '_', d)), 2, 1)) - 1) * 256
+             + (strpos('0123456789abcdef', substr(md5(concat(p, '_', d)), 3, 1)) - 1) * 16
+             + (strpos('0123456789abcdef', substr(md5(concat(p, '_', d)), 4, 1)) - 1))
+              / 32768.0) - 1.0 AS w
+      FROM range(6) t1(p), range(64) t2(d)),
+    e2 AS (
+      SELECT vec_id, unnest(embedding)::DOUBLE AS v,
+             generate_subscripts(embedding, 1) - 1 AS d
+      FROM embeddings),
+    proj AS (
+      SELECT e2.vec_id, planes.p, sum(e2.v * planes.w) AS s
+      FROM e2 JOIN planes USING (d) GROUP BY e2.vec_id, planes.p)
+    SELECT vec_id,
+           cast(sum(CASE WHEN s >= 0 THEN power(2, p)::bigint ELSE 0 END) AS BIGINT)
+             AS bucket
+    FROM proj GROUP BY vec_id
+    """,
+)
+def e_srp(spark: SparkSession, sf: str) -> DataFrame:
+    """SRP-LSH bucket assignment (the ANN index key): sign-of-projection
+    against 6 md5-derived hyperplanes — bit-for-bit reproducible in SQL.
+    At corpus scale the table is written bucketed by this key and an ANN
+    query becomes a single-bucket partition-pruned scan."""
+    e = _t(spark, sf, "embeddings")
+    planes = S.hyperplanes(6, 64)
+    return e.select(
+        "vec_id",
+        S.srp_bucket(F.col("embedding"), planes).cast("bigint").alias("bucket"),
+    )
+
+
+@query(
     "m3_reassemble_chunks",
     """
     SELECT l_orderkey AS doc_key,
@@ -1038,5 +1075,78 @@ def x_extract(spark: SparkSession, sf: str) -> DataFrame:
         "doc_id",
         F.col("_x.text").alias("extracted"),
         F.col("_x.n_blocks").alias("n_blocks"),
+        F.col("_x.ok").alias("ok"),
+    )
+
+
+_PDF_CHARS_PER_LINE = 60
+_PDF_LINES_PER_PAGE = 40
+
+
+@query(
+    "x_extract_pdf_pipeline",
+    f"""
+    WITH c AS (
+      SELECT doc_id,
+             cast(ceil(length(text) / {_PDF_CHARS_PER_LINE}.0) AS INT) AS n_chunks,
+             text
+      FROM documents)
+    SELECT doc_id,
+           array_to_string(
+             list_transform(
+               range(1, cast(ceil(n_chunks / {_PDF_LINES_PER_PAGE}.0) AS INT) + 1),
+               p -> array_to_string(
+                 list_transform(
+                   range((p - 1) * {_PDF_LINES_PER_PAGE} + 1,
+                         least(p * {_PDF_LINES_PER_PAGE}, n_chunks) + 1),
+                   i -> trim(substr(text, (i - 1) * {_PDF_CHARS_PER_LINE} + 1,
+                                    {_PDF_CHARS_PER_LINE}))),
+                 chr(10))),
+             chr(10) || chr(10)) AS extracted,
+           true AS ok
+    FROM c
+    """,
+)
+def x_extract_pdf(spark: SparkSession, sf: str) -> DataFrame:
+    """End-to-end PDF path: documents.text rendered into real PDFs
+    (FlateDecode content streams, one 60-char text line per Tm/Tj pair,
+    40 lines/page, headers/footers included) by a mapInPandas stage, then
+    parsed back by the from-scratch PDF layout parser. The oracle rebuilds
+    the expected text with pure SQL string arithmetic — the PDF parser's
+    glyph-run -> line -> block chain must invert the renderer exactly."""
+    import pandas as pd
+
+    from pdf_extractor_spark.extract.udfs import extract_udf
+
+    def build(batches):
+        from pdf_extractor_spark.fixtures.synth import make_pdf
+
+        for pdf in batches:
+            payloads = []
+            for text in pdf["text"]:
+                text = text or ""
+                chunks = [
+                    text[i : i + _PDF_CHARS_PER_LINE]
+                    for i in range(0, len(text), _PDF_CHARS_PER_LINE)
+                ]
+                doc_pages = []
+                for p in range(0, len(chunks), _PDF_LINES_PER_PAGE):
+                    page = [(72.0, 792.0 - 30, "Synthetic Fixture Header")]
+                    page += [
+                        (72.0, 700.0 - 14.0 * i, c)
+                        for i, c in enumerate(chunks[p : p + _PDF_LINES_PER_PAGE])
+                    ]
+                    page.append((72.0, 25.0, "Footer Page %d" % (p // _PDF_LINES_PER_PAGE + 1)))
+                    doc_pages.append(page)
+                payloads.append(make_pdf(doc_pages))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "html": payloads})
+
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    d = d.repartition(_par(spark), "doc_id")
+    pdfs = d.mapInPandas(build, "doc_id long, html binary")
+    out = pdfs.withColumn("_x", extract_udf(F.col("html")))
+    return out.select(
+        "doc_id",
+        F.col("_x.text").alias("extracted"),
         F.col("_x.ok").alias("ok"),
     )

@@ -1,0 +1,150 @@
+"""Property-based tests (hypothesis): parser robustness + invariants.
+
+The parsers are the trust root of the whole engine — they must be total
+(never raise), deterministic, and span-consistent on arbitrary input, not
+just on our fixtures.
+"""
+
+from __future__ import annotations
+
+from hypothesis import given, settings, strategies as st
+
+from pdf_extractor_spark.extract.html_parser import (
+    extract_html_one,
+    strip_tags_and_normalize,
+)
+from pdf_extractor_spark.extract.pdf_parser import extract_pdf_one
+from pdf_extractor_spark.extract.udfs import extract_one
+from pdf_extractor_spark.fixtures.synth import make_pdf
+
+# --- totality / determinism on arbitrary bytes --------------------------------
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.binary(max_size=2048))
+def test_extract_one_total_on_garbage(payload):
+    r1 = extract_one(payload)
+    r2 = extract_one(payload)
+    assert r1 == r2
+    text, spans, n_blocks, kind, ok, err = r1
+    assert isinstance(text, str)
+    assert n_blocks == len(text.split("\n\n")) if text else n_blocks == 0 or kind == "pdf"
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.text(max_size=1500))
+def test_html_parser_total_on_arbitrary_text(s):
+    payload = s.encode("utf-8", errors="replace")
+    text, spans, n = extract_html_one(payload)
+    assert len(spans) == n
+    # spans are well-formed, ordered, within bounds
+    decoded = payload.decode("utf-8", errors="replace")
+    prev_end = -1
+    for start, end in spans:
+        assert 0 <= start < end <= len(decoded)
+        assert start > prev_end or start >= prev_end  # non-overlapping-ish order
+        prev_end = end
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+            min_size=1,
+            max_size=60,
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_html_span_invariant_generated_paragraphs(paras):
+    body = "".join(f"<p>{p}</p>" for p in paras)
+    payload = f"<html><body>{body}</body></html>".encode()
+    source = payload.decode("utf-8", errors="replace")
+    text, spans, n = extract_html_one(payload)
+    blocks = text.split("\n\n") if text else []
+    assert len(blocks) == len(spans) == n
+    for (s0, e0), block in zip(spans, blocks):
+        assert strip_tags_and_normalize(source[s0:e0]) == block
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.characters(min_codepoint=32, max_codepoint=122),
+            min_size=1,
+            max_size=50,
+        ),
+        min_size=1,
+        max_size=30,
+    ),
+    st.booleans(),
+)
+def test_pdf_roundtrip_single_column(lines, compress):
+    """Any printable lines rendered as a single column come back in order
+    (modulo whitespace normalization within lines)."""
+    runs = [(72.0, 700.0 - 14.0 * i, ln) for i, ln in enumerate(lines)]
+    payload = make_pdf([runs], compress=compress)
+    text, spans, n = extract_pdf_one(payload)
+    expected = [" ".join(ln.split()).strip() for ln in lines]
+    expected = [e for e in expected if e]
+    got = [ln for blk in text.split("\n\n") for ln in blk.split("\n")] if text else []
+    # collapse internal whitespace the way line assembly does not — only
+    # compare the non-empty normalized sequences
+    got_norm = [" ".join(g.split()) for g in got]
+    assert got_norm == expected
+
+
+# --- scalar coercion matches a reference python implementation ----------------
+
+
+def _py_coerce_numeric(s: str):
+    """Independent reimplementation of F3/F4 semantics for cross-checking."""
+    import re
+
+    if s is None:
+        return None
+    if s.strip().lower() in ("", "-", "—", "–", "n/a", "na", "null", "none"):
+        return None
+    stripped = re.sub(r"[,\s]", "", s.strip())
+    neg = False
+    if re.fullmatch(r"\(.*\)", stripped):
+        neg = True
+        stripped = stripped.strip("()")
+        stripped = re.sub(r"[()]", "", stripped)
+    try:
+        v = float(stripped)
+    except ValueError:
+        return None
+    return -v if neg else v
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.lists(
+        st.one_of(
+            # ASCII digits only: python float() accepts unicode digits
+            # (e.g. Arabic-Indic), Spark casts don't — out of scope for F3
+            st.from_regex(r"\(?[0-9]{1,3}(,[0-9]{3}){0,3}(\.[0-9]{1,4})?\)?", fullmatch=True),
+            st.sampled_from(["n/a", "-", "—", "", "  ", "none", "NULL"]),
+            st.text(alphabet="0123456789,.()- ", max_size=12),
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_coerce_numeric_matches_python_reference(spark, strings):
+    from pyspark.sql import functions as F
+
+    from pdf_extractor_spark.functions.normalize import coerce_numeric_string
+
+    df = spark.createDataFrame([(s,) for s in strings], ["s"])
+    got = [r["v"] for r in df.select(coerce_numeric_string(F.col("s")).alias("v")).collect()]
+    want = [_py_coerce_numeric(s) for s in strings]
+    for g, w, s in zip(got, want, strings):
+        if w is None:
+            assert g is None or g != g, f"{s!r}: {g} != None"  # NaN tolerated
+        else:
+            assert g is not None and abs(g - w) < 1e-9, f"{s!r}: {g} != {w}"

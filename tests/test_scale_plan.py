@@ -105,6 +105,19 @@ def test_salting_flattens_partition_skew(spark, doc_parquet):
     assert max(salted_counts) < 3 * statistics.mean(salted_counts)
 
 
+def test_star_join_broadcasts_dims(spark):
+    """q5's nation/region dims must be broadcast — no shuffle for dim sides."""
+    import re
+
+    from pdf_extractor_spark.queries import all_queries
+
+    df = all_queries()["q5_nation_volume"](spark, "/root/testdata/sf0.001")
+    plan = _explain(df)
+    assert len(re.findall(r"\(\d+\) BroadcastHashJoin", plan)) >= 2
+    # fact-side joins may be SMJ/shuffled-hash; dims must never be
+    assert "BroadcastExchange" in plan
+
+
 def test_salted_output_identical(spark, doc_parquet):
     """Salting changes placement, never results."""
     df = spark.read.parquet(doc_parquet)
