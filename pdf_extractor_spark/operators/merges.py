@@ -56,6 +56,54 @@ def collect_note_refs(
     )
 
 
+def apply_corrections(
+    items: DataFrame, corrections: DataFrame, key: str = "url"
+) -> DataFrame:
+    """V6 — correction applier (reference src/validator.py:1881-2007):
+    match by (doc, normalized label), point-update the values map at the
+    corrected period key. Broadcast the (small) corrections side; the map
+    rewrite is a pure expression — a MERGE INTO in spirit.
+
+    ``corrections``: (key, label, period_key, new_value).
+    """
+    items_n = items.withColumn("_lbl", F.lower(F.trim(F.col("label"))))
+    corr_n = corrections.select(
+        F.col(key),
+        F.lower(F.trim(F.col("label"))).alias("_clbl"),
+        F.col("period_key"),
+        F.col("new_value"),
+    )
+    joined = items_n.join(
+        F.broadcast(corr_n),
+        on=[
+            items_n[key] == corr_n[key],
+            items_n["_lbl"] == corr_n["_clbl"],
+        ],
+        how="left",
+    ).drop(corr_n[key])
+    patched = F.when(
+        F.col("period_key").isNotNull()
+        & F.map_contains_key(F.col("values"), F.col("period_key")),
+        F.map_from_entries(
+            F.transform(
+                F.map_entries(F.col("values")),
+                lambda e: F.struct(
+                    e.getField("key").alias("key"),
+                    F.when(
+                        e.getField("key") == F.col("period_key"),
+                        F.col("new_value"),
+                    )
+                    .otherwise(e.getField("value"))
+                    .alias("value"),
+                ),
+            )
+        ),
+    ).otherwise(F.col("values"))
+    return joined.withColumn("values", patched).drop(
+        "_lbl", "_clbl", "period_key", "new_value"
+    )
+
+
 def fuzzy_label_correction_join(
     items: DataFrame, corrections: DataFrame
 ) -> DataFrame:
