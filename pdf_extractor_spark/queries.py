@@ -677,6 +677,50 @@ def t_fp(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+_NIB = "(strpos('0123456789abcdef', substr(md5({g}), {i}, 1)) - 1)"
+_H16_SQL = (
+    f"({_NIB.format(g='{g}', i=1)} * 4096 + {_NIB.format(g='{g}', i=2)} * 256 + "
+    f"{_NIB.format(g='{g}', i=3)} * 16 + {_NIB.format(g='{g}', i=4)})"
+)
+
+
+@query(
+    "t_winnow_fingerprints",
+    f"""
+    WITH n AS (
+      SELECT doc_id,
+             trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS s
+      FROM documents),
+    h AS (
+      SELECT doc_id,
+             list_transform(
+               range(1, greatest(length(s) - 4, 0) + 1),
+               i -> {_H16_SQL.format(g="substr(s, i, 5)")}) AS hs
+      FROM n),
+    sel AS (
+      SELECT doc_id,
+             list_sort(list_distinct(list_transform(
+               range(1, greatest(len(hs) - 7, 0) + 1),
+               j -> list_min(list_slice(hs, j, j + 7))))) AS fps
+      FROM h)
+    SELECT doc_id, unnest(fps) AS fp FROM sel
+    """,
+)
+def t_winnow(spark: SparkSession, sf: str) -> DataFrame:
+    """Winnowing rolling-hash fingerprints (k=5 char-grams, window 8),
+    exploded to (doc_id, fp) rows. Staged: the normalized string is
+    materialized before the k-gram lambda (else O(n^2) re-evaluation)."""
+    d = _t(spark, sf, "documents")
+    staged = d.select(
+        "doc_id",
+        F.trim(
+            F.regexp_replace(F.lower(F.col("text")), r"[^a-z0-9]+", " ")
+        ).alias("_n"),
+    ).repartition(_par(spark), "doc_id")
+    fps = T.winnow_fingerprints(F.col("_n"), k=5, w=8, normalize=False)
+    return staged.select("doc_id", F.explode(fps).alias("fp"))
+
+
 # =============================================================================
 # Deduplication (training-data ops)
 # =============================================================================
@@ -816,6 +860,112 @@ def d_simhash(spark: SparkSession, sf: str) -> DataFrame:
     d = _t(spark, sf, "documents")
     return D.with_simhash(d, n_partitions=_par(spark)).select(
         F.col("id").alias("doc_id"), F.col("simhash").cast("bigint").alias("simhash")
+    )
+
+
+@query(
+    "f10_json_parse",
+    """
+    SELECT event_id,
+           cast(json_extract(props, '$.k') AS INT) AS k,
+           (json_extract(props, '$.k') IS NOT NULL) AS parse_ok
+    FROM events
+    """,
+)
+def f10(spark: SparkSession, sf: str) -> DataFrame:
+    """F10/S6 — semi-structured JSON parsing with error capture
+    (reference src/formatter.py:30-115): from_json over the props column,
+    unparseable rows flagged rather than failed."""
+    e = _t(spark, sf, "events")
+    parsed = F.from_json(F.col("props"), "k INT")
+    return e.select(
+        "event_id",
+        parsed.getField("k").alias("k"),
+        parsed.getField("k").isNotNull().alias("parse_ok"),
+    )
+
+
+# =============================================================================
+# Event-time operators (the warc_ts/incremental layer over `events`)
+# =============================================================================
+
+
+@query(
+    "s_tumbling_window",
+    """
+    SELECT date_trunc('hour', ts) AS window_start, event_type,
+           count(*) AS n_events, round(sum(value), 2) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def s_tumbling(spark: SparkSession, sf: str) -> DataFrame:
+    """Event-time tumbling window aggregation (the batch form of the
+    Structured Streaming windowed agg — tests/test_streaming.py proves the
+    readStream plan computes the identical result)."""
+    e = _t(spark, sf, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@query(
+    "s_sessionize",
+    """
+    WITH flagged AS (
+      SELECT user_id, ts, value,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL 30 MINUTE OR
+                  lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session,
+             event_id
+      FROM events),
+    sessions AS (
+      SELECT user_id, ts, value,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged)
+    SELECT user_id, cast(session_id AS BIGINT) AS session_id,
+           count(*) AS n_events,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+           round(sum(value), 2) AS session_value
+    FROM sessions GROUP BY user_id, session_id
+    """,
+)
+def s_sessionize(spark: SparkSession, sf: str) -> DataFrame:
+    """Sessionization (30-min inactivity gap) via lag + running sum — the
+    deterministic relational form (Spark's session_window gives the same
+    sessions; this form is engine-portable for the oracle and numbers the
+    sessions stably per user)."""
+    e = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    epoch = F.unix_timestamp(F.col("ts").cast("timestamp"))
+    gap = epoch - F.lag(epoch).over(w)
+    new_session = F.when(
+        gap.isNull() | (gap > 30 * 60), F.lit(1)
+    ).otherwise(F.lit(0))
+    flagged = e.withColumn("new_session", new_session)
+    running = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    sess = flagged.withColumn(
+        "session_id", F.sum("new_session").over(running).cast("bigint")
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+        F.round(F.sum("value"), 2).alias("session_value"),
     )
 
 

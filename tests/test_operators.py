@@ -205,3 +205,28 @@ def test_collect_note_refs(spark):
     )
     got = [(r["url"], r["note_id"]) for r in M.collect_note_refs(df).collect()]
     assert got == [("u1", "3"), ("u1", "7.2"), ("u1", "10.1"), ("u2", "1.2")]
+
+
+def test_winnow_shared_substring_shares_fingerprints(spark):
+    shared = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        (1, "PREFIX AAA " + shared + " SUFFIX BBB"),
+        (2, "totally different opening " + shared),
+        (3, "no overlap whatsoever in this document body at all"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: set(r["fps"])
+        for r in df.select(
+            "doc_id", T.winnow_fingerprints(F.col("text")).alias("fps")
+        ).collect()
+    }
+    overlap_12 = len(got[1] & got[2])
+    overlap_13 = len(got[1] & got[3])
+    assert overlap_12 >= 5  # long shared substring -> many shared prints
+    assert overlap_13 < overlap_12
+    # deterministic
+    again = df.filter(F.col("doc_id") == 1).select(
+        T.winnow_fingerprints(F.col("text")).alias("fps")
+    ).first()["fps"]
+    assert set(again) == got[1]

@@ -118,6 +118,17 @@ def test_star_join_broadcasts_dims(spark):
     assert "BroadcastExchange" in plan
 
 
+def test_all_queries_plan_hygiene(spark):
+    """Every contract query must plan without cartesian products or
+    row-at-a-time Python — the two scale killers."""
+    from pdf_extractor_spark.queries import all_queries
+
+    for name, fn in all_queries().items():
+        plan = _explain(fn(spark, "/root/testdata/sf0.001"))
+        assert "CartesianProduct" not in plan, name
+        assert "BatchEvalPython" not in plan, name
+
+
 def test_salted_output_identical(spark, doc_parquet):
     """Salting changes placement, never results."""
     df = spark.read.parquet(doc_parquet)

@@ -1,0 +1,98 @@
+"""Structured Streaming equivalence: the same windowed aggregation computed
+by readStream (file source, availableNow trigger, watermark) must match the
+batch result — the engine's transformations are stream-agnostic."""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import functions as F
+
+
+def _events(spark):
+    base = datetime.datetime(2024, 3, 1, 10, 0, 0)
+    rows = []
+    for i in range(200):
+        rows.append(
+            (
+                i,
+                base + datetime.timedelta(minutes=i * 7 % 240),
+                i % 5,
+                ["click", "view", "buy"][i % 3],
+                float(i % 11),
+            )
+        )
+    return spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+
+
+def test_stream_batch_equivalence(spark, tmp_path):
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    events = _events(spark)
+    events.write.mode("overwrite").parquet(src)
+
+    def agg(df):
+        return (
+            df.withWatermark("ts", "1 hour")
+            .groupBy(F.window("ts", "30 minutes").alias("w"), "event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.round(F.sum("value"), 2).alias("v"),
+            )
+            .select(
+                F.col("w.start").alias("ws"), "event_type", "n", "v"
+            )
+        )
+
+    # batch result
+    batch = {
+        (r["ws"], r["event_type"]): (r["n"], r["v"])
+        for r in agg(spark.read.parquet(src)).collect()
+    }
+
+    # streaming result: availableNow processes everything then stops.
+    # complete-mode memory sink: append mode would hold back the windows at
+    # the watermark frontier (they only emit when LATER data advances the
+    # watermark), so final-window equivalence needs complete output.
+    stream_df = spark.readStream.schema(events.schema).parquet(src)
+    q = (
+        agg(stream_df)
+        .writeStream.format("memory")
+        .queryName("agg_stream_eq")
+        .option("checkpointLocation", ckpt)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = {
+        (r["ws"], r["event_type"]): (r["n"], r["v"])
+        for r in spark.table("agg_stream_eq").collect()
+    }
+    assert streamed == batch
+    assert len(batch) > 0
+
+
+def test_ivf_topk_matches_bruteforce_with_full_probe(spark):
+    from pdf_extractor_spark.operators.similarity import cosine_topk, ivf_topk
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qv = [float(x) for x in e.filter(F.col("vec_id") == 0).first()["embedding"]]
+    n_labels = e.select("label").distinct().count()
+
+    brute = [r["vec_id"] for r in cosine_topk(e, qv, k=5).collect()]
+    # probing ALL clusters must equal brute force exactly
+    full = [r["vec_id"] for r in ivf_topk(e, qv, k=5, n_probe=n_labels).collect()]
+    assert full == brute
+
+    # probing 1 cluster: recall < 1 by construction — results are a valid
+    # descending-similarity subset of the probed cluster
+    one = ivf_topk(e, qv, k=5, n_probe=1).collect()
+    sims = [r["cosine_sim"] for r in one]
+    assert 0 < len(one) <= 5
+    assert sims == sorted(sims, reverse=True)
+    brute_sims = {r["vec_id"]: r["cosine_sim"] for r in cosine_topk(e, qv, k=500).collect()}
+    assert all(abs(brute_sims[r["vec_id"]] - r["cosine_sim"]) < 1e-6 for r in one)
