@@ -10,14 +10,17 @@ Supported PDF subset (documented per SURVEY.md §7 "hard parts"):
   - objects scanned as ``N G obj ... endobj`` with one optional stream each;
   - FlateDecode (zlib) and uncompressed content streams;
   - text operators ``BT ET Tf TL Td TD Tm T* Tj TJ ' "``;
-  - literal ``(...)`` strings with escapes and ``<...>`` hex strings,
-    decoded as WinAnsi/Latin-1;
+  - literal ``(...)`` strings with escapes and ``<...>`` hex strings;
+  - simple fonts decoded as WinAnsi (cp1252, latin-1 fallback);
+  - composite/CID fonts decoded via their /ToUnicode CMap (bfchar + bfrange,
+    scalar and array destinations, 1- and 2-byte codes) — enough to read
+    Identity-H encoded documents like the reference's own examples;
   - per-page MediaBox (default US-Letter 612x792);
   - header/footer margin bands excluded; up to two columns per page detected
     by the gutter in line x-starts.
 
-Out of scope (returns best-effort text): font programs, ToUnicode CMaps,
-rotated text matrices, encrypted files.
+Out of scope (returns best-effort text): font programs (glyph outlines),
+predictor-filtered streams, rotated text matrices, encrypted files.
 
 Pure function: output depends only on input bytes — byte-identical across
 partitionings.
@@ -122,14 +125,28 @@ _NUM_RE = re.compile(rb"[+-]?(?:\d+\.?\d*|\.\d+)")
 _NAME_RE = re.compile(rb"/[^\s/\[\]()<>{}%]*")
 _OP_RE = re.compile(rb"[A-Za-z'\"*]+")
 _ESCAPES = {
-    ord("n"): "\n", ord("r"): "\r", ord("t"): "\t", ord("b"): "\b",
-    ord("f"): "\f", ord("("): "(", ord(")"): ")", ord("\\"): "\\",
+    ord("n"): b"\n", ord("r"): b"\r", ord("t"): b"\t", ord("b"): b"\b",
+    ord("f"): b"\f", ord("("): b"(", ord(")"): b")", ord("\\"): b"\\",
 }
 
+# simple-font byte -> text: WinAnsi is cp1252; the handful of cp1252-undefined
+# bytes fall back to latin-1 so decoding is total
+_SIMPLE_DECODE: list[str] = []
+for _b in range(256):
+    try:
+        _SIMPLE_DECODE.append(bytes([_b]).decode("cp1252"))
+    except UnicodeDecodeError:
+        _SIMPLE_DECODE.append(chr(_b))
 
-def _decode_literal(data: bytes, pos: int) -> tuple[str, int]:
-    """Decode a ``(...)`` literal starting at the '('. Returns (text, pos_after)."""
-    out: list[str] = []
+
+def _decode_simple(raw: bytes) -> str:
+    return "".join(_SIMPLE_DECODE[b] for b in raw)
+
+
+def _decode_literal(data: bytes, pos: int) -> tuple[bytes, int]:
+    """Read a ``(...)`` literal starting at '('. Returns (raw bytes, pos_after);
+    text decoding happens at show time using the active font."""
+    out = bytearray()
     depth = 1
     i = pos + 1
     n = len(data)
@@ -141,37 +158,37 @@ def _decode_literal(data: bytes, pos: int) -> tuple[str, int]:
                 break
             c2 = data[i]
             if c2 in _ESCAPES:
-                out.append(_ESCAPES[c2])
+                out += _ESCAPES[c2]
                 i += 1
             elif 0x30 <= c2 <= 0x37:  # octal \ddd
                 j = i
                 while j < min(i + 3, n) and 0x30 <= data[j] <= 0x37:
                     j += 1
-                out.append(chr(int(data[i:j], 8) & 0xFF))
+                out.append(int(data[i:j], 8) & 0xFF)
                 i = j
             elif c2 in (0x0A, 0x0D):  # line continuation
                 i += 1
                 if c2 == 0x0D and i < n and data[i] == 0x0A:
                     i += 1
             else:
-                out.append(chr(c2))
+                out.append(c2)
                 i += 1
         elif c == 0x28:
             depth += 1
-            out.append("(")
+            out.append(c)
             i += 1
         elif c == 0x29:
             depth -= 1
             if depth > 0:
-                out.append(")")
+                out.append(c)
             i += 1
         else:
-            out.append(chr(c))  # WinAnsi ~ Latin-1 for the supported subset
+            out.append(c)
             i += 1
-    return "".join(out), i
+    return bytes(out), i
 
 
-def _decode_hex(data: bytes, pos: int) -> tuple[str, int]:
+def _decode_hex(data: bytes, pos: int) -> tuple[bytes, int]:
     end = data.find(b">", pos)
     if end < 0:
         end = len(data)
@@ -182,7 +199,136 @@ def _decode_hex(data: bytes, pos: int) -> tuple[str, int]:
         raw = bytes.fromhex(hexstr.decode("ascii"))
     except ValueError:
         raw = b""
-    return raw.decode("latin-1"), end + 1
+    return raw, end + 1
+
+
+# --- fonts / ToUnicode CMaps ----------------------------------------------------
+
+_HEXTOK_RE = re.compile(rb"<([0-9A-Fa-f]+)>")
+_BFCHAR_RE = re.compile(rb"beginbfchar(.*?)endbfchar", re.DOTALL)
+_BFRANGE_RE = re.compile(rb"beginbfrange(.*?)endbfrange", re.DOTALL)
+_CODESPACE_RE = re.compile(rb"begincodespacerange(.*?)endcodespacerange", re.DOTALL)
+
+
+class _Font:
+    __slots__ = ("cmap", "code_bytes")
+
+    def __init__(self, cmap: dict[int, str] | None, code_bytes: int) -> None:
+        self.cmap = cmap
+        self.code_bytes = code_bytes
+
+    def decode(self, raw: bytes) -> str:
+        if self.cmap is None:
+            return _decode_simple(raw)
+        w = self.code_bytes
+        out: list[str] = []
+        for i in range(0, len(raw) - (w - 1), w):
+            code = int.from_bytes(raw[i : i + w], "big")
+            mapped = self.cmap.get(code)
+            if mapped is not None:
+                out.append(mapped)
+            elif w == 1:
+                # partial ToUnicode on a single-byte font: unmapped codes
+                # are ordinary WinAnsi bytes in practice
+                out.append(_SIMPLE_DECODE[code])
+        return "".join(out)
+
+
+_SIMPLE_FONT = _Font(None, 1)
+
+
+def _utf16be(hexbytes: bytes) -> str:
+    try:
+        return bytes.fromhex(hexbytes.decode("ascii")).decode(
+            "utf-16-be", errors="ignore"
+        )
+    except ValueError:
+        return ""
+
+
+def _parse_cmap(data: bytes) -> _Font:
+    """Parse a /ToUnicode CMap stream: codespace width + bfchar + bfrange
+    (scalar and array destination forms)."""
+    code_bytes = 2
+    cs = _CODESPACE_RE.search(data)
+    if cs:
+        toks = _HEXTOK_RE.findall(cs.group(1))
+        if toks:
+            code_bytes = max(1, len(toks[0]) // 2)
+    cmap: dict[int, str] = {}
+    src_widths: dict[int, int] = {}
+    for m in _BFCHAR_RE.finditer(data):
+        toks = _HEXTOK_RE.findall(m.group(1))
+        for src, dst in zip(toks[0::2], toks[1::2]):
+            cmap[int(src, 16)] = _utf16be(dst)
+            w = max(1, len(src) // 2)
+            src_widths[w] = src_widths.get(w, 0) + 1
+    for m in _BFRANGE_RE.finditer(data):
+        body = m.group(1)
+        # entries are either <lo> <hi> <dst>  or  <lo> <hi> [<d0> <d1> ...]
+        for entry in re.finditer(
+            rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>\s*(\[(?:\s*<[0-9A-Fa-f]*>\s*)*\]|<[0-9A-Fa-f]+>)",
+            body,
+        ):
+            lo = int(entry.group(1), 16)
+            hi = int(entry.group(2), 16)
+            w = max(1, len(entry.group(1)) // 2)
+            src_widths[w] = src_widths.get(w, 0) + 1
+            dst = entry.group(3)
+            if dst.startswith(b"["):
+                dsts = _HEXTOK_RE.findall(dst)
+                for off, d in enumerate(dsts):
+                    if lo + off <= hi:
+                        cmap[lo + off] = _utf16be(d)
+            else:
+                base_hex = dst.strip(b"<>")
+                base = int(base_hex, 16) if base_hex else 0
+                width = len(base_hex)
+                for off in range(min(hi - lo + 1, 65536)):
+                    cmap[lo + off] = _utf16be(
+                        (b"%0" + str(width).encode() + b"x") % (base + off)
+                    )
+    # sloppy subsetted fonts declare a <0000> <FFFF> codespace but map
+    # 1-byte sources — trust the mapping sources over the codespace
+    if src_widths:
+        code_bytes = max(src_widths, key=lambda k: (src_widths[k], -k))
+    return _Font(cmap, code_bytes)
+
+
+def _page_fonts(
+    page_header: bytes,
+    objects: dict[int, tuple[bytes, bytes | None]],
+    font_cache: dict[int, _Font],
+) -> dict[bytes, _Font]:
+    """Resolve the page's /Resources /Font dict -> {b'F1': _Font}."""
+
+    def resolve(header: bytes, key: bytes) -> bytes:
+        m = re.search(re.escape(key) + rb"\s+(\d+)\s+\d+\s+R", header)
+        if m:
+            num = int(m.group(1))
+            return objects.get(num, (b"", None))[0]
+        return header
+
+    resources = resolve(page_header, b"/Resources")
+    font_src = resolve(resources, b"/Font")
+    fonts: dict[bytes, _Font] = {}
+    for m in re.finditer(rb"/(\w+)\s+(\d+)\s+\d+\s+R", font_src):
+        name, num = m.group(1), int(m.group(2))
+        if num in font_cache:
+            fonts[name] = font_cache[num]
+            continue
+        font_header = objects.get(num, (b"", None))[0]
+        tu = re.search(rb"/ToUnicode\s+(\d+)\s+\d+\s+R", font_header)
+        font = _SIMPLE_FONT
+        if tu:
+            tu_num = int(tu.group(1))
+            if tu_num in objects and objects[tu_num][1] is not None:
+                dec = _maybe_inflate(objects[tu_num][0], objects[tu_num][1])
+                if dec:
+                    font = _parse_cmap(dec)
+        font_cache[num] = font
+        fonts[name] = font
+    return fonts
 
 
 def _tokenize_content(data: bytes):
@@ -251,19 +397,24 @@ class _Run:
         self.src_end = -1
 
 
-def _interpret(content: bytes, page: int) -> list[_Run]:
+def _interpret(
+    content: bytes, page: int, fonts: dict[bytes, _Font] | None = None
+) -> list[_Run]:
     """Execute text operators; return glyph runs with origins."""
+    fonts = fonts or {}
     runs: list[_Run] = []
     lx = ly = 0.0  # line matrix origin
     cx = cy = 0.0  # current text position
     leading = 12.0
+    cur_font = _SIMPLE_FONT
     in_array: list | None = None
 
-    def show(s: str) -> None:
+    def show(raw: bytes) -> None:
+        s = cur_font.decode(raw)
         if s:
             runs.append(_Run(cx, cy, s, page))
 
-    stack: list[float | str] = []
+    stack: list = []
     for kind, val in _tokenize_content(content):
         if kind == "num":
             if in_array is not None:
@@ -287,6 +438,8 @@ def _interpret(content: bytes, page: int) -> list[_Run]:
             try:
                 if op == b"BT":
                     lx = ly = cx = cy = 0.0
+                elif op == b"Tf" and len(stack) >= 2 and isinstance(stack[-2], bytes):
+                    cur_font = fonts.get(stack[-2].lstrip(b"/"), _SIMPLE_FONT)
                 elif op == b"TL" and stack:
                     leading = float(stack[-1])
                 elif op == b"Td" and len(stack) >= 2:
@@ -304,15 +457,15 @@ def _interpret(content: bytes, page: int) -> list[_Run]:
                 elif op == b"T*":
                     ly -= leading
                     cx, cy = lx, ly
-                elif op == b"Tj" and stack and isinstance(stack[-1], str):
+                elif op == b"Tj" and stack and isinstance(stack[-1], bytes):
                     show(stack[-1])
                 elif op == b"TJ" and stack and isinstance(stack[-1], list):
-                    show("".join(x for x in stack[-1] if isinstance(x, str)))
-                elif op == b"'" and stack and isinstance(stack[-1], str):
+                    show(b"".join(x for x in stack[-1] if isinstance(x, bytes)))
+                elif op == b"'" and stack and isinstance(stack[-1], bytes):
                     ly -= leading
                     cx, cy = lx, ly
                     show(stack[-1])
-                elif op == b'"' and stack and isinstance(stack[-1], str):
+                elif op == b'"' and stack and isinstance(stack[-1], bytes):
                     ly -= leading
                     cx, cy = lx, ly
                     show(stack[-1])
@@ -430,7 +583,9 @@ def extract_pdf_one(payload: bytes) -> tuple[str, list[tuple[int, int]], int]:
         if re.search(rb"/Type\s*/Page\b(?!s)", header):
             pages.append((header, _dict_refs(header, b"/Contents")))
 
-    page_streams: list[tuple[bytes, float, float]] = []  # (content, page_w, page_h)
+    font_cache: dict[int, _Font] = {}
+    # (content, page_w, page_h, fonts)
+    page_streams: list[tuple[bytes, float, float, dict[bytes, _Font]]] = []
     if pages:
         for header, content_refs in pages:
             w, h = _media_box(header)
@@ -443,7 +598,8 @@ def extract_pdf_one(payload: bytes) -> tuple[str, list[tuple[int, int]], int]:
                         if dec:
                             parts.append(dec)
             if parts:
-                page_streams.append((b"\n".join(parts), w, h))
+                fonts = _page_fonts(header, objects, font_cache)
+                page_streams.append((b"\n".join(parts), w, h, fonts))
     else:
         for num in sorted(objects):
             oh, os_ = objects[num]
@@ -451,13 +607,13 @@ def extract_pdf_one(payload: bytes) -> tuple[str, list[tuple[int, int]], int]:
                 continue
             dec = _maybe_inflate(oh, os_)
             if dec and b"BT" in dec:
-                page_streams.append((dec, DEFAULT_PAGE_W, DEFAULT_PAGE_H))
+                page_streams.append((dec, DEFAULT_PAGE_W, DEFAULT_PAGE_H, {}))
 
     # interpret all pages; assign source-sequence offsets in stream order
     all_runs: list[_Run] = []
     per_page: list[tuple[list[_Run], float, float]] = []
-    for pageno, (content, w, h) in enumerate(page_streams):
-        runs = _interpret(content, pageno)
+    for pageno, (content, w, h, fonts) in enumerate(page_streams):
+        runs = _interpret(content, pageno, fonts)
         per_page.append((runs, w, h))
         all_runs.extend(runs)
     offset = 0

@@ -49,10 +49,19 @@ EXTRACT_RESULT_SCHEMA = StructType(
 
 
 def extract_one(payload: bytes | None) -> tuple:
-    """Dispatch one payload by magic bytes; never raises."""
+    """Dispatch one payload by magic bytes; never raises.
+
+    Gzip members (WARC payloads are commonly gzip) are transparently
+    decompressed before dispatch."""
     if payload is None or len(payload) == 0:
         return ("", [], 0, "empty", False, "empty payload")
     try:
+        if payload[:2] == b"\x1f\x8b":  # gzip magic
+            import gzip
+
+            payload = gzip.decompress(payload)
+            if not payload:
+                return ("", [], 0, "empty", False, "empty gzip payload")
         if payload[:5] == b"%PDF-":
             text, spans, n = extract_pdf_one(payload)
             kind = "pdf"

@@ -109,3 +109,14 @@ def test_span_invariant_on_fixture_pages(doc_id):
 def test_deterministic():
     page = make_html_page(7)
     assert extract_html_one(page) == extract_html_one(page)
+
+
+def test_gzip_payload_transparently_decompressed():
+    import gzip
+
+    from pdf_extractor_spark.extract.udfs import extract_one
+
+    page = make_html_page(3)
+    plain = extract_one(page)
+    gz = extract_one(gzip.compress(page))
+    assert gz[0] == plain[0] and gz[3] == "html" and gz[4] is True
