@@ -8,7 +8,10 @@ with a deterministic three-stage pipeline:
      boundaries, tracking per block the source span, total chars, anchor chars
      (text inside <a>), and the ancestor element path;
   3. Boilerpipe/trafilatura-class classification: text density + link density
-     + ancestor-tag rules decide which blocks are main content.
+     + ancestor-tag rules decide which blocks are main content (the shallow
+     text-feature approach of Kohlschütter/Fankhauser/Nejdl, "Boilerplate
+     Detection using Shallow Text Features", WSDM 2010 — public method,
+     implementation from scratch).
 
 The function is PURE — output depends only on the input bytes — which is what
 makes the Spark pipeline byte-identical at any parallelism level.
@@ -81,7 +84,33 @@ class _Block:
         self.path_flags = False  # True if any boilerplate ancestor
 
 
+_CHARSET_RE = re.compile(
+    rb"""<meta[^>]+charset\s*=\s*["']?\s*([a-zA-Z0-9_\-]+)""", re.IGNORECASE
+)
+
+# supported declared charsets -> python codec (whitelist keeps decoding
+# deterministic; anything else falls back to utf-8-replace)
+_CODECS = {
+    "utf-8": "utf-8", "utf8": "utf-8",
+    "iso-8859-1": "latin-1", "latin-1": "latin-1", "latin1": "latin-1",
+    "windows-1252": "cp1252", "cp1252": "cp1252",
+    "iso-8859-15": "iso-8859-15",
+    "ascii": "ascii", "us-ascii": "ascii",
+}
+
+
 def _decode(payload: bytes) -> str:
+    """Decode page bytes: honor a declared <meta charset> when it is a
+    supported single-byte/utf-8 codec, else utf-8 with replacement (the
+    Common-Crawl-safe default). Pure function of the bytes."""
+    m = _CHARSET_RE.search(payload[:2048])
+    if m:
+        codec = _CODECS.get(m.group(1).decode("ascii", "ignore").lower())
+        if codec:
+            try:
+                return payload.decode(codec)
+            except UnicodeDecodeError:
+                pass
     return payload.decode("utf-8", errors="replace")
 
 

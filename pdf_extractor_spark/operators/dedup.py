@@ -5,9 +5,13 @@ Five dedup families, each a pure DataFrame transformation:
 - exact:        hash-groupBy on raw text (md5)
 - fingerprint:  exact on normalized text (textstats.content_fingerprint)
 - minhash+LSH:  shingle -> k engine-agnostic min-hashes -> banded bucket join
-- simhash:      bitwise-majority token hash -> hamming-bucket candidates
+                (Broder, "On the resemblance and containment of documents",
+                SEQUENCES 1997; banding per Leskovec/Rajaraman/Ullman MMDS ch.3)
+- simhash:      bitwise-majority token hash (Charikar, STOC 2002; dedup usage
+                per Manku/Jain/Sarma, WWW 2007)
 - ngram-jaccard: verified similarity on candidate pairs (or bounded self-join)
 - embedding cosine near-dup: see operators/similarity.py
+All public constructions, implemented from scratch as Spark expressions.
 
 Scale notes (100 TB posture):
 - every candidate generator is a *bucketed equi-join* (shuffle on short hash

@@ -120,3 +120,26 @@ def test_gzip_payload_transparently_decompressed():
     plain = extract_one(page)
     gz = extract_one(gzip.compress(page))
     assert gz[0] == plain[0] and gz[3] == "html" and gz[4] is True
+
+
+def test_declared_latin1_charset_honored():
+    body = "<p>Dépêche reçue à l'instant: succès considérable annoncé.</p>"
+    page = (
+        '<html><head><meta charset="iso-8859-1"><title>t</title></head>'
+        f"<body>{body}</body></html>"
+    ).encode("latin-1")
+    text, _, _ = extract_html_one(page)
+    assert "Dépêche reçue" in text
+    # without the declaration the same bytes would mojibake under utf-8
+    stripped = page.replace(b'<meta charset="iso-8859-1">', b"")
+    text2, _, _ = extract_html_one(stripped)
+    assert "Dépêche reçue" not in text2 and "D�p�che" in text2
+
+
+def test_unknown_charset_falls_back_to_utf8():
+    page = (
+        '<html><head><meta charset="x-ebcdic-nonsense"></head>'
+        "<body><p>plain ascii body that is long enough to be content.</p></body></html>"
+    ).encode()
+    text, _, _ = extract_html_one(page)
+    assert "plain ascii body" in text

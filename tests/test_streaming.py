@@ -96,3 +96,42 @@ def test_ivf_topk_matches_bruteforce_with_full_probe(spark):
     assert sims == sorted(sims, reverse=True)
     brute_sims = {r["vec_id"]: r["cosine_sim"] for r in cosine_topk(e, qv, k=500).collect()}
     assert all(abs(brute_sims[r["vec_id"]] - r["cosine_sim"]) < 1e-6 for r in one)
+
+
+def test_streaming_extraction_matches_batch(spark, tmp_path):
+    """The flagship extraction transformation is stream-compatible: the same
+    extract UDF over readStream produces byte-identical text per url."""
+    from pdf_extractor_spark.fixtures.synth import synth_corpus
+    from pdf_extractor_spark.pipeline import extract_documents
+
+    src = str(tmp_path / "docs")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ck")
+    rows = [
+        (r["url"], r["warc_ts"].replace(tzinfo=None), r["html"], r["text"], r["lang"])
+        for r in synth_corpus(60)
+    ]
+    df = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, html binary, text string, lang string"
+    )
+    df.write.mode("overwrite").parquet(src)
+
+    batch = {
+        r["url"]: r["text"]
+        for r in extract_documents(spark.read.parquet(src)).select("url", "text").collect()
+    }
+
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    q = (
+        extract_documents(stream)
+        .select("url", "text", "ok")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = {r["url"]: r["text"] for r in spark.read.parquet(out).collect()}
+    assert streamed == batch and len(streamed) == 60
