@@ -172,7 +172,8 @@ def ivf_topk(
         return dp / (na * nb) if na and nb else 0.0
 
     probes = sorted(
-        cent_rows, key=lambda r: -cos(query_vec, [float(x) for x in r["centroid"]])
+        cent_rows,
+        key=lambda r: (-cos(query_vec, [float(x) for x in r["centroid"]]), r[label_col]),
     )[:n_probe]
     probe_ids = [r[label_col] for r in probes]
     q = F.array(*[F.lit(float(x)) for x in query_vec])

@@ -1074,6 +1074,89 @@ def e_srp(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "e_cosine_near_dup",
+    """
+    WITH planes AS (
+      SELECT p, d,
+             (((strpos('0123456789abcdef', substr(md5(concat(p, '_', d)), 1, 1)) - 1) * 4096
+             + (strpos('0123456789abcdef', substr(md5(concat(p, '_', d)), 2, 1)) - 1) * 256
+             + (strpos('0123456789abcdef', substr(md5(concat(p, '_', d)), 3, 1)) - 1) * 16
+             + (strpos('0123456789abcdef', substr(md5(concat(p, '_', d)), 4, 1)) - 1))
+              / 32768.0) - 1.0 AS w
+      FROM range(6) t1(p), range(64) t2(d)),
+    e2 AS (
+      SELECT vec_id, unnest(embedding)::DOUBLE AS v,
+             generate_subscripts(embedding, 1) - 1 AS d
+      FROM embeddings),
+    proj AS (
+      SELECT e2.vec_id, planes.p, sum(e2.v * planes.w) AS s
+      FROM e2 JOIN planes USING (d) GROUP BY e2.vec_id, planes.p),
+    b AS (
+      SELECT vec_id,
+             cast(sum(CASE WHEN s >= 0 THEN power(2, p)::bigint ELSE 0 END) AS BIGINT)
+               AS bucket
+      FROM proj GROUP BY vec_id),
+    k AS (SELECT b.vec_id AS id, bucket, embedding AS v
+          FROM b JOIN embeddings ON b.vec_id = embeddings.vec_id)
+    SELECT a.id AS id_a, bb.id AS id_b,
+           round(list_dot_product(a.v::DOUBLE[], bb.v::DOUBLE[])
+                 / (sqrt(list_dot_product(a.v::DOUBLE[], a.v::DOUBLE[]))
+                    * sqrt(list_dot_product(bb.v::DOUBLE[], bb.v::DOUBLE[]))), 6)
+             AS cosine_sim
+    FROM k a JOIN k bb ON a.bucket = bb.bucket AND a.id < bb.id
+    WHERE round(list_dot_product(a.v::DOUBLE[], bb.v::DOUBLE[])
+                / (sqrt(list_dot_product(a.v::DOUBLE[], a.v::DOUBLE[]))
+                   * sqrt(list_dot_product(bb.v::DOUBLE[], bb.v::DOUBLE[]))), 6) >= 0.35
+    """,
+)
+def e_near_dup(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs: SRP-bucket blocking (6 md5-derived
+    hyperplanes) + exact cosine rescore of in-bucket candidates only.
+    The N x N cross product never materializes — the join key is a short
+    bucket int, so at corpus scale this is one shuffle on ~N rows followed
+    by per-bucket local pair generation (same shape as minhash-LSH d_lsh).
+    Threshold 0.35 is demo-scale (the synthetic embeddings have no true
+    dups); production near-dup uses ~0.95 with the identical plan."""
+    e = _t(spark, sf, "embeddings")
+    return S.cosine_near_dup_pairs(e, threshold=0.35, n_planes=6)
+
+
+@query(
+    "e_ivf_topk",
+    """
+    WITH e2 AS (
+      SELECT vec_id, label, unnest(embedding)::DOUBLE AS v,
+             generate_subscripts(embedding, 1) AS d
+      FROM embeddings),
+    c AS (SELECT label, d, avg(v) AS cv FROM e2 GROUP BY label, d),
+    q AS (SELECT d, v AS qv FROM e2 WHERE vec_id = 0),
+    sc AS (
+      SELECT c.label, sum(c.cv * q.qv) AS dp,
+             sum(c.cv * c.cv) AS n1, sum(q.qv * q.qv) AS n2
+      FROM c JOIN q USING (d) GROUP BY c.label),
+    probe AS (
+      SELECT label FROM sc ORDER BY dp / (sqrt(n1) * sqrt(n2)) DESC, label LIMIT 1),
+    qv AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+    SELECT e.vec_id,
+           round(list_dot_product(e.embedding::DOUBLE[], qv.qe::DOUBLE[])
+                 / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                    * sqrt(list_dot_product(qv.qe::DOUBLE[], qv.qe::DOUBLE[]))), 6)
+             AS cosine_sim
+    FROM embeddings e, qv WHERE e.label = (SELECT label FROM probe)
+    ORDER BY cosine_sim DESC, e.vec_id LIMIT 10
+    """,
+)
+def e_ivf(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF-style ANN top-10: tiny per-label centroid table (the coarse
+    quantizer), driver picks the single nearest probe cluster, then an exact
+    rescore over a partition-prunable ``label = probe`` filter. At 100 TB the
+    table is written partitioned by cluster id so the probe is a
+    partition-pruned scan; recall is traded via ``n_probe``."""
+    e = _t(spark, sf, "embeddings")
+    return S.ivf_topk(e, _query_vec(spark, sf), k=10, n_probe=1)
+
+
+@query(
     "m3_reassemble_chunks",
     """
     SELECT l_orderkey AS doc_key,
