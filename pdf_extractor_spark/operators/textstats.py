@@ -117,6 +117,11 @@ def winnow_fingerprints(col: Column, k: int = 5, w: int = 8, normalize: bool = T
     is reproducible in any engine. Returns a sorted distinct array of the
     selected 16-bit hashes; two documents sharing a long enough substring
     share fingerprints regardless of position.
+
+    SMALL-INPUT ONLY: the window-min lambda references the ``hashes``
+    expression, which higher-order functions re-evaluate per element —
+    O(n^2) in document length. For corpora use ``winnow_fingerprints_df``
+    (explode + rolling-min window), which is linear and shuffle-bounded.
     """
     # pass normalize=False with an already-materialized normalized ATTRIBUTE
     # on large inputs: the k-gram lambda re-evaluates its input per element
@@ -144,6 +149,74 @@ def winnow_fingerprints(col: Column, k: int = 5, w: int = 8, normalize: bool = T
         lambda j: F.array_min(F.slice(hashes, j, w)),
     )
     return F.array_sort(F.array_distinct(selected))
+
+
+def winnow_fingerprints_df(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    w: int = 8,
+    normalize: bool = True,
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """Linear-time winnowing over a corpus -> (id, fp) rows, distinct.
+
+    Same selection as ``winnow_fingerprints`` (k-gram 16-bit md5 hashes,
+    per-window minimum, distinct), restructured for scale:
+
+    - the normalized text and the k-gram hash array are materialized as
+      ATTRIBUTES behind a repartition barrier, so nothing re-evaluates per
+      element (the pure-column form is O(n^2): CollapseProject inlines the
+      hash-array expression into the per-window lambda);
+    - per-window minima come from ``posexplode`` + a rolling-min window
+      frame (``rowsBetween(-(w-1), 0)``) — linear, whole-stage-codegen'd,
+      and spill-safe at any document length;
+    - exactly one shuffle (hash-partition by id for the window), which at
+      corpus scale is also the dedup join key, so the exchange is reusable.
+    """
+    from pyspark.sql import Window
+
+    norm = (
+        F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"[^a-z0-9]+", " "))
+        if normalize
+        else F.col(text_col)
+    )
+    if n_partitions is None:
+        n_partitions = df.sparkSession.sparkContext.defaultParallelism
+    staged = df.select(F.col(id_col), norm.alias("_n")).repartition(
+        n_partitions, id_col
+    )
+    n = F.length("_n")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(0))),
+        lambda i: F.substring(F.col("_n"), i, F.lit(k)),
+    )
+    md4 = F.transform(grams, lambda g: F.substring(F.md5(g), 1, 4))
+    hex_pos = "0123456789abcdef"
+    hashes = F.transform(
+        md4,
+        lambda m: (
+            (F.position(F.substring(m, 1, 1), F.lit(hex_pos)) - 1) * 4096
+            + (F.position(F.substring(m, 2, 1), F.lit(hex_pos)) - 1) * 256
+            + (F.position(F.substring(m, 3, 1), F.lit(hex_pos)) - 1) * 16
+            + (F.position(F.substring(m, 4, 1), F.lit(hex_pos)) - 1)
+        ),
+    )
+    exploded = staged.select(
+        F.col(id_col), F.posexplode(hashes).alias("pos", "h")
+    )
+    roll = (
+        Window.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(-(w - 1), Window.currentRow)
+    )
+    return (
+        exploded.withColumn("fp", F.min("h").over(roll))
+        .filter(F.col("pos") >= w - 1)
+        .select(id_col, "fp")
+        .distinct()
+    )
 
 
 def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:

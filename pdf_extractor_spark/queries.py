@@ -707,18 +707,14 @@ _H16_SQL = (
     """,
 )
 def t_winnow(spark: SparkSession, sf: str) -> DataFrame:
-    """Winnowing rolling-hash fingerprints (k=5 char-grams, window 8),
-    exploded to (doc_id, fp) rows. Staged: the normalized string is
-    materialized before the k-gram lambda (else O(n^2) re-evaluation)."""
+    """Winnowing rolling-hash fingerprints (k=5 char-grams, window 8) as
+    (doc_id, fp) rows — the linear explode + rolling-min-window formulation
+    (winnow_fingerprints_df); the pure-column form is O(n^2) in document
+    length because the per-window lambda re-evaluates the hash array."""
     d = _t(spark, sf, "documents")
-    staged = d.select(
-        "doc_id",
-        F.trim(
-            F.regexp_replace(F.lower(F.col("text")), r"[^a-z0-9]+", " ")
-        ).alias("_n"),
-    ).repartition(_par(spark), "doc_id")
-    fps = T.winnow_fingerprints(F.col("_n"), k=5, w=8, normalize=False)
-    return staged.select("doc_id", F.explode(fps).alias("fp"))
+    return T.winnow_fingerprints_df(
+        d, "doc_id", "text", k=5, w=8, n_partitions=_par(spark)
+    )
 
 
 # =============================================================================
