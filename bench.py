@@ -106,7 +106,10 @@ def time_extraction(cpus: int, corpus_path: str) -> tuple[float, int]:
             return time.perf_counter() - t0
 
         one_pass()  # full untimed warmup: worker spin-up + codegen/JIT
-        dt = one_pass()  # steady-state measurement
+        # min of two steady-state passes: this box is multi-tenant and
+        # neighbor CPU bursts inflate single measurements by up to ~5x;
+        # the minimum is the least-contended (most transferable) figure
+        dt = min(one_pass(), one_pass())
         return dt, n
     finally:
         spark.stop()
@@ -141,10 +144,14 @@ def time_queries(spark, sf_dir: str) -> dict[str, float]:
 
     timings: dict[str, float] = {}
     for name, fn in all_queries().items():
-        t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = None
+        for _ in range(2):  # min of 2: first pass doubles as warmup,
+            t0 = time.perf_counter()  # and neighbor bursts get filtered
+            df = fn(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 3)
         _log(f"bench: {name}: {timings[name]}s")
     return timings
 
@@ -152,6 +159,8 @@ def time_queries(spark, sf_dir: str) -> dict[str, float]:
 def main() -> int:
     total_t0 = time.perf_counter()
     corpus = build_corpus()
+    calib = cpu_calibration()  # measure box state FIRST: multi-tenant host,
+    _log(f"bench: calibration {calib}")  # readers need the denominator
 
     # --- extraction throughput at three parallelism levels: 2, 8=4x2, 32=4x8.
     # The 2->8 pair is the N-vs-4N scaling criterion within the physical-core
@@ -169,8 +178,7 @@ def main() -> int:
     lo, mid, hi = levels[0], levels[1], levels[-1]
     eff_lo_mid = (rates[mid] / rates[lo]) / (mid / lo)
     eff_mid_hi = (rates[hi] / rates[mid]) / (hi / mid)
-    calib = cpu_calibration()
-    _log(f"bench: eff {lo}->{mid}: {eff_lo_mid:.3f}; {mid}->{hi}: {eff_mid_hi:.3f}; calib {calib}")
+    _log(f"bench: eff {lo}->{mid}: {eff_lo_mid:.3f}; {mid}->{hi}: {eff_mid_hi:.3f}")
 
     # --- per-query timings at the bench SF ---
     spark = _session(CPUS)

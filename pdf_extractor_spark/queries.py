@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from pdf_extractor_spark.functions import normalize as N
 from pdf_extractor_spark.operators import dedup as D
+from pdf_extractor_spark.operators import multimodal as M
 from pdf_extractor_spark.operators import similarity as S
 from pdf_extractor_spark.operators import textstats as T
 
@@ -1268,6 +1269,90 @@ _PAGE_SUFFIX = (
     '<footer><a href="/privacy">Privacy</a> <a href="/terms">Terms</a> '
     "© 2024 Example</footer></body></html>"
 )
+
+
+# =============================================================================
+# Multimodal plumbing (binary payload -> mapInPandas feature extraction)
+# =============================================================================
+
+_HEX8 = " + ".join(
+    f"(strpos('0123456789abcdef', substr({{h}}, {{p}} + {i}, 1)) - 1) * {16 ** (7 - i)}"
+    for i in range(8)
+)
+
+
+@query(
+    "mm_image_features",
+    f"""
+    WITH h AS (
+      SELECT doc_id AS media_id,
+             octet_length(text::BLOB) AS n_bytes,
+             md5(text) AS content_hash,
+             c,
+             md5(text || chr(0) || chr(0) || chr(0) || chr(cast(c AS INT))) AS hx
+      FROM documents, range(4) t(c))
+    SELECT media_id, n_bytes, content_hash,
+           cast(c * 4 + j AS INT) AS feat_idx,
+           round(cast(({_HEX8.format(h="hx", p="j * 8 + 1")})
+                      / 4294967296.0 AS REAL)::DOUBLE, 6) AS feat
+    FROM h, range(4) t2(j)
+    """,
+)
+def mm_features(spark: SparkSession, sf: str) -> DataFrame:
+    """Multimodal decode plumbing, oracle-checked end-to-end: payloads
+    (utf-8 bytes of documents.text standing in for image bytes) flow through
+    the mapInPandas feature extractor with the deterministic md5-expanded
+    fake decoder (operators/multimodal.py), exploded to (media_id, feat_idx,
+    feat). The oracle replicates the md5-counter expansion in SQL, including
+    the float32 quantization (REAL round-trip) of the features column —
+    proving batch shape, schema, and per-byte determinism of the plumbing
+    that a real PIL/libvips decoder drops into."""
+    d = _t(spark, sf, "documents")
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+    ).repartition(_par(spark), "media_id")
+    feats = M.extract_image_features(media, fake=True)
+    return feats.select(
+        "media_id",
+        "n_bytes",
+        "content_hash",
+        F.posexplode("features").alias("feat_idx", "_f"),
+    ).select(
+        "media_id",
+        "n_bytes",
+        "content_hash",
+        F.col("feat_idx").cast("int").alias("feat_idx"),
+        F.round(F.col("_f").cast("double"), 6).alias("feat"),
+    )
+
+
+@query(
+    "mm_frame_sample",
+    """
+    WITH v AS (
+      SELECT doc_id AS media_id,
+             (doc_id % 7) * 1500 + (n_chars % 997) AS duration_ms
+      FROM documents)
+    SELECT media_id, duration_ms, unnest(range(0, greatest(duration_ms, 1), 500))
+             AS frame_ts_ms
+    FROM v
+    """,
+)
+def mm_frames(spark: SparkSession, sf: str) -> DataFrame:
+    """Video frame-sampling plan (pure sequence+explode, no UDF): one row
+    per 500 ms sample timestamp per media item; durations synthesized
+    deterministically from documents. At scale the frame decode plugs into
+    extract_image_features per emitted row; the plan is the shuffle-free
+    part."""
+    d = _t(spark, sf, "documents")
+    v = d.select(
+        F.col("doc_id").alias("media_id"),
+        ((F.col("doc_id") % 7) * 1500 + (F.col("n_chars") % 997)).alias(
+            "duration_ms"
+        ),
+    )
+    return M.frame_sample_plan(v, every_ms=500)
 
 
 def synthesize_page(text_col: F.Column) -> F.Column:
