@@ -106,10 +106,10 @@ def time_extraction(cpus: int, corpus_path: str) -> tuple[float, int]:
             return time.perf_counter() - t0
 
         one_pass()  # full untimed warmup: worker spin-up + codegen/JIT
-        # min of two steady-state passes: this box is multi-tenant and
+        # min of several steady-state passes: this box is multi-tenant and
         # neighbor CPU bursts inflate single measurements by up to ~5x;
         # the minimum is the least-contended (most transferable) figure
-        dt = min(one_pass(), one_pass())
+        dt = min(one_pass() for _ in range(4))
         return dt, n
     finally:
         spark.stop()
@@ -170,11 +170,20 @@ def main() -> int:
     rates: dict[int, float] = {}
     walls: dict[int, float] = {}
     n_docs = 0
+    # two full sweeps over the levels, min per level: a neighbor-tenant CPU
+    # burst (minutes-scale) now has to span BOTH sweeps to corrupt a
+    # cross-level ratio, instead of one level's single window
+    for sweep in range(2):
+        for cpus in levels:
+            t, n_docs = time_extraction(cpus, corpus)
+            walls[cpus] = min(walls.get(cpus, float("inf")), t)
+            _log(
+                f"bench: extraction sweep{sweep} {n_docs} docs "
+                f"local[{cpus}]={t:.1f}s ({n_docs / t:.0f}/s)"
+            )
     for cpus in levels:
-        t, n_docs = time_extraction(cpus, corpus)
-        walls[cpus] = t
-        rates[cpus] = n_docs / t
-        _log(f"bench: extraction {n_docs} docs local[{cpus}]={t:.1f}s ({rates[cpus]:.0f}/s)")
+        rates[cpus] = n_docs / walls[cpus]
+        _log(f"bench: extraction best local[{cpus}]={walls[cpus]:.1f}s ({rates[cpus]:.0f}/s)")
     lo, mid, hi = levels[0], levels[1], levels[-1]
     eff_lo_mid = (rates[mid] / rates[lo]) / (mid / lo)
     eff_mid_hi = (rates[hi] / rates[mid]) / (hi / mid)

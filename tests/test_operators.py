@@ -230,3 +230,13 @@ def test_winnow_shared_substring_shares_fingerprints(spark):
         T.winnow_fingerprints(F.col("text")).alias("fps")
     ).first()["fps"]
     assert set(again) == got[1]
+
+    # the linear explode+rolling-min formulation selects the identical
+    # fingerprint sets (it is the at-scale form of the same operator)
+    df_form = {
+        doc_id: set()
+        for doc_id in got
+    }
+    for r in T.winnow_fingerprints_df(df, "doc_id", "text").collect():
+        df_form[r["doc_id"]].add(r["fp"])
+    assert df_form == got
