@@ -354,3 +354,57 @@ def drop_exact_duplicates(
     w_key = df.withColumn("_h", F.md5(F.encode(F.col(text_col), "UTF-8")))
     reps = w_key.groupBy("_h").agg(F.min(id_col).alias(id_col))
     return w_key.join(reps, ["_h", id_col], "inner").drop("_h")
+
+
+def connected_components(
+    edges: DataFrame,
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Duplicate-cluster labeling: connected components of the near-dup pair
+    graph -> (node, comp) with comp = min node id in the component.
+
+    Min-label propagation as iterative DataFrame joins: each round every
+    node takes the minimum label among itself and its neighbors; converged
+    when no label changes. Rounds = graph diameter — near-dup clusters are
+    shallow (quasi-cliques from LSH buckets), so this converges in a few
+    rounds; for adversarial long-chain graphs at 10^12-edge scale, switch
+    the round body to alternating large-star/small-star (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC'14) — same driver
+    loop, fewer rounds. Per round: one shuffle join + one groupBy (AQE
+    coalesces); ``localCheckpoint`` truncates the growing plan lineage so
+    round N's plan does not replay rounds 1..N-1.
+    """
+    sym = edges.select(
+        F.col(src_col).cast("long").alias("src"), F.col(dst_col).cast("long").alias("dst")
+    )
+    sym = sym.union(sym.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    labels = (
+        sym.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("comp", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        msgs = sym.join(labels, sym["src"] == labels["node"]).select(
+            F.col("dst").alias("node"), F.col("comp")
+        )
+        new_labels = (
+            labels.select("node", "comp")
+            .union(msgs)
+            .groupBy("node")
+            .agg(F.min("comp").alias("comp"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels

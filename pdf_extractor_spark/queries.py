@@ -779,9 +779,7 @@ def d_minhash(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-@query(
-    "d_lsh_pairs",
-    f"""
+_LSH_PAIRS_SQL = f"""
     WITH sig AS (
       SELECT doc_id,
              md5(concat_ws('|',
@@ -797,12 +795,42 @@ def d_minhash(spark: SparkSession, sf: str) -> DataFrame:
     SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
     FROM buckets a JOIN buckets b
       ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
-    """,
-)
+    """
+
+
+@query("d_lsh_pairs", _LSH_PAIRS_SQL)
 def d_lsh(spark: SparkSession, sf: str) -> DataFrame:
     """MinHash-LSH candidate pairs (k=4, 2 bands of 2 rows)."""
     d = _t(spark, sf, "documents")
     return D.minhash_lsh_pairs(d, k=4, bands=2, shingle_n=2, n_partitions=_par(spark))
+
+
+@query(
+    "d_dup_components",
+    f"""
+    WITH RECURSIVE e AS ({_LSH_PAIRS_SQL}),
+    edges AS (SELECT id_a AS src, id_b AS dst FROM e
+              UNION SELECT id_b, id_a FROM e),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    walk(node, reach) AS (
+      SELECT node, node FROM nodes
+      UNION
+      SELECT e.dst, w.reach FROM walk w JOIN edges e ON w.node = e.src)
+    SELECT node, min(reach) AS comp FROM walk GROUP BY node
+    """,
+)
+def d_components(spark: SparkSession, sf: str) -> DataFrame:
+    """Duplicate-cluster labeling: connected components over the LSH
+    candidate-pair graph (min-label propagation as iterative joins with
+    localCheckpoint lineage truncation; large-star/small-star is the drop-in
+    round body for adversarial diameters at 10^12 edges). comp = min doc_id
+    per cluster — the representative a dedup pass keeps. The oracle computes
+    the same labeling via a recursive CTE."""
+    d = _t(spark, sf, "documents")
+    pairs = D.minhash_lsh_pairs(
+        d, k=4, bands=2, shingle_n=2, n_partitions=_par(spark)
+    )
+    return D.connected_components(pairs)
 
 
 @query(

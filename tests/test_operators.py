@@ -240,3 +240,16 @@ def test_winnow_shared_substring_shares_fingerprints(spark):
     for r in T.winnow_fingerprints_df(df, "doc_id", "text").collect():
         df_form[r["doc_id"]].add(r["fp"])
     assert df_form == got
+
+
+def test_connected_components_chain_and_islands(spark):
+    from pdf_extractor_spark.operators.dedup import connected_components
+
+    # chain 1-2-3-4-5 (diameter 4 -> several propagation rounds),
+    # triangle 10-11-12, isolated edge 20-21
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11), (11, 12), (10, 12), (20, 21)],
+        ["id_a", "id_b"],
+    )
+    got = {r["node"]: r["comp"] for r in connected_components(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
