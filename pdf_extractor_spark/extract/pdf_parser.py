@@ -16,6 +16,8 @@ Supported PDF subset (documented per SURVEY.md §7 "hard parts"):
     scalar and array destinations, 1- and 2-byte codes) — enough to read
     Identity-H encoded documents like the reference's own examples;
   - per-page MediaBox (default US-Letter 612x792);
+  - /Type /ObjStm object streams (PDF 1.5+): embedded page/font dicts are
+    surfaced before page-tree resolution;
   - header/footer margin bands excluded; up to two columns per page detected
     by the gutter in line x-starts.
 
@@ -80,6 +82,41 @@ def _parse_objects(data: bytes) -> dict[int, tuple[bytes, bytes | None]]:
             objects[num] = (header, stream)
         else:
             objects[num] = (data[body_start:end_obj], None)
+    return objects
+
+
+def _expand_object_streams(
+    objects: dict[int, tuple[bytes, bytes | None]],
+) -> dict[int, tuple[bytes, bytes | None]]:
+    """Surface objects stored inside /Type /ObjStm streams (PDF 1.5+).
+
+    Modern writers put page/font dictionaries in compressed object streams;
+    without this the page tree is invisible and extraction falls back to
+    the any-BT-stream path (losing MediaBox and ToUnicode CMaps). Stream
+    objects themselves can never live inside an ObjStm (spec 7.5.7), so the
+    embedded objects are dictionaries only. Layout: the first /First bytes
+    are N (objnum, offset) integer pairs; object i's body runs from
+    First+offset_i to First+offset_{i+1}. Directly-scanned objects win on
+    number collisions (they are the newer incremental-update generation in
+    the files we can still parse)."""
+    found: dict[int, tuple[bytes, bytes | None]] = {}
+    for header, stream in list(objects.values()):
+        if stream is None or not re.search(rb"/Type\s*/ObjStm\b", header):
+            continue
+        data = _maybe_inflate(header, stream)
+        if not data:
+            continue
+        n = _dict_int(header, b"/N")
+        first = _dict_int(header, b"/First")
+        if not n or first is None:
+            continue
+        nums = [int(x) for x in re.findall(rb"\d+", data[:first])]
+        pairs = list(zip(nums[0::2], nums[1::2]))[:n]
+        for i, (objnum, off) in enumerate(pairs):
+            end = pairs[i + 1][1] if i + 1 < len(pairs) else len(data) - first
+            found[objnum] = (data[first + off : first + end], None)
+    for num, obj in found.items():
+        objects.setdefault(num, obj)
     return objects
 
 
@@ -574,7 +611,7 @@ def extract_pdf_one(payload: bytes) -> tuple[str, list[tuple[int, int]], int]:
     texts in content-stream order; each output block maps to the (merged)
     source segments of its runs in reading order.
     """
-    objects = _parse_objects(payload)
+    objects = _expand_object_streams(_parse_objects(payload))
 
     # page objects in document order; fall back to "any stream containing BT"
     pages: list[tuple[bytes, list[int]]] = []  # (page_header, content_obj_nums)

@@ -109,3 +109,64 @@ def test_fixture_corpus_deterministic_and_margin_clean():
         assert "Page 1" not in r1[0]
         if doc_id % 5 != 2:  # table pages can be short
             assert len(r1[0]) > 50
+
+
+def test_objstm_page_and_font_dicts_are_surfaced():
+    """PDF 1.5 object streams: page/font dictionaries compressed inside a
+    /Type /ObjStm must be found (else extraction falls back to the
+    no-MediaBox path and the margin band / fonts are lost)."""
+    import zlib
+
+    from pdf_extractor_spark.extract.pdf_parser import extract_pdf_one
+
+    content_raw = (
+        b"BT\n/F1 11 Tf\n"
+        b"1 0 0 1 72 762 Tm\n(HEADER LINE) Tj\n"        # inside margin band
+        b"1 0 0 1 72 400 Tm\n(Hello ObjStm world) Tj\n"  # body
+        b"ET"
+    )
+    content = zlib.compress(content_raw)
+    font_body = (
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica "
+        b"/Encoding /WinAnsiEncoding >>"
+    )
+    page_body = (
+        b"<< /Type /Page /MediaBox [0 0 612 792] /Contents 2 0 R "
+        b"/Resources << /Font << /F1 4 0 R >> >> >>"
+    )
+    header = b"4 0 5 %d " % (len(font_body) + 1)
+    stm_data = header + font_body + b"\n" + page_body
+    stm = zlib.compress(stm_data)
+
+    def obj(num, body):
+        return b"%d 0 obj\n%s\nendobj\n" % (num, body)
+
+    objstm_pdf = (
+        b"%PDF-1.5\n"
+        + obj(
+            1,
+            b"<< /Type /ObjStm /N 2 /First %d /Filter /FlateDecode /Length %d >>\n"
+            b"stream\n%s\nendstream" % (len(header), len(stm), stm),
+        )
+        + obj(
+            2,
+            b"<< /Filter /FlateDecode /Length %d >>\nstream\n%s\nendstream"
+            % (len(content), content),
+        )
+        + b"%%EOF\n"
+    )
+    classic_pdf = (
+        b"%PDF-1.4\n"
+        + obj(4, font_body)
+        + obj(5, page_body)
+        + obj(
+            2,
+            b"<< /Filter /FlateDecode /Length %d >>\nstream\n%s\nendstream"
+            % (len(content), content),
+        )
+        + b"%%EOF\n"
+    )
+    got_objstm = extract_pdf_one(objstm_pdf)
+    got_classic = extract_pdf_one(classic_pdf)
+    assert got_objstm[0] == got_classic[0] == "Hello ObjStm world"
+    assert "HEADER" not in got_objstm[0]  # MediaBox known -> margin band applied
