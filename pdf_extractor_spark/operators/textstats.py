@@ -219,6 +219,52 @@ def winnow_fingerprints_df(
     )
 
 
+def repetition_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """Gopher-style repetition signals per document: distinct-token
+    fraction, top-token fraction, duplicate-bigram fraction — the rules
+    corpus filters use to drop boilerplate-looping / keyword-stuffed pages
+    (Rae et al., Gopher, arXiv:2112.11446 §A1.1; public heuristics).
+
+    Relational formulation for scale: tokens exploded to rows ->
+    (id, token) counts -> per-doc aggregates (map-side partial agg does the
+    heavy lifting); the bigram fraction from a STAGED shingle array behind
+    the same exchange. One shuffle on id, reused by the join.
+    """
+    from pdf_extractor_spark.operators.dedup import shingles_from_tokens, word_tokens
+
+    if n_partitions is None:
+        n_partitions = df.sparkSession.sparkContext.defaultParallelism
+    staged = df.select(
+        F.col(id_col), word_tokens(F.col(text_col)).alias("_toks")
+    ).repartition(n_partitions, id_col)
+    counts = (
+        staged.select(id_col, F.explode("_toks").alias("tok"))
+        .groupBy(id_col, "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    uni = counts.groupBy(id_col).agg(
+        F.sum("c").alias("n_tokens"),
+        F.round(F.count(F.lit(1)) / F.sum("c"), 6).alias("distinct_token_frac"),
+        F.round(F.max("c") / F.sum("c"), 6).alias("top_token_frac"),
+    )
+    sh = shingles_from_tokens(F.col("_toks"), 2)
+    big = staged.select(
+        F.col(id_col),
+        F.round(
+            F.when(F.size(sh) <= 0, F.lit(0.0)).otherwise(
+                1.0 - F.size(F.array_distinct(sh)) / F.size(sh)
+            ),
+            6,
+        ).alias("dup_bigram_frac"),
+    )
+    return uni.join(big, id_col)
+
+
 def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Attach the full stat bundle to a documents DataFrame."""
     c = F.col(text_col)

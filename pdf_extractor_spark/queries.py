@@ -743,6 +743,36 @@ _SHINGLE_SQL = f"""
 
 
 @query(
+    "t_repetition",
+    f"""
+    WITH tok AS (SELECT doc_id, unnest({_TOK_SQL}) AS tok FROM documents),
+    c AS (SELECT doc_id, tok, count(*) AS c FROM tok GROUP BY doc_id, tok),
+    uni AS (
+      SELECT doc_id, cast(sum(c) AS BIGINT) AS n_tokens,
+             round(count(*) / sum(c), 6) AS distinct_token_frac,
+             round(max(c) / sum(c), 6) AS top_token_frac
+      FROM c GROUP BY doc_id),
+    sh AS (SELECT doc_id, {_SHINGLE_SQL} AS s FROM documents),
+    big AS (
+      SELECT doc_id,
+             round(CASE WHEN coalesce(array_length(s), 0) <= 0 THEN 0.0
+                   ELSE 1.0 - array_length(list_distinct(s)) / array_length(s)
+                   END, 6) AS dup_bigram_frac
+      FROM sh)
+    SELECT uni.doc_id, n_tokens, distinct_token_frac, top_token_frac,
+           dup_bigram_frac
+    FROM uni JOIN big ON uni.doc_id = big.doc_id
+    """,
+)
+def t_repetition(spark: SparkSession, sf: str) -> DataFrame:
+    """Gopher-style repetition filters: distinct-token / top-token /
+    duplicate-bigram fractions per document (textstats.repetition_stats —
+    explode + two-level aggregate, one shuffle)."""
+    d = _t(spark, sf, "documents")
+    return T.repetition_stats(d, "doc_id", "text", n_partitions=_par(spark))
+
+
+@query(
     "d_minhash_signature",
     f"""
     SELECT doc_id,
