@@ -386,25 +386,37 @@ def connected_components(
         .withColumn("comp", F.col("node"))
         .localCheckpoint()
     )
+    # labels only ever DECREASE, so sum(comp) is strictly monotone while
+    # anything changes: an unchanged sum IS convergence — one cheap agg per
+    # round instead of a join-based diff
+    prev_sum = None
     for _ in range(max_iter):
         msgs = sym.join(labels, sym["src"] == labels["node"]).select(
             F.col("dst").alias("node"), F.col("comp")
         )
-        new_labels = (
+        labels = (
             labels.select("node", "comp")
             .union(msgs)
             .groupBy("node")
             .agg(F.min("comp").alias("comp"))
+        )
+        # pointer jumping (shortcutting): follow comp -> comp(comp) once per
+        # round, collapsing long chains exponentially — O(log diameter)
+        # rounds instead of O(diameter) (a 60-doc daisy chain of near-dups
+        # took ~25 propagation-only rounds at sf0.1)
+        hop = labels.select(
+            F.col("node").alias("j_node"), F.col("comp").alias("j_comp")
+        )
+        labels = (
+            labels.join(hop, labels["comp"] == hop["j_node"], "left")
+            .select(
+                "node",
+                F.least(F.col("comp"), F.coalesce("j_comp", "comp")).alias("comp"),
+            )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.comp") != F.col("o.comp"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        cur_sum = labels.agg(F.sum("comp")).first()[0]
+        if cur_sum == prev_sum:
             break
+        prev_sum = cur_sum
     return labels

@@ -1,0 +1,87 @@
+"""Temporal joins Spark lacks as built-ins: as-of join (latest right row at
+or before each left row's timestamp).
+
+The reference is batch-only with no temporal operators (SURVEY.md §2.4);
+this is part of the beyond-reference training-pipeline surface — e.g.
+joining each crawled page to the newest robots.txt / site-profile snapshot
+at crawl time, or events to slowly-changing dimensions.
+
+Formulation chosen for scale (the "union trick", standard in
+Flink/kdb-style engines): tag right rows 0 and left rows 1, sort within
+each key by (ts, tag), and carry the last seen right-row payload forward
+with ``last(..., ignorenulls=True)`` over an unbounded-preceding window.
+ONE shuffle (hash by key for the window sort), no range-explode, no
+broadcast requirement on either side, skew behavior identical to any
+window over the key. A sort-merge range join would shuffle both sides the
+same amount but Spark would fall back to a nested-loop for the `<=`
+predicate; the union trick keeps it a plain window.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    value_cols: list[str] | None = None,
+) -> DataFrame:
+    """For every left row: the newest right row with same key and
+    ``right.ts <= left.ts`` (ties: the right row AT the timestamp wins,
+    matching DuckDB ``ASOF JOIN`` / pandas ``merge_asof`` semantics).
+    Left rows with no prior right row survive with nulls.
+
+    Returns left's columns plus ``value_cols`` from right (prefixed
+    ``asof_``) and ``asof_ts`` (the matched right timestamp).
+    """
+    if value_cols is None:
+        value_cols = [
+            c for c in right.columns if c not in (key, right_ts)
+        ]
+    r = right.select(
+        F.col(key),
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_side"),
+        F.col(right_ts).alias("_r_ts"),
+        *[F.col(c).alias(f"_r_{c}") for c in value_cols],
+        *[
+            F.lit(None).cast(left.schema[c].dataType).alias(f"_l_{c}")
+            for c in left.columns
+            if c != key
+        ],
+    )
+    l = left.select(
+        F.col(key),
+        F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_side"),
+        F.lit(None).cast(right.schema[right_ts].dataType).alias("_r_ts"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}") for c in value_cols],
+        *[F.col(c).alias(f"_l_{c}") for c in left.columns if c != key],
+    )
+    # right rows sort BEFORE left rows at equal ts (_side 0 < 1), so an
+    # exact-timestamp right row is visible to the left row at the same ts
+    w = (
+        Window.partitionBy(key)
+        .orderBy("_ts", "_side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = r.unionByName(l).select(
+        "*",
+        F.last("_r_ts", ignorenulls=True).over(w).alias("asof_ts"),
+        *[
+            F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"asof_{c}")
+            for c in value_cols
+        ],
+    )
+    out = carried.filter(F.col("_side") == 1).select(
+        F.col(key),
+        F.col("_ts").alias(left_ts),
+        *[F.col(f"_l_{c}").alias(c) for c in left.columns if c not in (key, left_ts)],
+        F.col("asof_ts"),
+        *[F.col(f"asof_{c}") for c in value_cols],
+    )
+    return out

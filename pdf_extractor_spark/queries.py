@@ -1024,6 +1024,44 @@ def s_sessionize(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@query(
+    "j_asof_last_purchase",
+    """
+    WITH snaps AS (
+      SELECT user_id, ts, max(value) AS snap_value
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts),
+    clicks AS (
+      SELECT event_id, user_id, ts, value FROM events
+      WHERE event_type = 'click')
+    SELECT c.event_id, c.user_id, c.ts, c.value,
+           s.ts AS asof_ts, s.snap_value AS asof_snap_value
+    FROM clicks c ASOF LEFT JOIN snaps s
+      ON c.user_id = s.user_id AND c.ts >= s.ts
+    """,
+)
+def j_asof(spark: SparkSession, sf: str) -> DataFrame:
+    """As-of join (operators/temporal.py): every click joined to the user's
+    newest purchase at or before the click. Spark lacks a native as-of
+    join; the union + last(ignorenulls) window formulation is ONE shuffle
+    with no range-explode. The oracle is DuckDB's native ASOF LEFT JOIN —
+    an independent implementation of the same semantics."""
+    from pdf_extractor_spark.operators.temporal import asof_join
+
+    e = _t(spark, sf, "events")
+    snaps = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("snap_value"))
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    return asof_join(
+        clicks, snaps, key="user_id", left_ts="ts", right_ts="ts",
+        value_cols=["snap_value"],
+    ).select("event_id", "user_id", "ts", "value", "asof_ts", "asof_snap_value")
+
+
 # =============================================================================
 # Embedding similarity
 # =============================================================================

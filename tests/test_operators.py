@@ -253,3 +253,36 @@ def test_connected_components_chain_and_islands(spark):
     )
     got = {r["node"]: r["comp"] for r in connected_components(edges).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_asof_join_semantics(spark):
+    import datetime
+
+    from pdf_extractor_spark.operators.temporal import asof_join
+
+    t = lambda m: datetime.datetime(2024, 1, 1, 0, m)
+    right = spark.createDataFrame(
+        [(1, t(10), 100.0), (1, t(30), 300.0), (2, t(5), 50.0)],
+        "user_id long, ts timestamp, snap double",
+    )
+    left = spark.createDataFrame(
+        [
+            (1, 1, t(5)),    # before any snapshot -> nulls
+            (2, 1, t(10)),   # exactly AT a snapshot -> that snapshot (tie rule)
+            (3, 1, t(29)),   # between -> the t(10) snapshot
+            (4, 1, t(31)),   # after second -> t(30)
+            (5, 2, t(6)),    # other key
+            (6, 3, t(6)),    # key with no right rows at all -> nulls
+        ],
+        "event_id long, user_id long, ts timestamp",
+    )
+    got = {
+        r["event_id"]: (r["asof_ts"], r["asof_snap"])
+        for r in asof_join(left, right, key="user_id", value_cols=["snap"]).collect()
+    }
+    assert got[1] == (None, None)
+    assert got[2] == (t(10), 100.0)
+    assert got[3] == (t(10), 100.0)
+    assert got[4] == (t(30), 300.0)
+    assert got[5] == (t(5), 50.0)
+    assert got[6] == (None, None)
