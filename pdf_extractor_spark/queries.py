@@ -1025,6 +1025,48 @@ def s_sessionize(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "a_rollup_returns",
+    """
+    SELECT l_returnflag, l_linestatus, count(*) AS n_items,
+           round(sum(l_quantity), 2) AS total_qty
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def a_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    """Hierarchical rollup (subtotals per returnflag + grand total) — the
+    reference has no grouping sets (SURVEY §2.5); Spark's rollup compiles
+    to a single Expand + one aggregate, not N scans."""
+    li = _t(spark, sf, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.round(F.sum("l_quantity"), 2).alias("total_qty"),
+    )
+
+
+@query(
+    "t_length_quantiles",
+    """
+    SELECT lang, count(*) AS n_docs,
+           round(quantile_cont(n_chars, 0.5), 2) AS p50,
+           round(quantile_cont(n_chars, 0.9), 2) AS p90
+    FROM documents GROUP BY lang
+    """,
+)
+def t_quantiles(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact continuous quantiles of document length per language (corpus
+    length profiling). Spark `percentile` and DuckDB `quantile_cont` share
+    the linear-interpolation definition, so the oracle is exact; at corpus
+    scale swap for `approx_percentile` (t-digest sketch, one pass,
+    mergeable across partitions) and drop the oracle's exactness."""
+    d = _t(spark, sf, "documents")
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.percentile("n_chars", F.lit(0.5)), 2).alias("p50"),
+        F.round(F.percentile("n_chars", F.lit(0.9)), 2).alias("p90"),
+    )
+
+
+@query(
     "j_asof_last_purchase",
     """
     WITH snaps AS (
