@@ -85,3 +85,45 @@ def asof_join(
         *[F.col(f"asof_{c}") for c in value_cols],
     )
     return out
+
+
+def interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    key: str,
+    ts_col: str = "ts",
+    start_col: str = "start_ts",
+    end_col: str = "end_ts",
+    bucket_seconds: int = 3600,
+) -> DataFrame:
+    """Range/interval join: point rows matched to interval rows of the same
+    key with ``start <= ts < end`` — WITHOUT the nested-loop fallback Spark
+    uses for inequality join predicates.
+
+    Bucketing: each interval explodes into the fixed-width time buckets it
+    overlaps (``sequence`` over epoch-bucket ids — bounded by interval
+    length / bucket width), each point lands in exactly one bucket, and the
+    join becomes an EQUI-join on (key, bucket) + a residual predicate
+    filter. A point matches an interval only via the point's own bucket, so
+    no dedup is needed. Pick ``bucket_seconds`` ~ the typical interval
+    length: shorter -> more interval replication, longer -> more false
+    candidates filtered after the join.
+
+    Returns all point columns plus the matched interval's columns
+    (inner join; points in no interval drop out).
+    """
+    b_pt = F.floor(F.unix_timestamp(F.col(ts_col)) / bucket_seconds)
+    b_lo = F.floor(F.unix_timestamp(F.col(start_col)) / bucket_seconds)
+    b_hi = F.floor(F.unix_timestamp(F.col(end_col)) / bucket_seconds)
+    iv = intervals.withColumn("_bucket", F.explode(F.sequence(b_lo, b_hi)))
+    pt = points.withColumn("_bucket", b_pt)
+    cond = (
+        (pt[key] == iv[key])
+        & (pt["_bucket"] == iv["_bucket"])
+        & (pt[ts_col] >= iv[start_col])
+        & (pt[ts_col] < iv[end_col])
+    )
+    out_cols = [pt[c] for c in points.columns] + [
+        iv[c] for c in intervals.columns if c != key
+    ]
+    return pt.join(iv, cond).select(*out_cols)

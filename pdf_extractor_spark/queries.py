@@ -1104,6 +1104,51 @@ def j_asof(spark: SparkSession, sf: str) -> DataFrame:
     ).select("event_id", "user_id", "ts", "value", "asof_ts", "asof_snap_value")
 
 
+@query(
+    "j_interval_attribution",
+    """
+    WITH iv AS (
+      SELECT event_id AS purchase_id, user_id, ts AS start_ts,
+             ts + to_minutes(cast(round(value * 10) AS BIGINT)) AS end_ts
+      FROM events WHERE event_type = 'purchase'),
+    pts AS (
+      SELECT event_id AS click_id, user_id, ts AS click_ts FROM events
+      WHERE event_type = 'click')
+    SELECT p.click_id, p.user_id, p.click_ts,
+           iv.purchase_id, iv.start_ts, iv.end_ts
+    FROM pts p JOIN iv ON p.user_id = iv.user_id
+      AND p.click_ts >= iv.start_ts AND p.click_ts < iv.end_ts
+    """,
+)
+def j_interval(spark: SparkSession, sf: str) -> DataFrame:
+    """Interval/range join (operators/temporal.interval_join): clicks
+    attributed to purchase windows [ts, ts + 10*value minutes). Spark falls
+    back to a nested loop on inequality predicates; the bucketed
+    formulation explodes intervals into hour buckets and equi-joins on
+    (user, bucket) + residual filter. The oracle is DuckDB's native
+    inequality join — independent semantics check."""
+    from pdf_extractor_spark.operators.temporal import interval_join
+
+    e = _t(spark, sf, "events")
+    iv = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("start_ts"),
+        F.timestamp_add(
+            "MINUTE", F.round(F.col("value") * 10).cast("int"), F.col("ts")
+        ).alias("end_ts"),
+    )
+    pts = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.col("ts").alias("click_ts"),
+    )
+    return interval_join(
+        pts, iv, key="user_id", ts_col="click_ts",
+        start_col="start_ts", end_col="end_ts",
+    ).select("click_id", "user_id", "click_ts", "purchase_id", "start_ts", "end_ts")
+
+
 # =============================================================================
 # Embedding similarity
 # =============================================================================

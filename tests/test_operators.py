@@ -286,3 +286,46 @@ def test_asof_join_semantics(spark):
     assert got[4] == (t(30), 300.0)
     assert got[5] == (t(5), 50.0)
     assert got[6] == (None, None)
+
+
+def test_interval_join_buckets_and_boundaries(spark):
+    import datetime
+
+    from pdf_extractor_spark.operators.temporal import interval_join
+
+    t = lambda h, m=0: datetime.datetime(2024, 1, 1, h, m)
+    iv = spark.createDataFrame(
+        [
+            (100, 1, t(1, 30), t(3, 30)),  # spans 3 hour-buckets
+            (200, 1, t(5), t(5)),          # empty interval: matches nothing
+            (300, 2, t(1), t(2)),
+        ],
+        "interval_id long, user_id long, start_ts timestamp, end_ts timestamp",
+    )
+    pts = spark.createDataFrame(
+        [
+            (1, 1, t(1, 30)),   # == start -> inclusive
+            (2, 1, t(2, 15)),   # middle bucket
+            (3, 1, t(3, 29)),   # just before end
+            (4, 1, t(3, 30)),   # == end -> exclusive
+            (5, 2, t(1, 30)),   # other key
+            (6, 2, t(5)),       # empty interval's ts, wrong key anyway
+        ],
+        "click_id long, user_id long, ts timestamp",
+    )
+    got = {
+        (r["click_id"], r["interval_id"])
+        for r in interval_join(
+            pts, iv, key="user_id", ts_col="ts",
+            start_col="start_ts", end_col="end_ts",
+        ).collect()
+    }
+    assert got == {(1, 100), (2, 100), (3, 100), (5, 300)}
+
+    # plan must be an equi-join (SortMerge/ShuffledHash), never the
+    # nested-loop fallback a raw inequality-join predicate produces
+    plan = interval_join(
+        pts, iv, key="user_id", ts_col="ts",
+        start_col="start_ts", end_col="end_ts",
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
