@@ -1,0 +1,75 @@
+"""Deterministic sampling + sketching for corpus pipelines.
+
+Both are md5-keyed so any engine reproduces them bit-for-bit (the project
+oracle rule: only md5-derived hash families in checked outputs), unlike
+``df.sample`` (seeded per-partition RNG — partition-layout dependent) or
+``approx_count_distinct`` (HLL internals are engine-specific).
+
+- ``deterministic_sample``: keep rows whose md5-derived uniform in [0,1)
+  falls under the rate. Shuffle-free scan-side filter; the same row is in
+  or out regardless of partitioning, executor count, or engine — which is
+  what makes train/eval splits and A/B corpus cuts reproducible.
+- ``kmv_distinct``: K-Minimum-Values distinct-count sketch (Bar-Yossef et
+  al., RANDOM'02): the k smallest distinct hash values determine the
+  estimate (k-1)/h_k. Deterministic given the data, mergeable (union the
+  value sets, keep k smallest), and exactly checkable in SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+HEX = "0123456789abcdef"
+
+
+def _hash_frac(col: Column, salt: str) -> Column:
+    """md5-derived uniform in [0,1): first 8 hex nibbles / 16^8."""
+    h = F.md5(F.concat(F.lit(salt + ":"), col.cast("string")))
+    out = F.lit(0).cast("double")
+    for i in range(8):
+        out = out * 16 + (F.position(F.substring(h, i + 1, 1), F.lit(HEX)) - 1)
+    return out / float(16**8)
+
+
+def deterministic_sample(
+    df: DataFrame, rate: float, key_col: str, salt: str = "sample"
+) -> DataFrame:
+    """Reproducible Bernoulli-style sample: row kept iff hash_frac < rate.
+
+    Pure filter — pushes to the scan, no shuffle, independent of partition
+    layout. Different ``salt`` values give independent samples of the same
+    table (train/dev/test splits = disjoint salt-interval filters).
+    """
+    return df.filter(_hash_frac(F.col(key_col), salt) < rate)
+
+
+def kmv_distinct(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    k: int = 64,
+) -> DataFrame:
+    """KMV distinct-count estimate per group -> (group, n_hashes, kmv_est).
+
+    Formulation: distinct (group, hash) -> k smallest per group via a
+    ranking window -> estimate (k-1)/h_k when the group has >= k distinct
+    values, else the exact count (the sketch IS exact below k). One shuffle
+    on the group key; at corpus scale the per-partition top-k pre-prune
+    (partial sort) bounds the window input. Estimate is deterministic —
+    same data, same answer, any engine.
+    """
+    h = _hash_frac(F.col(value_col), "kmv")
+    distinct_h = df.select(F.col(group_col), h.alias("_h")).distinct()
+    w = Window.partitionBy(group_col).orderBy("_h")
+    topk = distinct_h.withColumn("_rn", F.row_number().over(w)).filter(
+        F.col("_rn") <= k
+    )
+    return topk.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_hashes"),
+        F.round(
+            F.when(
+                F.count(F.lit(1)) < k, F.count(F.lit(1)).cast("double")
+            ).otherwise((k - 1) / F.max("_h")),
+            2,
+        ).alias("kmv_est"),
+    )

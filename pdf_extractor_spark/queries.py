@@ -736,6 +736,11 @@ def d_exact(spark: SparkSession, sf: str) -> DataFrame:
 
 
 _TOK_SQL = "regexp_split_to_array(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')"
+# first 8 hex nibbles of an md5 column {h} at 1-based offset {p}, as an int
+_HEX8 = " + ".join(
+    f"(strpos('0123456789abcdef', substr({{h}}, {{p}} + {i}, 1)) - 1) * {16 ** (7 - i)}"
+    for i in range(8)
+)
 _SHINGLE_SQL = f"""
     list_transform(range(1, greatest(array_length({_TOK_SQL}) - 1, 0) + 1),
                    i -> array_to_string(list_slice({_TOK_SQL}, i, i + 1), ' '))
@@ -1064,6 +1069,58 @@ def t_quantiles(spark: SparkSession, sf: str) -> DataFrame:
         F.round(F.percentile("n_chars", F.lit(0.5)), 2).alias("p50"),
         F.round(F.percentile("n_chars", F.lit(0.9)), 2).alias("p90"),
     )
+
+
+@query(
+    "t_sample_split",
+    f"""
+    WITH h AS (
+      SELECT doc_id, lang, md5(concat('sample:', doc_id)) AS hx FROM documents)
+    SELECT doc_id, lang FROM h
+    WHERE ({_HEX8.format(h="hx", p="1")}) / 4294967296.0 < 0.2
+    """,
+)
+def t_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic 20% corpus sample (operators/sampling.py): row kept iff
+    its md5-derived uniform < rate. A pure scan-side filter — no shuffle,
+    same rows at any partitioning/executor count/engine (unlike df.sample's
+    per-partition RNG); disjoint salt intervals give reproducible
+    train/dev/test splits."""
+    from pdf_extractor_spark.operators.sampling import deterministic_sample
+
+    d = _t(spark, sf, "documents").select("doc_id", "lang")
+    return deterministic_sample(d, 0.2, "doc_id")
+
+
+@query(
+    "a_kmv_distinct_tokens",
+    f"""
+    WITH tok AS (SELECT lang, unnest({_TOK_SQL}) AS t FROM documents),
+    hs AS (
+      SELECT DISTINCT lang,
+             ({_HEX8.format(h="md5(concat('kmv:', t))", p="1")})
+               / 4294967296.0 AS h
+      FROM tok),
+    r AS (SELECT lang, h, row_number() OVER (PARTITION BY lang ORDER BY h) AS rn
+          FROM hs)
+    SELECT lang, count(*) AS n_hashes,
+           round(CASE WHEN count(*) < 64 THEN count(*) ELSE 63 / max(h) END, 2)
+             AS kmv_est
+    FROM r WHERE rn <= 64 GROUP BY lang
+    """,
+)
+def a_kmv(spark: SparkSession, sf: str) -> DataFrame:
+    """KMV distinct-count sketch (operators/sampling.kmv_distinct): distinct
+    tokens per language estimated from the 64 smallest md5-derived hash
+    values — deterministic and mergeable, so the oracle checks the EXACT
+    sketch output (impossible with engine-specific HLL); below 64 distinct
+    values the sketch degenerates to the exact count."""
+    from pdf_extractor_spark.operators.dedup import word_tokens
+    from pdf_extractor_spark.operators.sampling import kmv_distinct
+
+    d = _t(spark, sf, "documents")
+    toks = d.select("lang", F.explode(word_tokens(F.col("text"))).alias("tok"))
+    return kmv_distinct(toks, "lang", "tok", k=64)
 
 
 @query(
@@ -1457,11 +1514,6 @@ _PAGE_SUFFIX = (
 # =============================================================================
 # Multimodal plumbing (binary payload -> mapInPandas feature extraction)
 # =============================================================================
-
-_HEX8 = " + ".join(
-    f"(strpos('0123456789abcdef', substr({{h}}, {{p}} + {i}, 1)) - 1) * {16 ** (7 - i)}"
-    for i in range(8)
-)
 
 
 @query(

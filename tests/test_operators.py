@@ -329,3 +329,38 @@ def test_interval_join_buckets_and_boundaries(spark):
         start_col="start_ts", end_col="end_ts",
     )._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_deterministic_sample_partition_invariant(spark):
+    from pdf_extractor_spark.operators.sampling import deterministic_sample
+
+    df = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    a = {r["doc_id"] for r in deterministic_sample(df, 0.3, "doc_id").collect()}
+    b = {
+        r["doc_id"]
+        for r in deterministic_sample(df.repartition(17), 0.3, "doc_id").collect()
+    }
+    assert a == b  # partition-layout independent, unlike df.sample
+    assert 0.25 < len(a) / 2000 < 0.35
+    # disjoint salts give independent samples
+    c = {r["doc_id"] for r in deterministic_sample(df, 0.3, "doc_id", salt="dev").collect()}
+    assert c != a and 0.25 < len(c) / 2000 < 0.35
+
+
+def test_kmv_distinct_estimate(spark):
+    from pyspark.sql import functions as FF
+
+    from pdf_extractor_spark.operators.sampling import kmv_distinct
+
+    # group 'big': 1000 distinct values; group 'small': 10 (exact below k)
+    df = spark.range(0, 1000).select(
+        FF.lit("big").alias("g"), FF.concat(FF.lit("v"), FF.col("id")).alias("v")
+    ).union(
+        spark.range(0, 10).select(
+            FF.lit("small").alias("g"), FF.concat(FF.lit("w"), FF.col("id")).alias("v")
+        )
+    )
+    got = {r["g"]: (r["n_hashes"], r["kmv_est"]) for r in kmv_distinct(df, "g", "v", k=64).collect()}
+    assert got["small"] == (10, 10.0)  # exact below k
+    n, est = got["big"]
+    assert n == 64 and 700 < est < 1400  # KMV with k=64: ~12% rel. error
