@@ -148,3 +148,25 @@ def test_coerce_numeric_matches_python_reference(spark, strings):
             assert g is None or g != g, f"{s!r}: {g} != None"  # NaN tolerated
         else:
             assert g is not None and abs(g - w) < 1e-9, f"{s!r}: {g} != {w}"
+
+
+@settings(max_examples=120, deadline=None)
+@given(
+    st.integers(min_value=0, max_value=49),
+    st.integers(min_value=1, max_value=10**6),
+    st.integers(min_value=0, max_value=255),
+)
+def test_extract_one_total_on_mutated_pdfs(doc_id, cut_seed, flip_val):
+    """Near-valid PDFs (truncations + byte flips of real fixture PDFs) must
+    produce a row, never an exception — corrupt documents are data, not
+    task failures (reference main.py:852-854 continue-on-error)."""
+    from pdf_extractor_spark.extract.udfs import extract_one
+    from pdf_extractor_spark.fixtures.synth import make_pdf_payload
+
+    base = bytearray(make_pdf_payload(doc_id))
+    cut = 1 + cut_seed % len(base)
+    mutated = base[:cut]
+    if mutated:
+        mutated[cut_seed % len(mutated)] = flip_val
+    out = extract_one(bytes(mutated))
+    assert isinstance(out, tuple) and isinstance(out[0], str)
