@@ -143,3 +143,45 @@ def test_salted_output_identical(spark, doc_parquet):
         .collect()
     }
     assert plain == salted
+
+
+def test_bucketed_anti_join_is_shuffle_free(spark, tmp_path):
+    """SCALE.md §3: with both sides bucketed by url, the resume anti-join is
+    a storage-partitioned join — NO Exchange of the (100 TB) input side.
+    This is the plan the Iceberg `bucket(4096, url)` layout buys; here the
+    session-catalog bucketed parquet tables stand in."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    inp = spark.range(0, 1000).select(
+        F.concat(F.lit("https://h/"), F.col("id")).alias("url"),
+        F.col("id").alias("payload"),
+    )
+    done = spark.range(0, 600).select(
+        F.concat(F.lit("https://h/"), F.col("id")).alias("url")
+    )
+    spark.sql("DROP TABLE IF EXISTS t_bucket_in")
+    spark.sql("DROP TABLE IF EXISTS t_bucket_done")
+    inp.write.bucketBy(8, "url").sortBy("url").mode("overwrite").saveAsTable(
+        "t_bucket_in"
+    )
+    done.write.bucketBy(8, "url").sortBy("url").mode("overwrite").saveAsTable(
+        "t_bucket_done"
+    )
+    thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # at 100 TB neither side broadcasts; force the non-broadcast path so
+        # the plan proves bucketing (not broadcast) eliminates the shuffle
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        remaining = spark.table("t_bucket_in").join(
+            spark.table("t_bucket_done"), "url", "left_anti"
+        )
+        plan = remaining._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan  # bucketing replaces the shuffle
+        assert "SortMergeJoin" in plan
+        assert remaining.count() == 400
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+        spark.sql("DROP TABLE IF EXISTS t_bucket_in")
+        spark.sql("DROP TABLE IF EXISTS t_bucket_done")
