@@ -77,6 +77,11 @@ def _session(cpus: int):
         app_name=f"bench-c{cpus}",
         master=f"local[{cpus}]",
         shuffle_partitions=max(cpus, 8),
+        # the bench corpus is small (~0.5 GB); with the default 128m split
+        # size Spark packs it into ~4 splits and a local[32] run is
+        # 4-task-starved — 8m keeps splits >= cores, mirroring the real
+        # pipeline where splits (~800k at 100 TB) always dwarf cores
+        extra_conf={"spark.sql.files.maxPartitionBytes": "8m"},
     )
 
 
