@@ -135,3 +135,40 @@ def test_streaming_extraction_matches_batch(spark, tmp_path):
     q.awaitTermination(120)
     streamed = {r["url"]: r["text"] for r in spark.read.parquet(out).collect()}
     assert streamed == batch and len(streamed) == 60
+
+
+def test_streaming_first_seen_dedup_matches_batch(spark, tmp_path):
+    """The reference's upload cache (dedupe scan, src/pdf_uploader.py:25)
+    in streaming form: watermarked dropDuplicates over readStream keeps
+    exactly one row per url across micro-batches — same set as batch
+    dropDuplicates, state bounded by the watermark."""
+    import datetime
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ck")
+    base = datetime.datetime(2024, 5, 1, 12, 0, 0)
+    rows = [
+        (f"https://h/{i % 40}", base + datetime.timedelta(minutes=i), i)
+        for i in range(200)  # every url appears 5x
+    ]
+    df = spark.createDataFrame(rows, "url string, warc_ts timestamp, n long")
+    df.write.mode("overwrite").parquet(src)
+
+    batch = {r["url"] for r in spark.read.parquet(src).dropDuplicates(["url"]).collect()}
+
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    q = (
+        stream.withWatermark("warc_ts", "10 days")
+        .dropDuplicates(["url"])
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = [r["url"] for r in spark.read.parquet(out).collect()]
+    assert len(streamed) == len(set(streamed)) == 40
+    assert set(streamed) == batch
