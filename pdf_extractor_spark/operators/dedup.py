@@ -400,21 +400,21 @@ def connected_components(
             .groupBy("node")
             .agg(F.min("comp").alias("comp"))
         )
-        # pointer jumping (shortcutting): follow comp -> comp(comp) once per
-        # round, collapsing long chains exponentially — O(log diameter)
-        # rounds instead of O(diameter) (a 60-doc daisy chain of near-dups
-        # took ~25 propagation-only rounds at sf0.1)
-        hop = labels.select(
-            F.col("node").alias("j_node"), F.col("comp").alias("j_comp")
-        )
-        labels = (
-            labels.join(hop, labels["comp"] == hop["j_node"], "left")
-            .select(
+        # pointer jumping (shortcutting): follow comp -> comp(comp),
+        # collapsing long chains exponentially — O(log diameter) rounds
+        # instead of O(diameter) (a daisy chain of near-dups took ~25
+        # propagation-only rounds at sf0.1). Two hops per round: joins are
+        # cheap next to the per-round job-scheduling actions, so compressing
+        # more per round nearly halves total wall time.
+        for _hop in range(2):
+            hop = labels.select(
+                F.col("node").alias("j_node"), F.col("comp").alias("j_comp")
+            )
+            labels = labels.join(hop, labels["comp"] == hop["j_node"], "left").select(
                 "node",
                 F.least(F.col("comp"), F.coalesce("j_comp", "comp")).alias("comp"),
             )
-            .localCheckpoint()
-        )
+        labels = labels.localCheckpoint()
         cur_sum = labels.agg(F.sum("comp")).first()[0]
         if cur_sum == prev_sum:
             break
