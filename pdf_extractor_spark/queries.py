@@ -1072,6 +1072,131 @@ def t_quantiles(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "v_statement_normalize",
+    """
+    SELECT o_custkey AS custkey,
+           'time_series' AS axis,
+           'order_lines' AS section_name,
+           cast(row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderkey)
+                AS INT) AS line_number,
+           CASE WHEN o_orderkey % 7 = 0 THEN concat('order ', o_orderkey)
+                ELSE o_orderpriority END AS label,
+           0 AS level,
+           (o_orderkey % 11 = 0) AS is_total,
+           round(CASE WHEN (o_totalprice % 500) != 0
+                       AND abs(o_totalprice % 500) < 1000
+                 THEN (o_totalprice % 500) * 1000
+                 ELSE o_totalprice % 500 END, 2) AS fy95_value,
+           cast(o_orderkey % 5 AS VARCHAR) AS note_ref
+    FROM orders
+    """,
+)
+def v_statement(spark: SparkSession, sf: str) -> DataFrame:
+    """The structured layer end-to-end, oracle-checked: orders rows are
+    packed into the nested statement model (sections -> items -> values map,
+    with nulled line numbers/labels and sub-multiplier values to force every
+    drift repair), run through the full column-expression normalizer
+    (functions/statement.py — W1 numbering, F12 label fallback, F11
+    is_total, F13 ref coercion, F6 units scaling, F17 axis inference, F1
+    snake_case), then flattened back to rows. The oracle states each
+    repair's expected value directly over the source rows."""
+    from pdf_extractor_spark.functions.statement import normalize_statement
+
+    o = _t(spark, sf, "orders").repartition(_par(spark), "o_custkey")
+    item = F.struct(
+        F.lit(None).cast("int").alias("line_number"),
+        F.when(F.col("o_orderkey") % 7 == 0, F.lit(None)).otherwise(
+            F.col("o_orderpriority")
+        ).alias("label"),
+        F.lit(None).cast("int").alias("level"),
+        F.when(F.col("o_orderkey") % 11 == 0, F.lit("subtotal"))
+        .otherwise(F.lit("position"))
+        .alias("row_kind"),
+        F.lit(None).cast("string").alias("row_as_of"),
+        F.lit(None).cast("struct<start:string,end:string>").alias("row_period"),
+        F.concat(F.lit("order "), F.col("o_orderkey").cast("string")).alias(
+            "row_description"
+        ),
+        F.create_map(
+            F.lit("1995-01-01"), (F.col("o_totalprice") % 500).cast("double")
+        ).alias("values"),
+        F.lit(None).cast("map<string,string>").alias("values_text"),
+        F.array((F.col("o_orderkey") % 5).cast("string")).alias(
+            "notes_reference"
+        ),
+    )
+    packed = (
+        o.select("o_custkey", "o_orderkey", item.alias("it"))
+        .groupBy("o_custkey")
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(F.col("o_orderkey").alias("k"), F.col("it"))
+                    ),
+                    # comparator on k only: the item struct holds a MAP,
+                    # which default struct ordering cannot compare
+                    lambda a, b: F.when(
+                        a.getField("k") < b.getField("k"), F.lit(-1)
+                    )
+                    .when(a.getField("k") > b.getField("k"), F.lit(1))
+                    .otherwise(F.lit(0)),
+                ),
+                lambda x: x.getField("it"),
+            ).alias("items")
+        )
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            F.struct(
+                F.struct(
+                    F.lit("synthetic").alias("company_name"),
+                    F.lit("income_statement").alias("statement_type"),
+                    F.lit(1000).alias("units_multiplier"),
+                    F.array(
+                        F.struct(
+                            F.lit("FY95").alias("label"),
+                            F.lit("1995-01-01").alias("iso_date"),
+                        )
+                    ).alias("periods"),
+                    F.array().cast("array<struct<key:string,label:string>>").alias(
+                        "columns"
+                    ),
+                ).alias("metadata"),
+                F.array().cast("array<string>").alias("extraction_notes"),
+                F.array(
+                    F.struct(
+                        F.lit("Order Lines").alias("section_name"),
+                        F.col("items").alias("items"),
+                    )
+                ).alias("sections"),
+            ).alias("statement"),
+        )
+    )
+    norm = normalize_statement(packed)
+    sec = F.element_at(F.col("statement").getField("sections"), 1)
+    return norm.select(
+        "custkey",
+        "axis",
+        sec.getField("section_name").alias("section_name"),
+        F.explode(sec.getField("items")).alias("item"),
+    ).select(
+        "custkey",
+        "axis",
+        "section_name",
+        F.col("item").getField("line_number").alias("line_number"),
+        F.col("item").getField("label").alias("label"),
+        F.col("item").getField("level").alias("level"),
+        F.col("item").getField("is_total").alias("is_total"),
+        F.round(
+            F.element_at(F.col("item").getField("values"), "1995-01-01"), 2
+        ).alias("fy95_value"),
+        F.element_at(F.col("item").getField("notes_reference"), 1).alias(
+            "note_ref"
+        ),
+    )
+
+
+@query(
     "t_sample_split",
     f"""
     WITH h AS (
