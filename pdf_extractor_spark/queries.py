@@ -1197,6 +1197,101 @@ def v_statement(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "v_statement_validate",
+    """
+    SELECT o_custkey AS custkey,
+           cast((CASE WHEN o_custkey % 3 = 0 THEN 1 ELSE 0 END)
+              + (CASE WHEN o_custkey % 5 = 0 THEN 1 ELSE 0 END)
+              + (CASE WHEN o_custkey % 7 = 0 THEN 1 ELSE 0 END)
+              + (CASE WHEN o_custkey % 11 = 0 THEN 1 ELSE 0 END) AS INT)
+             AS n_errors,
+           cast(CASE WHEN o_custkey % 4 = 0 THEN 1 ELSE 0 END AS INT)
+             AS n_warnings,
+           (o_custkey % 3 != 0 AND o_custkey % 5 != 0
+            AND o_custkey % 7 != 0 AND o_custkey % 11 != 0) AS is_valid,
+           cast(greatest(0, least(100,
+             100 - 10 * ((CASE WHEN o_custkey % 3 = 0 THEN 1 ELSE 0 END)
+                       + (CASE WHEN o_custkey % 5 = 0 THEN 1 ELSE 0 END)
+                       + (CASE WHEN o_custkey % 7 = 0 THEN 1 ELSE 0 END)
+                       + (CASE WHEN o_custkey % 11 = 0 THEN 1 ELSE 0 END))
+                 - 5 * (CASE WHEN o_custkey % 4 = 0 THEN 1 ELSE 0 END)))
+             AS INT) AS confidence
+    FROM (SELECT DISTINCT o_custkey FROM orders)
+    """,
+)
+def v_validate(spark: SparkSession, sf: str) -> DataFrame:
+    """V1 schema validator oracle-checked: statements are packed from
+    orders with DEFECTS INJECTED deterministically per custkey (missing
+    currency at %3, invalid units_multiplier at %5, null item label at %7,
+    values keyed outside declared periods at %11, ambiguity note at %4);
+    the validator's error/warning counts, is_valid, and the confidence
+    formula (reference src/validator.py:1325-1328) must reproduce the
+    injection schedule stated directly in SQL."""
+    from pdf_extractor_spark.functions.validate import validate_statements
+
+    o = _t(spark, sf, "orders").repartition(_par(spark), "o_custkey")
+    ck = F.col("o_custkey")
+    item = F.struct(
+        F.when(ck % 7 == 0, F.lit(None)).otherwise(F.lit("line")).alias("label"),
+        F.create_map(
+            F.when(ck % 11 == 0, F.lit("1996-01-01")).otherwise(
+                F.lit("1995-01-01")
+            ),
+            F.col("o_totalprice"),
+        ).alias("values"),
+    )
+    packed = (
+        o.select(ck.alias("custkey"), item.alias("it"))
+        .groupBy("custkey")
+        .agg(F.collect_list("it").alias("items"))
+        .select(
+            "custkey",
+            F.struct(
+                F.struct(
+                    F.lit("synthetic").alias("company_name"),
+                    F.lit("income_statement").alias("statement_type"),
+                    F.when(F.col("custkey") % 3 == 0, F.lit(None))
+                    .otherwise(F.lit("EUR"))
+                    .alias("currency"),
+                    F.when(F.col("custkey") % 5 == 0, F.lit(7))
+                    .otherwise(F.lit(1000))
+                    .alias("units_multiplier"),
+                    F.array(
+                        F.struct(
+                            F.lit("FY95").alias("label"),
+                            F.lit("1995-01-01").alias("iso_date"),
+                        )
+                    ).alias("periods"),
+                    F.array().cast("array<struct<key:string,label:string>>").alias(
+                        "columns"
+                    ),
+                ).alias("metadata"),
+                F.when(
+                    F.col("custkey") % 4 == 0,
+                    F.array(F.lit("value ambiguous near note 3")),
+                )
+                .otherwise(F.array().cast("array<string>"))
+                .alias("extraction_notes"),
+                F.array(
+                    F.struct(
+                        F.lit("lines").alias("section_name"),
+                        F.col("items").alias("items"),
+                    )
+                ).alias("sections"),
+            ).alias("statement"),
+        )
+    )
+    out = validate_statements(packed)
+    return out.select(
+        "custkey",
+        F.size("errors").alias("n_errors"),
+        F.size("warnings").alias("n_warnings"),
+        "is_valid",
+        F.col("confidence").cast("int").alias("confidence"),
+    )
+
+
+@query(
     "t_sample_split",
     f"""
     WITH h AS (
