@@ -415,8 +415,20 @@ def connected_components(
                 F.least(F.col("comp"), F.coalesce("j_comp", "comp")).alias("comp"),
             )
         labels = labels.localCheckpoint()
-        cur_sum = labels.agg(F.sum("comp")).first()[0]
+        # decimal(38,0): sum of 64-bit labels over billions of nodes can
+        # overflow long — ANSI mode would throw mid-iteration (and legacy
+        # wraparound could fake convergence)
+        cur_sum = labels.agg(F.sum(F.col("comp").cast("decimal(38,0)"))).first()[0]
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum
+    else:
+        import warnings
+
+        warnings.warn(
+            f"connected_components: max_iter={max_iter} reached without the "
+            "label sum stabilizing — result may not be fully converged",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return labels

@@ -115,15 +115,21 @@ def interval_join(
     b_pt = F.floor(F.unix_timestamp(F.col(ts_col)) / bucket_seconds)
     b_lo = F.floor(F.unix_timestamp(F.col(start_col)) / bucket_seconds)
     b_hi = F.floor(F.unix_timestamp(F.col(end_col)) / bucket_seconds)
-    iv = intervals.withColumn("_bucket", F.explode(F.sequence(b_lo, b_hi)))
-    pt = points.withColumn("_bucket", b_pt)
+    # explicit string aliases: when points and intervals derive from the same
+    # parent DataFrame, df[col] references are ambiguous under self-join
+    # lineage (Spark warns 'trivially true equals predicate'); alias-qualified
+    # names are unambiguous regardless of lineage
+    iv = intervals.withColumn(
+        "_bucket", F.explode(F.sequence(b_lo, b_hi))
+    ).alias("iv")
+    pt = points.withColumn("_bucket", b_pt).alias("p")
     cond = (
-        (pt[key] == iv[key])
-        & (pt["_bucket"] == iv["_bucket"])
-        & (pt[ts_col] >= iv[start_col])
-        & (pt[ts_col] < iv[end_col])
+        (F.col(f"p.{key}") == F.col(f"iv.{key}"))
+        & (F.col("p._bucket") == F.col("iv._bucket"))
+        & (F.col(f"p.{ts_col}") >= F.col(f"iv.{start_col}"))
+        & (F.col(f"p.{ts_col}") < F.col(f"iv.{end_col}"))
     )
-    out_cols = [pt[c] for c in points.columns] + [
-        iv[c] for c in intervals.columns if c != key
+    out_cols = [F.col(f"p.{c}") for c in points.columns] + [
+        F.col(f"iv.{c}") for c in intervals.columns if c != key
     ]
     return pt.join(iv, cond).select(*out_cols)

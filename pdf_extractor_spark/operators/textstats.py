@@ -131,10 +131,13 @@ def winnow_fingerprints(col: Column, k: int = 5, w: int = 8, normalize: bool = T
         else col
     )
     n = F.length(norm)
-    grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(0))),
-        lambda i: F.substring(norm, i, F.lit(k)),
-    )
+    # guard: F.sequence(1, 0) is DESCENDING [1, 0] — a doc shorter than k
+    # would emit two bogus k-grams of the short/empty string (the DuckDB
+    # oracle's end-exclusive range(1, 1) emits none)
+    gram_idx = F.when(
+        n >= k, F.sequence(F.lit(1), n - (k - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    grams = F.transform(gram_idx, lambda i: F.substring(norm, i, F.lit(k)))
     hashes = F.transform(
         grams,
         lambda g: (
@@ -144,10 +147,12 @@ def winnow_fingerprints(col: Column, k: int = 5, w: int = 8, normalize: bool = T
             + (F.position(F.substring(F.md5(g), 4, 1), F.lit("0123456789abcdef")) - 1)
         ),
     )
-    selected = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(hashes) - (w - 1), F.lit(0))),
-        lambda j: F.array_min(F.slice(hashes, j, w)),
-    )
+    # same guard: fewer than w hashes -> no windows (sequence(1, 0) would be
+    # [1, 0], whose 0 element feeds slice() an illegal 0 start)
+    win_idx = F.when(
+        F.size(hashes) >= w, F.sequence(F.lit(1), F.size(hashes) - (w - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    selected = F.transform(win_idx, lambda j: F.array_min(F.slice(hashes, j, w)))
     return F.array_sort(F.array_distinct(selected))
 
 
@@ -188,10 +193,12 @@ def winnow_fingerprints_df(
         n_partitions, id_col
     )
     n = F.length("_n")
-    grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(0))),
-        lambda i: F.substring(F.col("_n"), i, F.lit(k)),
-    )
+    # guard against the descending sequence(1, 0): short/empty docs emit NO
+    # k-grams (matches the oracle's end-exclusive range semantics)
+    gram_idx = F.when(
+        n >= k, F.sequence(F.lit(1), n - (k - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    grams = F.transform(gram_idx, lambda i: F.substring(F.col("_n"), i, F.lit(k)))
     md4 = F.transform(grams, lambda g: F.substring(F.md5(g), 1, 4))
     hex_pos = "0123456789abcdef"
     hashes = F.transform(

@@ -242,6 +242,29 @@ def test_winnow_shared_substring_shares_fingerprints(spark):
     assert df_form == got
 
 
+def test_winnow_short_and_empty_docs_emit_nothing(spark):
+    """Docs shorter than k (or with fewer than w hashes) emit NO
+    fingerprints — the descending sequence(1, 0) regression emitted two
+    bogus k-grams of the short/empty string at small w."""
+    rows = [(1, ""), (2, "abc"), (3, "abcd"), (4, "abcdefgh")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    # w=2: the pos>=w-1 filter no longer masks bogus grams
+    got = {
+        r["doc_id"]: list(r["fps"])
+        for r in df.select(
+            "doc_id",
+            T.winnow_fingerprints(F.col("text"), k=5, w=2).alias("fps"),
+        ).collect()
+    }
+    assert got[1] == [] and got[2] == [] and got[3] == []
+    assert len(got[4]) >= 1  # 8 chars -> 4 grams -> windows exist
+    df_form = {1: [], 2: [], 3: [], 4: []}
+    for r in T.winnow_fingerprints_df(df, "doc_id", "text", k=5, w=2).collect():
+        df_form[r["doc_id"]].append(r["fp"])
+    assert df_form[1] == [] and df_form[2] == [] and df_form[3] == []
+    assert sorted(df_form[4]) == sorted(got[4])
+
+
 def test_connected_components_chain_and_islands(spark):
     from pdf_extractor_spark.operators.dedup import connected_components
 
