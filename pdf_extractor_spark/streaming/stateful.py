@@ -23,6 +23,7 @@ RocksDB state store backend handles key counts beyond executor memory.
 
 from __future__ import annotations
 
+from decimal import ROUND_HALF_UP, Decimal
 from typing import Iterator, Tuple
 
 import pandas as pd
@@ -36,6 +37,13 @@ _US_PER_S = 1_000_000
 def _epoch_us(ts: pd.Series) -> pd.Series:
     # normalize ns/us datetime64 units to epoch microseconds
     return pd.to_datetime(ts).astype("datetime64[ns]").astype("int64") // 1000
+
+
+def _round2(x: float) -> float:
+    """Half-up to 2 decimals, matching Spark's F.round (which rounds the
+    double's shortest decimal repr HALF_UP) — Python's round() is
+    banker's/half-even and diverges on sums ending in .xx5."""
+    return float(Decimal(repr(x)).quantize(Decimal("0.01"), rounding=ROUND_HALF_UP))
 
 
 def sessionize_stream(
@@ -72,7 +80,7 @@ def sessionize_stream(
                 "session_start": [pd.to_datetime(s[0], unit="us") for s in sessions],
                 "session_end": [pd.to_datetime(s[1], unit="us") for s in sessions],
                 "n_events": [s[2] for s in sessions],
-                "session_value": [round(s[3], 2) for s in sessions],
+                "session_value": [_round2(s[3]) for s in sessions],
             }
         )
 
@@ -98,15 +106,45 @@ def sessionize_stream(
         else:
             cur = None
         closed: list[tuple] = []
-        for ts_us, val in zip(rows["_us"], rows[value_col].astype("float64")):
+        events = list(zip(rows["_us"], rows[value_col].astype("float64")))
+        # within-watermark late events may precede the carried session's
+        # START. Batch semantics: events more than gap before session_start
+        # form their OWN earlier session(s); events within gap of the start
+        # merge in (widen). Sessionize the pre-start run separately, then
+        # merge its tail into the open session iff it closes the gap.
+        # (Inherent streaming divergence, documented: a late event cannot
+        # merge with a session that was already emitted in a prior batch.)
+        if cur is not None:
+            pre = [(t, v) for t, v in events if t < cur[0]]
+            events = [(t, v) for t, v in events if t >= cur[0]]
+            acc: list | None = None
+            for ts_us, val in pre:
+                if acc is None:
+                    acc = [ts_us, ts_us, 1, val]
+                elif ts_us - acc[1] > gap_us:
+                    closed.append(tuple(acc))
+                    acc = [ts_us, ts_us, 1, val]
+                else:
+                    acc[1] = ts_us
+                    acc[2] += 1
+                    acc[3] += val
+            if acc is not None:
+                if cur[0] - acc[1] <= gap_us:
+                    cur[0] = acc[0]
+                    cur[2] += acc[2]
+                    cur[3] += acc[3]
+                else:
+                    closed.append(tuple(acc))
+        for ts_us, val in events:
             if cur is None:
-                cur = [ts_us, ts_us, 0, 0.0]
-            elif ts_us - cur[1] > gap_us:
+                cur = [ts_us, ts_us, 1, val]
+                continue
+            if ts_us - cur[1] > gap_us:
                 closed.append(tuple(cur))
-                cur = [ts_us, ts_us, 0, 0.0]
-            # late (within-watermark) events may precede the carried state's
-            # last_ts: widen the session rather than moving its end backward
-            cur[0] = min(cur[0], ts_us)
+                cur = [ts_us, ts_us, 1, val]
+                continue
+            # mid-session stragglers (cur_start <= ts <= cur_last) just
+            # accumulate; later events extend the end
             cur[1] = max(cur[1], ts_us)
             cur[2] += 1
             cur[3] += val

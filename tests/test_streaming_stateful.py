@@ -18,8 +18,13 @@ def _m(minutes: float) -> datetime.datetime:
 
 
 # user 1: session A (0..10), gap >30, session B (60..65) spanning batches,
-#         gap >30 in batch 2 closes B, session C (120..) stays open
+#         gap >30 in batch 2 closes B, session C (120..) closed by batch 3,
+#         batch 4 delivers WITHIN-WATERMARK LATE events that precede the
+#         open session D's start: 151 (>gap before 200 -> own session) and
+#         182 (<=gap before 200 -> merges into D, widening it)
 # user 2: one session entirely in batch 1, closed by a batch-2 event >gap later
+# user 3: single event whose value ends in .xx5 — F.round is HALF_UP, so the
+#         stream must emit 2.35 (Python round() would emit 2.34)
 BATCH1 = [
     (1, _m(0), 1.0),
     (1, _m(5), 2.0),
@@ -27,11 +32,21 @@ BATCH1 = [
     (1, _m(60), 4.0),
     (2, _m(0), 10.0),
     (2, _m(20), 20.0),
+    (3, _m(0), 2.345),
 ]
 BATCH2 = [
     (1, _m(65), 5.0),  # continues session B across the batch boundary
     (1, _m(120), 6.0),  # >30 min after 65 -> closes B, opens C
     (2, _m(90), 30.0),  # >30 min after 20 -> closes user 2's first session
+    (3, _m(40), 1.0),  # closes user 3's .xx5 session
+]
+BATCH3 = [
+    (1, _m(200), 7.0),  # closes C, opens D
+]
+BATCH4 = [
+    # late but within the 120-min watermark; both precede D's start (200)
+    (1, _m(151), 8.0),  # >gap before D AND >gap after C -> its own session
+    (1, _m(182), 9.0),  # <=gap before D -> widens D (stays open)
 ]
 SCHEMA = "user_id bigint, ts timestamp, value double"
 
@@ -60,8 +75,10 @@ def _batch_sessions(spark, rows):
 
 def _run_once(spark, src, ckpt, sink):
     stream = spark.readStream.schema(SCHEMA).parquet(src)
+    # watermark 120 min > gap 30 min so a within-watermark event can still be
+    # earlier than (open-session start - gap) — the late-merge test cases
     q = (
-        sessionize_stream(stream, gap_minutes=30, watermark_delay="30 minutes")
+        sessionize_stream(stream, gap_minutes=30, watermark_delay="120 minutes")
         .writeStream.format("parquet")
         .option("path", sink)
         .option("checkpointLocation", ckpt)
@@ -77,16 +94,15 @@ def test_stateful_sessionize_across_microbatches(spark, tmp_path):
     ckpt = str(tmp_path / "ckpt")
     sink = str(tmp_path / "sink")
 
-    spark.createDataFrame(BATCH1, SCHEMA).write.mode("append").parquet(src)
-    _run_once(spark, src, ckpt, sink)
-    spark.createDataFrame(BATCH2, SCHEMA).write.mode("append").parquet(src)
-    _run_once(spark, src, ckpt, sink)
+    for batch in (BATCH1, BATCH2, BATCH3, BATCH4):
+        spark.createDataFrame(batch, SCHEMA).write.mode("append").parquet(src)
+        _run_once(spark, src, ckpt, sink)
 
     emitted = {
         (r["user_id"], r["session_start"], r["session_end"], r["n_events"], r["session_value"])
         for r in spark.read.parquet(sink).collect()
     }
-    batch = _batch_sessions(spark, BATCH1 + BATCH2)
+    batch = _batch_sessions(spark, BATCH1 + BATCH2 + BATCH3 + BATCH4)
 
     # every emitted session is exactly a batch session (same boundaries,
     # counts, sums) — no partial or duplicated emissions
@@ -94,17 +110,29 @@ def test_stateful_sessionize_across_microbatches(spark, tmp_path):
 
     # the gap-closed sessions MUST all have emitted: user 1's session A
     # (closed within batch 1), session B (spans the boundary, closed by the
-    # batch-2 gap — proves state carried through the checkpoint), and
-    # user 2's first session (closed by a batch-2 event)
+    # batch-2 gap — proves state carried through the checkpoint), session C
+    # (closed by batch 3), the LATE batch-4 event at 151 (>gap before open
+    # session D's start -> its own session, not a widened D), user 2's first
+    # session, and user 3's half-up .xx5 session (2.345 -> 2.35, not the
+    # banker's 2.34)
     must_close = {
         (1, _m(0), _m(10), 3, 6.0),
         (1, _m(60), _m(65), 2, 9.0),
+        (1, _m(120), _m(120), 1, 6.0),
+        (1, _m(151), _m(151), 1, 8.0),
         (2, _m(0), _m(20), 2, 30.0),
+        (3, _m(0), _m(0), 1, 2.35),
     }
     assert must_close <= emitted, must_close - emitted
 
-    # still-open sessions (each user's last) must NOT have emitted unless the
-    # watermark timed them out — and the watermark (max ts - 30 min) cannot
-    # have passed last_ts + gap for either user's final session here
-    open_sessions = {(1, _m(120), _m(120), 1, 6.0), (2, _m(90), _m(90), 1, 30.0)}
+    # still-open sessions must NOT have emitted: user 1's D (widened by the
+    # within-gap late event 182 -> start 182, end 200) and user 2's last.
+    # user 3's (40..40) session MAY emit via the event-time timeout once the
+    # watermark (200 - 120min = 80) passes 40 + gap = 70 — that emission is
+    # also a valid batch session, covered by the subset assertion above.
+    open_sessions = {
+        (1, _m(182), _m(200), 2, 16.0),
+        (1, _m(200), _m(200), 1, 7.0),  # D must NOT emit un-widened either
+        (2, _m(90), _m(90), 1, 30.0),
+    }
     assert not (open_sessions & emitted)
