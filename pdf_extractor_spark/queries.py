@@ -54,6 +54,31 @@ def all_oracles() -> dict[str, str]:
     return dict(_ORACLES)
 
 
+def _dotted_rank(refs: DataFrame, ref_col: str) -> DataFrame:
+    """Global dotted-sort rank (A1/A2) WITHOUT an unpartitioned window.
+
+    ``Window.orderBy`` with no partitionBy serializes the whole input on a
+    single task; instead rank within the bounded major prefix (partitioned
+    window), then add the count of refs in earlier majors. The offsets side
+    is |distinct majors| rows — broadcast, and the earlier-major prefix sum
+    is a broadcast inequality join on that tiny table, not a window.
+    """
+    key = N.dotted_sort_key(F.col(ref_col))
+    keyed = refs.select(ref_col, key[0].alias("_maj"), key[1].alias("_min"))
+    w_in = Window.partitionBy("_maj").orderBy("_min")
+    ranked = keyed.withColumn("_rn", F.row_number().over(w_in))
+    counts = keyed.groupBy("_maj").agg(F.count(F.lit(1)).alias("_cnt"))
+    x, y = counts.alias("x"), counts.alias("y")
+    offsets = (
+        x.join(F.broadcast(y), F.col("y._maj") < F.col("x._maj"), "left")
+        .groupBy(F.col("x._maj").alias("_maj"))
+        .agg(F.coalesce(F.sum("y._cnt"), F.lit(0)).alias("_off"))
+    )
+    return ranked.join(F.broadcast(offsets), "_maj").select(
+        ref_col, (F.col("_off") + F.col("_rn")).cast("int").alias("rank")
+    )
+
+
 # =============================================================================
 # Relational core (SURVEY.md §2.4-2.6 join/agg/window behaviors)
 # =============================================================================
@@ -298,10 +323,7 @@ def a2(spark: SparkSession, sf: str) -> DataFrame:
     refs = n.select(
         F.concat_ws(".", "n_regionkey", "n_nationkey").alias("ref")
     ).distinct()
-    w = Window.orderBy(
-        N.dotted_sort_key(F.col("ref"))[0], N.dotted_sort_key(F.col("ref"))[1]
-    )
-    return refs.withColumn("rank", F.row_number().over(w))
+    return _dotted_rank(refs, "ref")
 
 
 @query(
@@ -1710,9 +1732,7 @@ def a1(spark: SparkSession, sf: str) -> DataFrame:
         .filter(F.length("note_id") > 0)
         .distinct()
     )
-    key = N.dotted_sort_key(F.col("note_id"))
-    w = Window.orderBy(key[0], key[1])
-    return norm.withColumn("rank", F.row_number().over(w))
+    return _dotted_rank(norm, "note_id")
 
 
 # =============================================================================

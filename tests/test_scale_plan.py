@@ -118,15 +118,37 @@ def test_star_join_broadcasts_dims(spark):
     assert "BroadcastExchange" in plan
 
 
+def _unpartitioned_windows(plan: str) -> list[str]:
+    """Arguments lines of Window nodes with NO partition spec.
+
+    A formatted Window detail is ``Arguments: [funcs], [partSpec], [orderSpec]``
+    (3 top-level groups); an unpartitioned window has only 2 — and executes
+    on a SinglePartition exchange, serializing the whole input on one task.
+    """
+    bad, lines = [], plan.splitlines()
+    import re
+
+    for i, ln in enumerate(lines):
+        if re.fullmatch(r"\(\d+\) Window", ln.strip()):
+            for detail in lines[i + 1 : i + 8]:
+                if detail.startswith("Arguments:"):
+                    if detail.count("], [") < 2:
+                        bad.append(detail)
+                    break
+    return bad
+
+
 def test_all_queries_plan_hygiene(spark):
-    """Every contract query must plan without cartesian products or
-    row-at-a-time Python — the two scale killers."""
+    """Every contract query must plan without cartesian products,
+    row-at-a-time Python, or unpartitioned windows — the three scale
+    killers."""
     from pdf_extractor_spark.queries import all_queries
 
     for name, fn in all_queries().items():
         plan = _explain(fn(spark, "/root/testdata/sf0.001"))
         assert "CartesianProduct" not in plan, name
         assert "BatchEvalPython" not in plan, name
+        assert not _unpartitioned_windows(plan), name
 
 
 def test_salted_output_identical(spark, doc_parquet):
