@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import html as _htmllib
 import re
+from dataclasses import dataclass
 
 # --- tokenizer ---------------------------------------------------------------
 
@@ -70,6 +71,26 @@ MIN_CONTENT_CHARS = 25
 MAX_LINK_DENSITY = 0.33
 MIN_HEADING_CHARS = 3
 SHORT_BLOCK_MIN_CHARS = 8
+
+
+@dataclass(frozen=True)
+class ExtractContext:
+    """M4 — per-run extraction options threaded into every per-document
+    call (the reference prefixes a per-run context onto each mapped item,
+    reference src/extractor.py:161-183; here the context is the classifier
+    threshold set, closed over by the vectorized UDF).
+
+    Frozen + tiny so it pickles into the UDF closure and rides to every
+    executor once per task, not per row.
+    """
+
+    min_content_chars: int = MIN_CONTENT_CHARS
+    max_link_density: float = MAX_LINK_DENSITY
+    min_heading_chars: int = MIN_HEADING_CHARS
+    short_block_min_chars: int = SHORT_BLOCK_MIN_CHARS
+
+
+DEFAULT_CONTEXT = ExtractContext()
 
 
 class _Block:
@@ -233,7 +254,7 @@ def _assemble_blocks(source: str) -> list[_Block]:
     return blocks
 
 
-def _classify(blocks: list[_Block]) -> list[bool]:
+def _classify(blocks: list[_Block], ctx: ExtractContext = DEFAULT_CONTEXT) -> list[bool]:
     n_chars = [len(b.text) for b in blocks]
     link_density = [
         (b.anchor_chars / c) if c else 1.0 for b, c in zip(blocks, n_chars)
@@ -244,7 +265,7 @@ def _classify(blocks: list[_Block]) -> list[bool]:
     for i, b in enumerate(blocks):
         if b.path_flags:
             continue
-        if n_chars[i] >= MIN_CONTENT_CHARS and link_density[i] <= MAX_LINK_DENSITY:
+        if n_chars[i] >= ctx.min_content_chars and link_density[i] <= ctx.max_link_density:
             keep[i] = True
             any_content = True
 
@@ -255,8 +276,8 @@ def _classify(blocks: list[_Block]) -> list[bool]:
                 not keep[i]
                 and not b.path_flags
                 and b.tag in _HEADING_TAGS
-                and n_chars[i] >= MIN_HEADING_CHARS
-                and link_density[i] <= MAX_LINK_DENSITY
+                and n_chars[i] >= ctx.min_heading_chars
+                and link_density[i] <= ctx.max_link_density
             ):
                 keep[i] = True
 
@@ -269,17 +290,19 @@ def _classify(blocks: list[_Block]) -> list[bool]:
             and keep[i + 1]
             and not blocks[i].path_flags
             and blocks[i].anchor_chars == 0
-            and n_chars[i] >= SHORT_BLOCK_MIN_CHARS
+            and n_chars[i] >= ctx.short_block_min_chars
         ):
             keep[i] = True
     return keep
 
 
-def extract_html_one(payload: bytes) -> tuple[str, list[tuple[int, int]], int]:
+def extract_html_one(
+    payload: bytes, ctx: ExtractContext = DEFAULT_CONTEXT
+) -> tuple[str, list[tuple[int, int]], int]:
     """bytes -> (main text, spans into decoded source, n_blocks)."""
     source = _decode(payload)
     blocks = _assemble_blocks(source)
-    keep = _classify(blocks)
+    keep = _classify(blocks, ctx)
     out_texts: list[str] = []
     spans: list[tuple[int, int]] = []
     for b, k in zip(blocks, keep):

@@ -27,7 +27,11 @@ from pyspark.sql.types import (
     StructType,
 )
 
-from pdf_extractor_spark.extract.html_parser import extract_html_one
+from pdf_extractor_spark.extract.html_parser import (
+    DEFAULT_CONTEXT,
+    ExtractContext,
+    extract_html_one,
+)
 from pdf_extractor_spark.extract.pdf_parser import extract_pdf_one
 
 SPAN_SCHEMA = ArrayType(
@@ -48,7 +52,9 @@ EXTRACT_RESULT_SCHEMA = StructType(
 )
 
 
-def extract_one(payload: bytes | None) -> tuple:
+def extract_one(
+    payload: bytes | None, ctx: ExtractContext = DEFAULT_CONTEXT
+) -> tuple:
     """Dispatch one payload by magic bytes; never raises.
 
     Gzip members (WARC payloads are commonly gzip) are transparently
@@ -66,7 +72,7 @@ def extract_one(payload: bytes | None) -> tuple:
             text, spans, n = extract_pdf_one(payload)
             kind = "pdf"
         else:
-            text, spans, n = extract_html_one(payload)
+            text, spans, n = extract_html_one(payload, ctx)
             kind = "html"
         return (
             text,
@@ -80,15 +86,32 @@ def extract_one(payload: bytes | None) -> tuple:
         return ("", [], 0, "error", False, f"{type(exc).__name__}: {exc}")
 
 
-@F.pandas_udf(EXTRACT_RESULT_SCHEMA)
-def extract_udf(payload: pd.Series) -> pd.DataFrame:
-    """Arrow-batched extraction: Series[bytes] -> DataFrame[text, spans, ...].
+def make_extract_udf(context: ExtractContext | None = None):
+    """M4 — context-prefixed map: per-run extraction options closed over by
+    the vectorized UDF (reference src/extractor.py:161-183 prefixes a
+    per-run context onto every mapped document; the Spark analog is a
+    closure/`lit()` parameter, not a per-row column). The context rides in
+    the serialized closure — shipped once per task, applied to every row of
+    every Arrow batch."""
+    ctx = context or DEFAULT_CONTEXT
 
-    The per-payload loop below runs inside the Arrow batch in the Python
-    worker — permitted batch-local Python (SURVEY.md §4.6); the prohibition
-    is per-row Python on the Spark side (no ``udf()``, no ``rdd.map``).
-    """
-    rows = [extract_one(p) for p in payload]
-    return pd.DataFrame(
-        rows, columns=["text", "spans", "n_blocks", "kind", "ok", "error"]
-    )
+    @F.pandas_udf(EXTRACT_RESULT_SCHEMA)
+    def _extract_udf(payload: pd.Series) -> pd.DataFrame:
+        """Arrow-batched extraction: Series[bytes] -> DataFrame[text, ...].
+
+        The per-payload loop below runs inside the Arrow batch in the Python
+        worker — permitted batch-local Python (SURVEY.md §4.6); the
+        prohibition is per-row Python on the Spark side (no ``udf()``, no
+        ``rdd.map``).
+        """
+        rows = [extract_one(p, ctx) for p in payload]
+        return pd.DataFrame(
+            rows, columns=["text", "spans", "n_blocks", "kind", "ok", "error"]
+        )
+
+    return _extract_udf
+
+
+# default-context UDF (the hot path used by the pipeline when no per-run
+# context is supplied)
+extract_udf = make_extract_udf()

@@ -244,6 +244,61 @@ def ngram_jaccard_pairs(
     )
 
 
+def lsh_verified_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = DEFAULT_MINHASH_K,
+    bands: int = DEFAULT_BANDS,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """DEFAULT near-dup path: LSH candidate pairs verified by exact n-gram
+    Jaccard — generate-then-verify, mirroring the reference's
+    validate-then-correct loop (reference src/validator.py:86-95) at corpus
+    scale.
+
+    Plan shape: the LSH bucket equi-join emits candidate (id_a, id_b) pairs
+    (never a low-cardinality group self-join — candidate count scales with
+    true near-dup density, not group size squared); per-doc distinct
+    shingles are materialized ONCE behind a repartition barrier and joined
+    to the pair list twice (two equi-joins on id). Exact Jaccard runs ONLY
+    on candidates. Returns (id_a, id_b, jaccard) with jaccard >= threshold.
+    """
+    pairs = minhash_lsh_pairs(
+        df, id_col, text_col, k, bands, shingle_n, n_partitions
+    )
+    sh = df.select(
+        F.col(id_col).alias("id"), word_tokens(F.col(text_col)).alias("_t")
+    )
+    if n_partitions:
+        sh = sh.repartition(n_partitions, "id")
+    sh = sh.select(
+        "id",
+        F.array_distinct(shingles_from_tokens(F.col("_t"), shingle_n)).alias("sh"),
+    ).select("id", "sh", F.size("sh").alias("n"))
+    sa, sb = sh.alias("sa"), sh.alias("sb")
+    paired = (
+        pairs.join(sa, pairs["id_a"] == F.col("sa.id"))
+        .join(sb, pairs["id_b"] == F.col("sb.id"))
+        .select(
+            "id_a",
+            "id_b",
+            F.size(F.array_intersect(F.col("sa.sh"), F.col("sb.sh"))).alias("inter"),
+            F.col("sa.n").alias("na"),
+            F.col("sb.n").alias("nb"),
+        )
+    )
+    union = paired["na"] + paired["nb"] - paired["inter"]
+    jac = F.when(union <= 0, F.lit(0.0)).otherwise(
+        F.round(paired["inter"].cast("double") / union, 6)
+    )
+    return paired.select("id_a", "id_b", jac.alias("jaccard")).filter(
+        F.col("jaccard") >= threshold
+    )
+
+
 def _hex_nibble(c: Column) -> Column:
     """hex char -> 0..15 via strpos (portable to any engine)."""
     return F.position(c, F.lit("0123456789abcdef")) - 1

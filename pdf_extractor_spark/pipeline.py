@@ -21,7 +21,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from pdf_extractor_spark.extract.udfs import extract_udf
+from pdf_extractor_spark.extract.udfs import ExtractContext, extract_udf, make_extract_udf
 from pdf_extractor_spark.plans.partitioning import salted_repartition
 from pdf_extractor_spark.sources import catalog
 
@@ -32,16 +32,20 @@ def extract_documents(
     df: DataFrame,
     n_partitions: int | None = None,
     heavy: list[str] | None = None,
+    context: ExtractContext | None = None,
 ) -> DataFrame:
     """Pure transformation: (url, warc_ts, html, lang, ...) -> extraction results.
 
     ``n_partitions=None`` skips the explicit repartition (small inputs /
     already-bucketed tables); pass it on big scans so the UDF stage is
-    salted against host skew.
+    salted against host skew. ``context`` (M4) is a per-run option set
+    closed over by the UDF — one serialized object per task, applied to
+    every document (reference src/extractor.py:161-183).
     """
     if n_partitions:
         df = salted_repartition(df, n_partitions, heavy=heavy)
-    extracted = df.withColumn("_x", extract_udf(F.col("html")))
+    udf = extract_udf if context is None else make_extract_udf(context)
+    extracted = df.withColumn("_x", udf(F.col("html")))
     keep = [c for c in ["url", "warc_ts", "lang", "html"] if c in df.columns]
     return extracted.select(
         *keep,

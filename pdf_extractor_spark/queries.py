@@ -916,6 +916,39 @@ def d_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+_JACCARD_CASE = """
+    round(CASE WHEN (array_length(a.sh) + array_length(b.sh)
+                     - array_length(list_intersect(a.sh, b.sh))) <= 0 THEN 0.0
+          ELSE cast(array_length(list_intersect(a.sh, b.sh)) AS DOUBLE)
+               / (array_length(a.sh) + array_length(b.sh)
+                  - array_length(list_intersect(a.sh, b.sh))) END, 6)
+"""
+
+
+@query(
+    "d_verified_near_dups",
+    f"""
+    WITH cand AS ({_LSH_PAIRS_SQL}),
+    sh AS (SELECT doc_id, list_distinct({_SHINGLE_SQL}) AS sh FROM documents)
+    SELECT c.id_a, c.id_b, {_JACCARD_CASE} AS jaccard
+    FROM cand c
+    JOIN sh a ON a.doc_id = c.id_a
+    JOIN sh b ON b.doc_id = c.id_b
+    WHERE {_JACCARD_CASE} >= 0.3
+    """,
+)
+def d_verified(spark: SparkSession, sf: str) -> DataFrame:
+    """The DEFAULT near-dup path: LSH candidates -> exact Jaccard verify
+    (generate-then-verify, reference src/validator.py:86-95). Exact
+    similarity runs only on the LSH candidate pairs — candidate count
+    scales with true near-dup density, never with any blocking group's
+    size squared."""
+    d = _t(spark, sf, "documents")
+    return D.lsh_verified_pairs(
+        d, k=4, bands=2, shingle_n=2, threshold=0.3, n_partitions=_par(spark)
+    )
+
+
 @query(
     "d_simhash",
     f"""

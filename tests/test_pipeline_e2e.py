@@ -128,3 +128,31 @@ def test_uncommitted_snapshot_invisible(spark, corpus, tmp_path):
     assert visible.count() == 10
     rem = catalog.remaining(spark, _input_df(spark, corpus[:20], 2), table)
     assert rem.count() == 10
+
+
+def test_context_threads_into_udf_closure(spark):
+    """M4 — a per-run ExtractContext deterministically changes what the
+    distributed UDF keeps (reference src/extractor.py:161-183 context-
+    prefixed map). A 15-char paragraph is boilerplate under the default
+    min_content_chars=25 but content under a permissive context; the
+    distributed result must equal the pure function under the SAME context."""
+    from pdf_extractor_spark.extract.udfs import ExtractContext
+
+    page = (
+        b"<html><body><nav><a href='/'>Home</a></nav>"
+        b"<p>Fifteen chars!!</p>"
+        b"<p>This paragraph is comfortably longer than twenty-five characters.</p>"
+        b"</body></html>"
+    )
+    df = spark.createDataFrame([("u1", page)], "url string, html binary")
+
+    loose = ExtractContext(min_content_chars=10)
+    got_default = extract_documents(df).select("text").first()["text"]
+    got_loose = (
+        extract_documents(df, context=loose).select("text").first()["text"]
+    )
+    assert "Fifteen chars!!" not in got_default
+    assert got_loose.startswith("Fifteen chars!!")
+    # distributed == pure function under the same context (golden protocol)
+    assert got_loose == extract_one(page, loose)[0]
+    assert got_default == extract_one(page)[0]
