@@ -435,6 +435,10 @@ def connected_components(
         F.col(src_col).cast("long").alias("src"), F.col(dst_col).cast("long").alias("dst")
     )
     sym = sym.union(sym.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    # materialize the (static) edge list ONCE: without this every round's
+    # join re-executes the upstream plan that produced the edges (for LSH
+    # candidates that is the whole minhash pipeline, per round)
+    sym = sym.localCheckpoint()
     labels = (
         sym.select(F.col("src").alias("node"))
         .distinct()
@@ -487,3 +491,104 @@ def connected_components(
             stacklevel=2,
         )
     return labels
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    """One large-star round over a canonical (u < v) edge set: every node's
+    strictly-larger neighbors attach to the minimum of its neighborhood."""
+    sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    mins = sym.groupBy("u").agg(F.min("v").alias("_mn"))
+    mins = mins.select("u", F.least("u", "_mn").alias("m"))
+    # m = min(neighborhood ∪ {u}) <= u < v, so (m, v) is already canonical
+    return (
+        sym.join(mins, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("m").alias("u"), F.col("v").alias("v"))
+        .distinct()
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """One small-star round: every node's smaller neighbors (and the node
+    itself) attach to the minimum smaller neighbor."""
+    mins = e.groupBy("v").agg(F.min("u").alias("m"))
+    attach_nbrs = (
+        e.join(mins, "v")
+        .filter(F.col("u") != F.col("m"))
+        .select(F.col("m").alias("u"), F.col("u").alias("v"))
+    )
+    attach_center = mins.select(F.col("m").alias("u"), F.col("v").alias("v"))
+    return attach_nbrs.union(attach_center).distinct()
+
+
+def connected_components_star(
+    edges: DataFrame,
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components by alternating large-star/small-star rounds
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14) -> (node, comp), comp = min node id of the component.
+
+    Same contract as ``connected_components`` (every node appearing in the
+    input edge list gets a row); converges in O(log^2 n) rounds on ANY
+    graph — including adversarial long chains, where plain min-label
+    propagation needs diameter-many rounds. Each round is two groupBy +
+    join passes over the (shrinking) edge set; ``localCheckpoint`` per
+    round truncates lineage.
+
+    Convergence check: edge endpoints only ever decrease pairwise, so the
+    (count, sum(u), sum(v)) triple is stationary iff the edge set is a
+    fixpoint (sums in decimal(38,0) — long could overflow at 10^12 edges).
+    """
+    # materialize the input edge list ONCE — all_nodes and e both derive
+    # from it, and without the checkpoint each would re-execute the full
+    # upstream plan (e.g. the minhash-LSH candidate pipeline)
+    raw = edges.select(
+        F.col(src_col).cast("long").alias("a"), F.col(dst_col).cast("long").alias("b")
+    ).localCheckpoint()
+    all_nodes = (
+        raw.select(F.col("a").alias("node"))
+        .union(raw.select(F.col("b").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    e = (
+        raw.filter(F.col("a") != F.col("b"))
+        .select(F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def _sig(frame: DataFrame) -> tuple:
+        row = frame.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("u").cast("decimal(38,0)")).alias("su"),
+            F.sum(F.col("v").cast("decimal(38,0)")).alias("sv"),
+        ).first()
+        return (row["n"], row["su"], row["sv"])
+
+    prev = _sig(e)
+    for _ in range(max_iter):
+        e = _small_star(_large_star(e)).localCheckpoint()
+        cur = _sig(e)
+        if cur == prev:
+            break
+        prev = cur
+    else:
+        import warnings
+
+        warnings.warn(
+            f"connected_components_star: max_iter={max_iter} reached before "
+            "the edge set stabilized — result may not be fully converged",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+    # converged edge set is a union of stars rooted at each component's min:
+    # every non-root node has exactly one edge (root, node)
+    labels = e.select(F.col("v").alias("node"), F.col("u").alias("comp"))
+    roots = all_nodes.join(labels, "node", "left_anti").select(
+        "node", F.col("node").alias("comp")
+    )
+    return labels.union(roots)

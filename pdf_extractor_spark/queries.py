@@ -878,16 +878,17 @@ def d_lsh(spark: SparkSession, sf: str) -> DataFrame:
 )
 def d_components(spark: SparkSession, sf: str) -> DataFrame:
     """Duplicate-cluster labeling: connected components over the LSH
-    candidate-pair graph (min-label propagation as iterative joins with
-    localCheckpoint lineage truncation; large-star/small-star is the drop-in
-    round body for adversarial diameters at 10^12 edges). comp = min doc_id
-    per cluster — the representative a dedup pass keeps. The oracle computes
-    the same labeling via a recursive CTE."""
+    candidate-pair graph via alternating large-star/small-star rounds
+    (Kiveris et al. SoCC'14) — O(log^2 n) rounds on ANY graph shape,
+    including adversarial long chains where min-label propagation needs
+    diameter-many rounds. comp = min doc_id per cluster — the
+    representative a dedup pass keeps. The oracle computes the same
+    labeling via a recursive CTE."""
     d = _t(spark, sf, "documents")
     pairs = D.minhash_lsh_pairs(
         d, k=4, bands=2, shingle_n=2, n_partitions=_par(spark)
     )
-    return D.connected_components(pairs)
+    return D.connected_components_star(pairs)
 
 
 @query(

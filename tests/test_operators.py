@@ -278,6 +278,64 @@ def test_connected_components_chain_and_islands(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
 
 
+def test_connected_components_star_matches_label_prop(spark):
+    """Large-star/small-star (Kiveris SoCC'14) must produce the identical
+    labeling on an adversarial long chain (shuffled ids so the min sits
+    mid-chain) and on a random graph — in far fewer rounds than diameter."""
+    import random
+
+    from pdf_extractor_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    rng = random.Random(7)
+
+    # chain of 400 nodes with shuffled labels: diameter 399
+    ids = list(range(1000, 1400))
+    rng.shuffle(ids)
+    chain = [(ids[i], ids[i + 1]) for i in range(len(ids) - 1)]
+    # plus a random graph: 300 nodes, 350 edges (several components)
+    rand_edges = [
+        (rng.randrange(0, 300), rng.randrange(0, 300)) for _ in range(350)
+    ]
+    pairs = chain + rand_edges
+
+    # gold labels: union-find in plain Python
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    gold = {x: find(x) for x in parent}
+
+    edges = spark.createDataFrame(pairs, ["id_a", "id_b"])
+    star = {
+        r["node"]: r["comp"]
+        for r in connected_components_star(edges, max_iter=12).collect()
+    }
+    assert star == gold  # chain's min reached in <=12 star rounds
+
+    # min-label propagation (2 pointer jumps/round) needs FAR more rounds on
+    # a diameter-399 chain — the scale argument for the star round body.
+    # On the shallow random graph alone the two agree quickly.
+    rand_df = spark.createDataFrame(rand_edges, ["id_a", "id_b"])
+    star_r = {
+        r["node"]: r["comp"]
+        for r in connected_components_star(rand_df, max_iter=12).collect()
+    }
+    prop_r = {r["node"]: r["comp"] for r in connected_components(rand_df).collect()}
+    assert star_r == prop_r == {x: gold[x] for x in star_r}
+
+
 def test_asof_join_semantics(spark):
     import datetime
 
