@@ -104,25 +104,42 @@ def ann_topk(
     n_planes: int = DEFAULT_PLANES,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_flip: int = 0,
+    exclude_id: int | None = None,
 ) -> DataFrame:
-    """ANN top-k: score only vectors in the query's SRP bucket.
+    """ANN top-k: score only vectors in the query's SRP bucket(s).
 
-    Recall < 1.0 by construction; multiprobe (flipping low-margin bits) or
-    fewer planes raise recall. Candidate set is a partition-pruned filter —
-    at scale, write the table bucketed by ``srp_bucket`` and this becomes a
-    single-bucket scan.
+    ``n_flip=0`` probes the query's own bucket only (recall < 1.0 by
+    construction). ``n_flip>0`` is MULTIPROBE: additionally probe the
+    buckets reached by flipping the ``n_flip`` hyperplane bits with the
+    smallest projection margin |q·w| — the planes the query sits closest
+    to, i.e. where its true neighbors most likely landed on the other side
+    (Lv et al., "Multi-probe LSH", VLDB'07). Probe selection is
+    driver-side arithmetic on the query vector alone; the candidate set
+    stays a partition-prunable ``bucket IN (...)`` filter + exact rescore —
+    the same plan shape as single-probe, scanning n_flip+1 buckets instead
+    of one.
     """
     dim = len(query_vec)
     planes = hyperplanes(n_planes, dim)
+    margins: list[float] = []
     qbits = 0
     for j, plane in enumerate(planes):
         s = sum(float(a) * b for a, b in zip(query_vec, plane))
+        margins.append(s)
         if s >= 0:
             qbits += 2**j
+    # flip the lowest-|margin| planes; round |margin| so the selection is
+    # reproducible under summation-order FP jitter (the SQL oracle computes
+    # the same projections in a different order)
+    flip_order = sorted(range(n_planes), key=lambda j: (round(abs(margins[j]), 6), j))
+    probe_buckets = [qbits] + [qbits ^ (1 << j) for j in flip_order[: max(n_flip, 0)]]
     q = F.array(*[F.lit(float(x)) for x in query_vec])
+    cand = df.filter(srp_bucket(F.col(vec_col), planes).isin(probe_buckets))
+    if exclude_id is not None:
+        cand = cand.filter(F.col(id_col) != exclude_id)
     return (
-        df.filter(srp_bucket(F.col(vec_col), planes) == qbits)
-        .select(
+        cand.select(
             F.col(id_col),
             F.round(cosine(F.col(vec_col), q), 6).alias("cosine_sim"),
         )
@@ -171,9 +188,14 @@ def ivf_topk(
         nb = sum(x * x for x in b) ** 0.5
         return dp / (na * nb) if na and nb else 0.0
 
+    # round the centroid similarity so probe selection is reproducible under
+    # summation-order FP jitter (the SQL oracle aggregates in another order)
     probes = sorted(
         cent_rows,
-        key=lambda r: (-cos(query_vec, [float(x) for x in r["centroid"]]), r[label_col]),
+        key=lambda r: (
+            -round(cos(query_vec, [float(x) for x in r["centroid"]]), 6),
+            r[label_col],
+        ),
     )[:n_probe]
     probe_ids = [r[label_col] for r in probes]
     q = F.array(*[F.lit(float(x)) for x in query_vec])

@@ -1669,6 +1669,101 @@ def e_ivf(spark: SparkSession, sf: str) -> DataFrame:
     return S.ivf_topk(e, _query_vec(spark, sf), k=10, n_probe=1)
 
 
+_SRP_PLANES_SQL = """
+    planes AS (
+      SELECT p, d,
+             (((strpos('0123456789abcdef', substr(md5(concat(p, '_', d)), 1, 1)) - 1) * 4096
+             + (strpos('0123456789abcdef', substr(md5(concat(p, '_', d)), 2, 1)) - 1) * 256
+             + (strpos('0123456789abcdef', substr(md5(concat(p, '_', d)), 3, 1)) - 1) * 16
+             + (strpos('0123456789abcdef', substr(md5(concat(p, '_', d)), 4, 1)) - 1))
+              / 32768.0) - 1.0 AS w
+      FROM range(6) t1(p), range(64) t2(d)),
+    e2 AS (
+      SELECT vec_id, unnest(embedding)::DOUBLE AS v,
+             generate_subscripts(embedding, 1) - 1 AS d
+      FROM embeddings),
+    proj AS (
+      SELECT e2.vec_id, planes.p, sum(e2.v * planes.w) AS s
+      FROM e2 JOIN planes USING (d) GROUP BY e2.vec_id, planes.p),
+    b AS (
+      SELECT vec_id,
+             cast(sum(CASE WHEN s >= 0 THEN power(2, p)::bigint ELSE 0 END) AS BIGINT)
+               AS bucket
+      FROM proj GROUP BY vec_id)
+"""
+
+
+@query(
+    "e_ann_multiprobe",
+    f"""
+    WITH {_SRP_PLANES_SQL},
+    qb AS (SELECT bucket AS qbucket FROM b WHERE vec_id = 0),
+    flips AS (
+      SELECT p FROM proj WHERE vec_id = 0
+      ORDER BY round(abs(s), 6), p LIMIT 2),
+    probes AS (
+      SELECT qbucket AS bucket FROM qb
+      UNION
+      SELECT xor(qbucket, power(2, p)::bigint) FROM qb, flips),
+    qv AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+    SELECT e.vec_id,
+           round(list_dot_product(e.embedding::DOUBLE[], qv.qe::DOUBLE[])
+                 / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                    * sqrt(list_dot_product(qv.qe::DOUBLE[], qv.qe::DOUBLE[]))), 6)
+             AS cosine_sim
+    FROM embeddings e
+    JOIN b ON b.vec_id = e.vec_id, qv
+    WHERE b.bucket IN (SELECT bucket FROM probes) AND e.vec_id != 0
+    ORDER BY cosine_sim DESC, e.vec_id LIMIT 10
+    """,
+)
+def e_multiprobe(spark: SparkSession, sf: str) -> DataFrame:
+    """Multiprobe SRP ANN (Lv et al. VLDB'07): probe the query's bucket PLUS
+    the two buckets across its lowest-|margin| hyperplanes, exact-rescore
+    candidates only. Same plan shape as single-probe (partition-prunable
+    bucket IN filter + TakeOrdered) at 3x the scanned buckets; recall
+    strictly improves over single-probe (asserted in
+    tests/test_parity_ops.py)."""
+    e = _t(spark, sf, "embeddings")
+    return S.ann_topk(
+        e, _query_vec(spark, sf), k=10, n_planes=6, n_flip=2, exclude_id=0
+    )
+
+
+@query(
+    "e_ivf_multiprobe",
+    """
+    WITH e2 AS (
+      SELECT vec_id, label, unnest(embedding)::DOUBLE AS v,
+             generate_subscripts(embedding, 1) AS d
+      FROM embeddings),
+    c AS (SELECT label, d, avg(v) AS cv FROM e2 GROUP BY label, d),
+    q AS (SELECT d, v AS qv FROM e2 WHERE vec_id = 0),
+    sc AS (
+      SELECT c.label, sum(c.cv * q.qv) AS dp,
+             sum(c.cv * c.cv) AS n1, sum(q.qv * q.qv) AS n2
+      FROM c JOIN q USING (d) GROUP BY c.label),
+    probe AS (
+      SELECT label FROM sc
+      ORDER BY round(dp / (sqrt(n1) * sqrt(n2)), 6) DESC, label LIMIT 2),
+    qv AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+    SELECT e.vec_id,
+           round(list_dot_product(e.embedding::DOUBLE[], qv.qe::DOUBLE[])
+                 / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                    * sqrt(list_dot_product(qv.qe::DOUBLE[], qv.qe::DOUBLE[]))), 6)
+             AS cosine_sim
+    FROM embeddings e, qv WHERE e.label IN (SELECT label FROM probe)
+    ORDER BY cosine_sim DESC, e.vec_id LIMIT 10
+    """,
+)
+def e_ivf2(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF ANN with n_probe=2: rescore the two clusters whose centroids are
+    nearest the query — the standard IVF recall/probe-count trade, same
+    partition-pruned plan shape as n_probe=1 over twice the clusters."""
+    e = _t(spark, sf, "embeddings")
+    return S.ivf_topk(e, _query_vec(spark, sf), k=10, n_probe=2)
+
+
 @query(
     "m3_reassemble_chunks",
     """

@@ -180,3 +180,32 @@ def test_fuzzy_label_correction_join(spark):
     )
     got = {r["label"]: r["value"] for r in fuzzy_label_correction_join(items, corrections).collect()}
     assert got == {"Goodwill": 11.0, "Net Income": 22.0, "Other": 30.0}
+
+
+def test_multiprobe_improves_recall_same_plan_shape(spark):
+    """Multiprobe ANN (SRP bit-flips / IVF n_probe=2) must strictly improve
+    recall@10 vs single-probe on the sf0.01 embeddings, while keeping the
+    filter+rescore plan shape (no join of the full table against itself)."""
+    from pdf_extractor_spark.operators import similarity as S
+    from pdf_extractor_spark.queries import _query_vec
+
+    sf = "/root/testdata/sf0.01"
+    e = spark.read.parquet(f"{sf}/embeddings.parquet")
+    qv = _query_vec(spark, sf)
+
+    exact = {
+        r["vec_id"] for r in S.cosine_topk(e, qv, k=10, exclude_id=0).collect()
+    }
+    single = {
+        r["vec_id"]
+        for r in S.ann_topk(e, qv, k=10, n_planes=6, n_flip=0, exclude_id=0).collect()
+    }
+    multi = {
+        r["vec_id"]
+        for r in S.ann_topk(e, qv, k=10, n_planes=6, n_flip=2, exclude_id=0).collect()
+    }
+    assert len(multi & exact) > len(single & exact)
+
+    ivf1 = {r["vec_id"] for r in S.ivf_topk(e, qv, k=10, n_probe=1).collect()}
+    ivf2 = {r["vec_id"] for r in S.ivf_topk(e, qv, k=10, n_probe=2).collect()}
+    assert len(ivf2 & exact) > len(ivf1 & exact)
