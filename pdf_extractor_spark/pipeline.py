@@ -135,19 +135,19 @@ def rerun_failed(
 
 def read_latest(spark: SparkSession, output_table: str) -> DataFrame | None:
     """Committed rows with last-wins per url across snapshots (repair rounds
-    append newer rows for the same url; reference main.py:715-725 merge)."""
+    append newer rows for the same url; reference main.py:715-725 merge).
+
+    Ordering comes from the ``_snapshot`` column the catalog writes at
+    commit time — a table property that survives file moves/compaction,
+    unlike the directory-name regex it replaces."""
     from pyspark.sql import Window
 
     done = catalog.read_committed(spark, output_table)
     if done is None:
         return None
     w = Window.partitionBy("url").orderBy(F.desc("_snapshot"))
-    with_snap = done.withColumn(
-        "_snapshot",
-        F.regexp_extract(F.input_file_name(), r"snap_(\d+)", 1).cast("int"),
-    )
     return (
-        with_snap.withColumn("_rn", F.row_number().over(w))
+        done.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
         .drop("_rn", "_snapshot")
     )

@@ -53,10 +53,15 @@ def next_snapshot_id(table_path: str) -> int:
 
 
 def commit_snapshot(df: DataFrame, table_path: str, snapshot_id: int | None = None) -> int:
-    """Write ``df`` as a new snapshot; the commit marker is written last."""
+    """Write ``df`` as a new snapshot; the commit marker is written last.
+
+    Every committed row carries a ``_snapshot`` column written at commit
+    time (the Iceberg snapshot-id analog) so last-wins merge ordering is a
+    table property, not a directory-name convention."""
     os.makedirs(table_path, exist_ok=True)
     n = next_snapshot_id(table_path) if snapshot_id is None else snapshot_id
     snap_dir = os.path.join(table_path, f"snap_{n}")
+    df = df.drop("_snapshot").withColumn("_snapshot", F.lit(n))
     df.write.mode("overwrite").parquet(snap_dir)
     # atomic visibility flip: marker exists <=> snapshot is committed
     with open(os.path.join(table_path, _MARKER.format(n=n)), "w") as fh:

@@ -127,3 +127,36 @@ def test_incremental_batches(spark, tmp_path):
     # re-running is a no-op (resume)
     metrics2 = process_in_batches(spark, df, table, datetime.timedelta(hours=3))
     assert sum(m["rows"] for m in metrics2) == 0
+
+
+def test_every_driver_collect_is_bounded():
+    """Guard: every ``.collect()`` in the package must be bounded — preceded
+    by a ``.limit(`` in the same statement (sink previews), or one of the
+    documented small-by-construction aggregates (heavy-host top-k, IVF
+    centroid table: k x dim floats). A new unbounded collect is a scale
+    regression this test turns into a review conversation."""
+    import pathlib
+    import re
+
+    import pdf_extractor_spark
+
+    pkg = pathlib.Path(pdf_extractor_spark.__file__).parent
+    allowed = {
+        ("plans/partitioning.py",): "heavy-host aggregate (top-k rows)",
+        ("operators/similarity.py",): "IVF centroid table (k x dim floats)",
+    }
+    allowed_files = {f for key in allowed for f in key}
+    offenders = []
+    for path in sorted(pkg.rglob("*.py")):
+        rel = str(path.relative_to(pkg))
+        src = path.read_text()
+        for m in re.finditer(r"\.collect\(\)", src):
+            # the statement: back up to the start of the enclosing expression
+            stmt_start = src.rfind("\n\n", 0, m.start())
+            stmt = src[stmt_start : m.end()]
+            if ".limit(" in stmt:
+                continue
+            if rel in allowed_files:
+                continue
+            offenders.append(rel)
+    assert offenders == [], offenders
