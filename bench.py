@@ -166,6 +166,44 @@ def time_queries(spark, sf_dir: str) -> dict[str, float]:
     return timings
 
 
+def time_heavy_queries(
+    names: list[str], sf_dir: str, levels: tuple[int, int]
+) -> dict[str, dict[str, float]]:
+    """The heaviest queries at TWO parallelism levels: per-query scaling
+    regressions (a new single-task stage, a serialized window) show up as a
+    collapsed efficiency number in the next round's BENCH file rather than
+    hiding inside one aggregate."""
+    from pdf_extractor_spark.queries import all_queries
+
+    out: dict[str, dict[str, float]] = {}
+    for cpus in levels:
+        spark = _session(cpus)
+        try:
+            qs = all_queries()
+            for name in names:
+                spark.catalog.clearCache()
+                spark._jvm.System.gc()
+                best = None
+                for _ in range(2):
+                    t0 = time.perf_counter()
+                    qs[name](spark, sf_dir).write.format("noop").mode(
+                        "overwrite"
+                    ).save()
+                    dt = time.perf_counter() - t0
+                    best = dt if best is None else min(best, dt)
+                out.setdefault(name, {})[f"wall_sec_c{cpus}"] = round(best, 3)
+                _log(f"bench: heavy {name} local[{cpus}]={best:.2f}s")
+        finally:
+            spark.stop()
+    lo, hi = levels
+    for d in out.values():
+        # fixed-work efficiency: t_lo / (t_hi * (hi/lo)); 1.0 = perfect
+        d[f"efficiency_{lo}_to_{hi}"] = round(
+            d[f"wall_sec_c{lo}"] / (d[f"wall_sec_c{hi}"] * (hi / lo)), 3
+        )
+    return out
+
+
 def main() -> int:
     total_t0 = time.perf_counter()
     corpus = build_corpus()
@@ -206,6 +244,11 @@ def main() -> int:
     finally:
         spark.stop()
 
+    # --- heaviest 5 queries at two parallelism levels ---
+    heavy = sorted(timings, key=lambda k: timings[k], reverse=True)[:5]
+    heavy_levels = (max(4, CPUS // 4), CPUS)
+    heavy_scaling = time_heavy_queries(heavy, SF_DIR, heavy_levels)
+
     total = round(time.perf_counter() - total_t0, 2)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     result = {
@@ -213,6 +256,7 @@ def main() -> int:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "heavy_query_scaling": heavy_scaling,
         "sf": sf,
         "extraction": {
             "docs": n_docs,

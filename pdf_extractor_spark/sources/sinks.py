@@ -116,3 +116,66 @@ def display_preview(df: DataFrame, n: int = 10, max_chars: int = 500) -> str:
         for f in df.schema.fields
     ]
     return df.select(*cols)._show_string(n, 60, False)
+
+
+def _json_rows(parsed) -> tuple[list[str], list[list[str]]]:
+    """Tabularize a parsed JSON payload the way the reference's
+    _json_to_dataframe does: list-of-dicts, dict-of-lists, or flat dict."""
+    if isinstance(parsed, list) and parsed and all(isinstance(r, dict) for r in parsed):
+        cols: list[str] = []
+        for r in parsed:
+            for k in r:
+                if k not in cols:
+                    cols.append(k)
+        return cols, [[str(r.get(c, "")) for c in cols] for r in parsed]
+    if isinstance(parsed, dict) and parsed and all(
+        isinstance(v, list) for v in parsed.values()
+    ):
+        cols = list(parsed)
+        n = max(len(v) for v in parsed.values())
+        return cols, [
+            [str(parsed[c][i]) if i < len(parsed[c]) else "" for c in cols]
+            for i in range(n)
+        ]
+    if isinstance(parsed, dict):
+        cols = list(parsed)
+        return cols, [[str(parsed[c]) for c in cols]]
+    raise ValueError("not tabular")
+
+
+def display_table_preview(
+    df: DataFrame, json_col: str = "text", max_rows: int = 10, max_col_chars: int = 40
+) -> str:
+    """S11 — formatted table preview of a JSON payload column (reference
+    src/formatter.py:302-336 display_table_preview: tabular render of
+    parsed JSON, graceful fallback to the plain preview when the payload is
+    not tabular). Driver-side by design: bounded to ONE payload row and
+    ``max_rows`` rendered rows."""
+    import json
+
+    sample = [r[json_col] for r in df.select(json_col).limit(1).collect()]
+    try:
+        cols, rows = _json_rows(json.loads(sample[0]))
+    except Exception:
+        return display_preview(df, n=max_rows)
+    shown = rows[:max_rows]
+    cells = [[c[:max_col_chars] for c in row] for row in shown]
+    widths = [
+        max(len(cols[i][:max_col_chars]), *(len(r[i]) for r in cells), 1)
+        if cells
+        else len(cols[i][:max_col_chars])
+        for i in range(len(cols))
+    ]
+    sep = "+" + "+".join("-" * (w + 2) for w in widths) + "+"
+    header = "|" + "|".join(
+        f" {cols[i][:max_col_chars]:<{widths[i]}} " for i in range(len(cols))
+    ) + "|"
+    lines = [sep, header, sep]
+    for row in cells:
+        lines.append(
+            "|" + "|".join(f" {row[i]:<{widths[i]}} " for i in range(len(cols))) + "|"
+        )
+    lines.append(sep)
+    if len(rows) > max_rows:
+        lines.append(f"(Showing {max_rows} of {len(rows)} rows)")
+    return "\n".join(lines)

@@ -170,3 +170,159 @@ def test_objstm_page_and_font_dicts_are_surfaced():
     got_classic = extract_pdf_one(classic_pdf)
     assert got_objstm[0] == got_classic[0] == "Hello ObjStm world"
     assert "HEADER" not in got_objstm[0]  # MediaBox known -> margin band applied
+
+
+# --- robustness: synthesized edge cases beyond the reference examples --------
+
+
+def _classic_objs(objs: dict[int, bytes]) -> bytes:
+    """Assemble numbered objects + classic xref table into a PDF file."""
+    out = bytearray(b"%PDF-1.5\n%\xe2\xe3\xcf\xd3\n")
+    offsets = {}
+    for num in sorted(objs):
+        offsets[num] = len(out)
+        out += b"%d 0 obj\n" % num + objs[num] + b"\nendobj\n"
+    xref_pos = len(out)
+    top = max(objs) + 1
+    out += b"xref\n0 %d\n0000000000 65535 f \n" % top
+    for num in sorted(objs):
+        out += b"%010d 00000 n \n" % offsets[num]
+    out += b"trailer\n<< /Size %d /Root %d 0 R >>\nstartxref\n%d\n%%%%EOF\n" % (
+        top,
+        max(objs),
+        xref_pos,
+    )
+    return bytes(out)
+
+
+def test_hex_strings_in_tj_arrays():
+    """<...> hex strings mixed with literal strings and kerning numbers
+    inside one TJ array must decode and concatenate in order."""
+    content = (
+        b"BT\n/F1 11 Tf\n1 0 0 1 72 700 Tm\n"
+        b"[(Quarterly ) -250 <7265> 30 <76656E7565> -250 ( rose sharply)] TJ\n"
+        b"1 0 0 1 72 686 Tm\n"
+        b"[<48657820 6C696E65> ( and literal tail)] TJ\nET"
+    )
+    objs = {
+        1: b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica "
+        b"/Encoding /WinAnsiEncoding >>",
+        2: b"<< /Length %d >>\nstream\n%s\nendstream" % (len(content), content),
+        3: b"<< /Type /Page /Parent 4 0 R /MediaBox [0 0 612 792] "
+        b"/Contents 2 0 R /Resources << /Font << /F1 1 0 R >> >> >>",
+        4: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        5: b"<< /Type /Catalog /Pages 4 0 R >>",
+    }
+    text, spans, n = extract_pdf_one(_classic_objs(objs))
+    assert "Quarterly revenue rose sharply" in text
+    # odd-length hex (<...0> padded) and whitespace inside hex both legal
+    assert "Hex line and literal tail" in text
+    assert n >= 1 and len(spans) == n
+
+
+def _two_objstm_chain_pdf() -> bytes:
+    """Objects spread across TWO /ObjStm streams plus a chained pair of
+    xref STREAMS (/Prev) — the PDF 1.5 layout where no classic xref table
+    exists and the document's dictionaries live inside object streams."""
+    import zlib as _z
+
+    content = (
+        b"BT\n/F1 11 Tf\n1 0 0 1 72 700 Tm\n(Chained object streams work) Tj\nET"
+    )
+
+    def objstm(num_first: list[tuple[int, bytes]]) -> bytes:
+        bodies = b""
+        pairs = b""
+        for onum, body in num_first:
+            pairs += b"%d %d " % (onum, len(bodies))
+            bodies += body + b"\n"
+        first = len(pairs)
+        data = _z.compress(pairs + bodies)
+        return (
+            b"<< /Type /ObjStm /N %d /First %d /Filter /FlateDecode /Length %d >>\n"
+            b"stream\n%s\nendstream" % (len(num_first), first, len(data), data)
+        )
+
+    def xref_stream(size: int, prev: int | None) -> bytes:
+        # minimal /Type /XRef stream: 1 dummy entry, chained via /Prev
+        data = _z.compress(b"\x01\x00\x00\x00")
+        prev_part = b"/Prev %d " % prev if prev is not None else b""
+        return (
+            b"<< /Type /XRef /Size %d %s/W [1 2 1] /Index [0 1] "
+            b"/Root 7 0 R /Filter /FlateDecode /Length %d >>\n"
+            b"stream\n%s\nendstream" % (size, prev_part, len(data), data)
+        )
+
+    objs: dict[int, bytes] = {}
+    # stream objects must live OUTSIDE any ObjStm (spec 7.5.7)
+    objs[2] = b"<< /Length %d >>\nstream\n%s\nendstream" % (len(content), content)
+    # ObjStm #1: the font and page dicts
+    objs[10] = objstm(
+        [
+            (1, b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica "
+                b"/Encoding /WinAnsiEncoding >>"),
+            (3, b"<< /Type /Page /Parent 6 0 R /MediaBox [0 0 612 792] "
+                b"/Contents 2 0 R /Resources << /Font << /F1 1 0 R >> >> >>"),
+        ]
+    )
+    # ObjStm #2: the page tree and catalog
+    objs[11] = objstm(
+        [
+            (6, b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>"),
+            (7, b"<< /Type /Catalog /Pages 6 0 R >>"),
+        ]
+    )
+    out = bytearray(b"%PDF-1.5\n%\xe2\xe3\xcf\xd3\n")
+    offsets = {}
+    for num in sorted(objs):
+        offsets[num] = len(out)
+        out += b"%d 0 obj\n" % num + objs[num] + b"\nendobj\n"
+    # chained xref streams: 20 points back to 21 via /Prev
+    first_xref_pos = len(out)
+    out += b"21 0 obj\n" + xref_stream(22, None) + b"\nendobj\n"
+    second_xref_pos = len(out)
+    out += b"20 0 obj\n" + xref_stream(22, first_xref_pos) + b"\nendobj\n"
+    out += b"startxref\n%d\n%%%%EOF\n" % second_xref_pos
+    return bytes(out)
+
+
+def test_multi_objstm_xref_chain():
+    """Dictionaries split across two object streams + chained xref streams
+    (no classic xref table at all) must still extract."""
+    text, spans, n = extract_pdf_one(_two_objstm_chain_pdf())
+    assert text == "Chained object streams work"
+    assert n == 1
+
+
+def test_edge_case_pdfs_byte_identical_at_two_parallelisms(spark):
+    """Golden protocol at two parallelism levels for the new edge cases:
+    the distributed UDF must equal the pure function, partitioning-proof."""
+    from pdf_extractor_spark.extract.udfs import extract_one
+    from pdf_extractor_spark.pipeline import extract_documents
+
+    hex_content = (
+        b"BT\n/F1 11 Tf\n1 0 0 1 72 700 Tm\n[<4865> -250 (llo) ( mixed)] TJ\nET"
+    )
+    hexpdf_objs = {
+        1: b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica "
+        b"/Encoding /WinAnsiEncoding >>",
+        2: b"<< /Length %d >>\nstream\n%s\nendstream"
+        % (len(hex_content), hex_content),
+        3: b"<< /Type /Page /Parent 4 0 R /MediaBox [0 0 612 792] "
+        b"/Contents 2 0 R /Resources << /Font << /F1 1 0 R >> >> >>",
+        4: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        5: b"<< /Type /Catalog /Pages 4 0 R >>",
+    }
+    payloads = [_classic_objs(hexpdf_objs), _two_objstm_chain_pdf()]
+    goldens = {i: extract_one(p)[0] for i, p in enumerate(payloads)}
+    assert all(goldens.values())
+    rows = [(f"https://h/{i}", p) for i, p in enumerate(payloads)]
+    df = spark.createDataFrame(rows, "url string, html binary")
+    for n_part in (1, 4):
+        got = {
+            int(r["url"].rsplit("/", 1)[1]): r["text"]
+            for r in extract_documents(df, n_partitions=n_part)
+            .select("url", "text")
+            .collect()
+        }
+        assert got == goldens, n_part

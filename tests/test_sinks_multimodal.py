@@ -160,3 +160,34 @@ def test_every_driver_collect_is_bounded():
                 continue
             offenders.append(rel)
     assert offenders == [], offenders
+
+
+def test_display_table_preview_tabular_and_fallback(spark):
+    """S11 table preview (reference src/formatter.py:302-336): tabular JSON
+    renders as an aligned table with a rows-shown footer; non-tabular input
+    falls back to the plain preview."""
+    import json
+
+    from pdf_extractor_spark.sources.sinks import display_table_preview
+
+    payload = json.dumps(
+        [{"label": f"Item {i}", "value": i * 10} for i in range(12)]
+    )
+    df = spark.createDataFrame([(payload,)], "text string")
+    out = display_table_preview(df, "text", max_rows=10)
+    assert "| label" in out and "| value" in out
+    assert "Item 0" in out and "90" in out
+    assert "Item 11" not in out  # beyond max_rows
+    assert "(Showing 10 of 12 rows)" in out
+
+    # dict-of-lists shape
+    df2 = spark.createDataFrame(
+        [(json.dumps({"a": [1, 2], "b": ["x", "y"]}),)], "text string"
+    )
+    out2 = display_table_preview(df2, "text")
+    assert "| a" in out2 and "| x" in out2
+
+    # non-JSON: graceful fallback to the plain column preview
+    df3 = spark.createDataFrame([("plain prose, not json",)], "text string")
+    out3 = display_table_preview(df3, "text")
+    assert "text" in out3 and "plain prose" in out3
