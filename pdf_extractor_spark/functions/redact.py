@@ -1,0 +1,42 @@
+"""PII redaction for training-data pipelines (beyond-reference web op).
+
+Standard corpus-prep scrub: replace emails / phone numbers / IPv4 literals
+with typed placeholder tokens before training. Pure ``regexp_replace``
+expressions (codegen'd, no UDF); every pattern is written in the common
+Java-regex/RE2 dialect so the DuckDB oracle runs the identical patterns
+(notably: no ``\\s`` — Java and RE2 disagree on vertical tab — and no
+backreferences in replacements).
+
+Spark's regexp_replace is global by default; the SQL oracle must pass the
+'g' flag to match.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\+?[0-9][0-9()\- ]{7,}[0-9]"
+IPV4_RE = r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b"
+
+EMAIL_TOKEN = "<EMAIL>"
+PHONE_TOKEN = "<PHONE>"
+IP_TOKEN = "<IP>"
+
+
+def redact_pii(col: Column) -> Column:
+    """Emails first (their digits must not feed the phone pattern), then
+    IPv4 (dots would otherwise split into phone-ish digit runs), then
+    phones."""
+    out = F.regexp_replace(col, EMAIL_RE, EMAIL_TOKEN)
+    out = F.regexp_replace(out, IPV4_RE, IP_TOKEN)
+    return F.regexp_replace(out, PHONE_RE, PHONE_TOKEN)
+
+
+def pii_counts(col: Column) -> tuple[Column, Column, Column]:
+    """(n_emails, n_ips, n_phones) found in the ORIGINAL text."""
+    return (
+        F.size(F.regexp_extract_all(col, F.lit(EMAIL_RE), 0)),
+        F.size(F.regexp_extract_all(col, F.lit(IPV4_RE), 0)),
+        F.size(F.regexp_extract_all(col, F.lit(PHONE_RE), 0)),
+    )

@@ -1,0 +1,57 @@
+"""URL canonicalization for web-corpus dedup (beyond-reference web op).
+
+A Common-Crawl-scale pipeline dedupes by CANONICAL url before content
+dedup: the same page is crawled as ``HTTP://WWW.Site.COM:80/p?utm_source=x``
+and ``http://www.site.com/p``. Canonical form used here (the common subset
+of RFC 3986 normalization + tracker stripping):
+
+  1. lowercase scheme and host (path stays case-sensitive per RFC 3986);
+  2. strip the fragment;
+  3. strip default ports (http:80, https:443);
+  4. empty path -> "/";
+  5. drop tracking query params (utm_*, gclid, fbclid), preserving the
+     order of the remaining params.
+
+Everything is regexp_extract / array filter — pure codegen'd expressions,
+and every regex is in the common Java-regex/RE2 dialect so the DuckDB
+oracle runs the identical patterns.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+SCHEME_RE = r"^([A-Za-z][A-Za-z0-9+.-]*)://"
+HOSTPORT_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)"
+PATHQ_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)"
+TRACKING_RE = r"^(utm_[^=&]*|gclid|fbclid)(=|$)"
+
+
+def canonicalize_url(col: Column) -> Column:
+    """Canonical url column (see module docstring for the exact rules)."""
+    u = F.trim(col)
+    scheme = F.lower(F.regexp_extract(u, SCHEME_RE, 1))
+    hostport = F.lower(F.regexp_extract(u, HOSTPORT_RE, 1))
+    host = (
+        F.when(scheme == "http", F.regexp_replace(hostport, r":80$", ""))
+        .when(scheme == "https", F.regexp_replace(hostport, r":443$", ""))
+        .otherwise(hostport)
+    )
+    pathq = F.regexp_extract(u, PATHQ_RE, 1)
+    path = F.regexp_extract(pathq, r"^([^?]*)", 1)
+    path = F.when(F.length(path) == 0, F.lit("/")).otherwise(path)
+    query = F.regexp_extract(pathq, r"\?(.*)$", 1)
+    kept = F.filter(
+        F.split(query, "&"),
+        lambda kv: (~kv.rlike(TRACKING_RE)) & (F.length(kv) > 0),
+    )
+    qjoin = F.array_join(kept, "&")
+    return F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        path,
+        F.when(F.length(qjoin) > 0, F.concat(F.lit("?"), qjoin)).otherwise(
+            F.lit("")
+        ),
+    )

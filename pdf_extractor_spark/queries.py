@@ -800,6 +800,59 @@ def t_repetition(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "t_gopher_filter",
+    f"""
+    WITH tok AS (SELECT doc_id, unnest({_TOK_SQL}) AS tok FROM documents),
+    c AS (SELECT doc_id, tok, count(*) AS c FROM tok GROUP BY doc_id, tok),
+    uni AS (
+      SELECT doc_id, cast(sum(c) AS BIGINT) AS n_tokens,
+             round(count(*) / sum(c), 6) AS distinct_token_frac,
+             round(max(c) / sum(c), 6) AS top_token_frac
+      FROM c GROUP BY doc_id),
+    sh AS (SELECT doc_id, {_SHINGLE_SQL} AS s FROM documents),
+    big AS (
+      SELECT doc_id,
+             round(CASE WHEN coalesce(array_length(s), 0) <= 0 THEN 0.0
+                   ELSE 1.0 - array_length(list_distinct(s)) / array_length(s)
+                   END, 6) AS dup_bigram_frac
+      FROM sh),
+    j AS (SELECT uni.doc_id, n_tokens, distinct_token_frac, top_token_frac,
+                 dup_bigram_frac
+          FROM uni JOIN big ON uni.doc_id = big.doc_id)
+    SELECT doc_id,
+           (n_tokens BETWEEN 10 AND 100000) AS ok_length,
+           (distinct_token_frac >= 0.3) AS ok_distinct,
+           (top_token_frac <= 0.3) AS ok_top_token,
+           (dup_bigram_frac <= 0.3) AS ok_bigram,
+           ((n_tokens BETWEEN 10 AND 100000) AND distinct_token_frac >= 0.3
+            AND top_token_frac <= 0.3 AND dup_bigram_frac <= 0.3) AS keep
+    FROM j
+    """,
+)
+def t_gopher(spark: SparkSession, sf: str) -> DataFrame:
+    """Gopher-style composite keep/drop decision (Rae et al. 2021 §A1.1
+    repetition/length rules, demo-scale thresholds): composes the
+    repetition_stats signals into per-rule booleans + the final filter
+    verdict — the shape a corpus-prep pipeline materializes before the
+    drop."""
+    stats = T.repetition_stats(
+        _t(spark, sf, "documents"), "doc_id", "text", n_partitions=_par(spark)
+    )
+    ok_len = F.col("n_tokens").between(10, 100000)
+    ok_dis = F.col("distinct_token_frac") >= 0.3
+    ok_top = F.col("top_token_frac") <= 0.3
+    ok_big = F.col("dup_bigram_frac") <= 0.3
+    return stats.select(
+        "doc_id",
+        ok_len.alias("ok_length"),
+        ok_dis.alias("ok_distinct"),
+        ok_top.alias("ok_top_token"),
+        ok_big.alias("ok_bigram"),
+        (ok_len & ok_dis & ok_top & ok_big).alias("keep"),
+    )
+
+
+@query(
     "d_minhash_signature",
     f"""
     SELECT doc_id,
@@ -947,6 +1000,159 @@ def d_verified(spark: SparkSession, sf: str) -> DataFrame:
     d = _t(spark, sf, "documents")
     return D.lsh_verified_pairs(
         d, k=4, bands=2, shingle_n=2, threshold=0.3, n_partitions=_par(spark)
+    )
+
+
+@query(
+    "t_redact_pii",
+    r"""
+    WITH inj AS (
+      SELECT doc_id,
+             concat(text, ' Contact: user', cast(doc_id AS VARCHAR),
+                    '@example.com or +1 (555) 010-',
+                    lpad(cast(doc_id % 10000 AS VARCHAR), 4, '0'),
+                    ' / host 192.168.', cast(doc_id % 256 AS VARCHAR), '.7 now.')
+               AS text
+      FROM documents)
+    SELECT doc_id,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(text,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g'),
+             '\+?[0-9][0-9()\- ]{7,}[0-9]', '<PHONE>', 'g') AS text_redacted,
+           len(regexp_extract_all(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+           len(regexp_extract_all(text,
+               '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b')) AS n_ips,
+           len(regexp_extract_all(text,
+               '\+?[0-9][0-9()\- ]{7,}[0-9]')) AS n_phones
+    FROM inj
+    """,
+)
+def t_redact(spark: SparkSession, sf: str) -> DataFrame:
+    """PII redaction (beyond-reference corpus-prep op): emails, IPv4
+    literals, and phone-like digit runs replaced with typed tokens; counts
+    taken on the original text. PII is injected deterministically from
+    doc_id so both engines scrub identical inputs. All codegen'd
+    regexp_replace — no UDF, no shuffle (pure projection)."""
+    from pdf_extractor_spark.functions.redact import pii_counts, redact_pii
+
+    d = _t(spark, sf, "documents")
+    injected = F.concat(
+        F.col("text"),
+        F.lit(" Contact: user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or +1 (555) 010-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" / host 192.168."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".7 now."),
+    )
+    staged = d.select("doc_id", injected.alias("_t")).repartition(
+        _par(spark), "doc_id"
+    )
+    n_emails, n_ips, n_phones = pii_counts(F.col("_t"))
+    return staged.select(
+        "doc_id",
+        redact_pii(F.col("_t")).alias("text_redacted"),
+        n_emails.alias("n_emails"),
+        n_ips.alias("n_ips"),
+        n_phones.alias("n_phones"),
+    )
+
+
+_MESSY_URL_SQL = """
+    concat(
+      CASE WHEN doc_id % 2 = 0 THEN 'HTTP' ELSE 'https' END, '://',
+      'WWW.Example', cast(doc_id % 7 AS VARCHAR), '.COM',
+      CASE WHEN doc_id % 2 = 0 THEN ':80' ELSE ':443' END,
+      '/Articles/', cast(doc_id % 50 AS VARCHAR),
+      CASE WHEN doc_id % 3 = 0
+             THEN concat('?utm_source=feed&id=', cast(doc_id % 10 AS VARCHAR),
+                         '&utm_campaign=x')
+           WHEN doc_id % 3 = 1
+             THEN concat('?id=', cast(doc_id % 10 AS VARCHAR), '&gclid=abc')
+           ELSE '' END,
+      CASE WHEN doc_id % 5 = 0 THEN '#Section-2' ELSE '' END)
+"""
+
+
+@query(
+    "u_canonical_dedupe",
+    f"""
+    WITH raw AS (SELECT doc_id, {_MESSY_URL_SQL} AS url FROM documents),
+    parts AS (
+      SELECT doc_id,
+        lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+        lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS hostport,
+        regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)', 1) AS pathq
+      FROM raw),
+    canon AS (
+      SELECT doc_id,
+        concat(
+          scheme, '://',
+          CASE WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$', '')
+               WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$', '')
+               ELSE hostport END,
+          CASE WHEN length(regexp_extract(pathq, '^([^?]*)', 1)) = 0 THEN '/'
+               ELSE regexp_extract(pathq, '^([^?]*)', 1) END,
+          CASE WHEN length(array_to_string(list_filter(
+                     string_split(regexp_extract(pathq, '\\?(.*)$', 1), '&'),
+                     kv -> NOT regexp_matches(kv, '^(utm_[^=&]*|gclid|fbclid)(=|$)')
+                           AND length(kv) > 0), '&')) > 0
+               THEN concat('?', array_to_string(list_filter(
+                     string_split(regexp_extract(pathq, '\\?(.*)$', 1), '&'),
+                     kv -> NOT regexp_matches(kv, '^(utm_[^=&]*|gclid|fbclid)(=|$)')
+                           AND length(kv) > 0), '&'))
+               ELSE '' END) AS canon_url
+      FROM parts)
+    SELECT canon_url, min(doc_id) AS keep_id, count(*) AS n_dups
+    FROM canon GROUP BY canon_url
+    """,
+)
+def u_canon(spark: SparkSession, sf: str) -> DataFrame:
+    """URL canonicalization + url-keyed dedup (beyond-reference web op):
+    lowercase scheme/host, strip fragment + default port + tracking params,
+    then first-seen-representative groups per canonical url. Messy urls are
+    synthesized deterministically from doc_id so both engines canonicalize
+    the identical inputs. Plan: pure regexp/array expressions + one
+    groupBy shuffle on the canonical key."""
+    from pdf_extractor_spark.functions.urls import canonicalize_url
+
+    d = _t(spark, sf, "documents")
+    messy = F.concat(
+        F.when(F.col("doc_id") % 2 == 0, F.lit("HTTP")).otherwise(F.lit("https")),
+        F.lit("://"),
+        F.lit("WWW.Example"),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit(".COM"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit(":80")).otherwise(F.lit(":443")),
+        F.lit("/Articles/"),
+        (F.col("doc_id") % 50).cast("string"),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit("?utm_source=feed&id="),
+                (F.col("doc_id") % 10).cast("string"),
+                F.lit("&utm_campaign=x"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 3 == 1,
+            F.concat(
+                F.lit("?id="),
+                (F.col("doc_id") % 10).cast("string"),
+                F.lit("&gclid=abc"),
+            ),
+        )
+        .otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 5 == 0, F.lit("#Section-2")).otherwise(F.lit("")),
+    )
+    return (
+        d.select("doc_id", canonicalize_url(messy).alias("canon_url"))
+        .groupBy("canon_url")
+        .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_dups"))
     )
 
 

@@ -114,3 +114,24 @@ def test_dotted_sort_key(spark):
     df = spark.createDataFrame([("3",), ("3.1",), ("10.2",), ("7.10",), ("7.9",)], ["r"])
     got = [r["r"] for r in df.orderBy(N.dotted_sort_key(F.col("r"))).collect()]
     assert got == ["3", "3.1", "7.9", "7.10", "10.2"]
+
+
+def test_canonicalize_url_rules(spark):
+    from pdf_extractor_spark.functions.urls import canonicalize_url
+    from pyspark.sql import functions as F
+
+    cases = [
+        ("HTTP://WWW.Site.COM:80/Page?utm_source=x&a=1#frag", "http://www.site.com/Page?a=1"),
+        ("https://Site.com:443/", "https://site.com/"),
+        ("https://site.com:8443/p", "https://site.com:8443/p"),  # non-default kept
+        ("http://site.com", "http://site.com/"),  # empty path -> /
+        ("http://site.com/p?gclid=z", "http://site.com/p"),
+        ("http://site.com/p?a=1&fbclid=q&b=2", "http://site.com/p?a=1&b=2"),
+        ("  http://site.com/x  ", "http://site.com/x"),  # trimmed
+        ("http://site.com/CaseKept/Path", "http://site.com/CaseKept/Path"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = [
+        r["c"] for r in df.select(canonicalize_url(F.col("url")).alias("c")).collect()
+    ]
+    assert got == [want for _, want in cases]
