@@ -8,7 +8,8 @@ layout parser:
 
 Supported PDF subset (documented per SURVEY.md §7 "hard parts"):
   - objects scanned as ``N G obj ... endobj`` with one optional stream each;
-  - FlateDecode (zlib) and uncompressed content streams;
+  - FlateDecode (zlib) and uncompressed content streams, including
+    /Predictor 2 (TIFF) and 10-15 (PNG Sub/Up/Average/Paeth) post-filters;
   - text operators ``BT ET Tf TL Td TD Tm T* Tj TJ ' "``;
   - literal ``(...)`` strings with escapes and ``<...>`` hex strings;
   - simple fonts decoded as WinAnsi (cp1252, latin-1 fallback);
@@ -22,7 +23,7 @@ Supported PDF subset (documented per SURVEY.md §7 "hard parts"):
     by the gutter in line x-starts.
 
 Out of scope (returns best-effort text): font programs (glyph outlines),
-predictor-filtered streams, rotated text matrices, encrypted files.
+rotated text matrices, encrypted files.
 
 Pure function: output depends only on input bytes — byte-identical across
 partitionings.
@@ -145,12 +146,73 @@ def _media_box(header: bytes) -> tuple[float, float]:
     return abs(x1 - x0) or DEFAULT_PAGE_W, abs(y1 - y0) or DEFAULT_PAGE_H
 
 
+def _unpredict(data: bytes, header: bytes) -> bytes:
+    """Reverse a /Predictor-filtered stream (PDF 7.4.4.4).
+
+    Predictor 2 (TIFF horizontal) and 10-15 (PNG None/Sub/Up/Average/
+    Paeth; per-row filter byte) — common in xref streams and ObjStm.
+    Assumes /Colors 1 x /BitsPerComponent 8 components (the only layout
+    text-bearing streams use); /Columns gives the row width.
+    """
+    pred = _dict_int(header, b"/Predictor") or 1
+    if pred <= 1:
+        return data
+    cols = _dict_int(header, b"/Columns") or 1
+    colors = _dict_int(header, b"/Colors") or 1
+    bpc = _dict_int(header, b"/BitsPerComponent") or 8
+    bpp = max(1, (colors * bpc) // 8)  # bytes per pixel
+    row_w = (cols * colors * bpc + 7) // 8
+    if pred == 2:  # TIFF horizontal differencing
+        out = bytearray(data)
+        for r0 in range(0, len(out) - row_w + 1, row_w):
+            for i in range(r0 + bpp, r0 + row_w):
+                out[i] = (out[i] + out[i - bpp]) & 0xFF
+        return bytes(out)
+    # PNG predictors: each row is [filter_byte][row_w bytes]
+    out = bytearray()
+    prev = bytearray(row_w)
+    i, n = 0, len(data)
+    while i + 1 <= n:
+        ft = data[i]
+        row = bytearray(data[i + 1 : i + 1 + row_w])
+        i += 1 + row_w
+        if ft == 1:  # Sub
+            for j in range(bpp, len(row)):
+                row[j] = (row[j] + row[j - bpp]) & 0xFF
+        elif ft == 2:  # Up
+            for j in range(len(row)):
+                row[j] = (row[j] + prev[j]) & 0xFF
+        elif ft == 3:  # Average
+            for j in range(len(row)):
+                left = row[j - bpp] if j >= bpp else 0
+                row[j] = (row[j] + (left + prev[j]) // 2) & 0xFF
+        elif ft == 4:  # Paeth
+            for j in range(len(row)):
+                a = row[j - bpp] if j >= bpp else 0
+                b = prev[j]
+                c = prev[j - bpp] if j >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred_v = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                row[j] = (row[j] + pred_v) & 0xFF
+        # ft == 0 (None) and unknown values: row passes through
+        out += row
+        prev = row
+    return bytes(out)
+
+
 def _maybe_inflate(header: bytes, stream: bytes) -> bytes | None:
     if b"/FlateDecode" in header:
         try:
-            return zlib.decompress(stream)
+            raw = zlib.decompress(stream)
         except zlib.error:
             return None
+        if b"/Predictor" in header:
+            try:
+                return _unpredict(raw, header)
+            except Exception:
+                return raw
+        return raw
     if b"/Filter" in header:
         return None  # unsupported filter
     return stream

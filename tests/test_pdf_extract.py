@@ -4,6 +4,8 @@ from __future__ import annotations
 
 import random
 
+import pytest
+
 from pdf_extractor_spark.extract.pdf_parser import extract_pdf_one
 from pdf_extractor_spark.fixtures.synth import make_pdf, make_pdf_payload
 
@@ -326,3 +328,69 @@ def test_edge_case_pdfs_byte_identical_at_two_parallelisms(spark):
             .collect()
         }
         assert got == goldens, n_part
+
+
+def _png_predict_encode(raw: bytes, cols: int, ft: int) -> bytes:
+    """Forward-apply a PNG row predictor (filter type ft on every row)."""
+    out = bytearray()
+    prev = bytearray(cols)
+    for r0 in range(0, len(raw), cols):
+        row = bytearray(raw[r0 : r0 + cols].ljust(cols, b"\x20"))
+        enc = bytearray(row)
+        if ft == 1:  # Sub
+            for j in range(len(row) - 1, 0, -1):
+                enc[j] = (row[j] - row[j - 1]) & 0xFF
+        elif ft == 2:  # Up
+            for j in range(len(row)):
+                enc[j] = (row[j] - prev[j]) & 0xFF
+        elif ft == 4:  # Paeth (bpp=1)
+            for j in range(len(row)):
+                a = row[j - 1] if j >= 1 else 0
+                b = prev[j]
+                c = prev[j - 1] if j >= 1 else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred_v = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                enc[j] = (row[j] - pred_v) & 0xFF
+        out += bytes([ft]) + enc
+        prev = row
+    return bytes(out)
+
+
+def _predictor_pdf(ft: int, predictor: int, cols: int = 24) -> bytes:
+    """PDF whose content stream is FlateDecode + /Predictor post-filtered."""
+    import zlib as _z
+
+    content = (
+        b"BT\n/F1 11 Tf\n1 0 0 1 72 700 Tm\n(Predictor stream decoded) Tj\nET"
+    )
+    padded = content.ljust(((len(content) + cols - 1) // cols) * cols, b"\x20")
+    if predictor == 2:  # TIFF horizontal differencing
+        enc = bytearray(padded)
+        for r0 in range(0, len(enc), cols):
+            for j in range(r0 + cols - 1, r0, -1):
+                enc[j] = (enc[j] - enc[j - 1]) & 0xFF
+        data = _z.compress(bytes(enc))
+    else:
+        data = _z.compress(_png_predict_encode(padded, cols, ft))
+    objs = {
+        1: b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica "
+        b"/Encoding /WinAnsiEncoding >>",
+        2: b"<< /Filter /FlateDecode /DecodeParms << /Predictor %d /Columns %d >> "
+        b"/Length %d >>\nstream\n%s\nendstream" % (predictor, cols, len(data), data),
+        3: b"<< /Type /Page /Parent 4 0 R /MediaBox [0 0 612 792] "
+        b"/Contents 2 0 R /Resources << /Font << /F1 1 0 R >> >> >>",
+        4: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        5: b"<< /Type /Catalog /Pages 4 0 R >>",
+    }
+    return _classic_objs(objs)
+
+
+@pytest.mark.parametrize(
+    "ft,predictor",
+    [(0, 10), (1, 11), (2, 12), (4, 14), (0, 2)],  # 2 = TIFF; rest PNG
+)
+def test_predictor_filtered_content_streams(ft, predictor):
+    text, spans, n = extract_pdf_one(_predictor_pdf(ft, predictor))
+    assert text == "Predictor stream decoded"
+    assert n == 1
