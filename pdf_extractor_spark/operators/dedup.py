@@ -159,6 +159,7 @@ def minhash_lsh_pairs(
     bands: int = DEFAULT_BANDS,
     shingle_n: int = 3,
     n_partitions: int | None = None,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs: docs sharing >=1 LSH band bucket.
 
@@ -167,10 +168,28 @@ def minhash_lsh_pairs(
     shuffle is a ReusedExchange — the signatures are computed ONCE) ->
     distinct pairs. No cross join; at 100 TB the shuffle key is a 32-char
     hash with near-uniform distribution.
+
+    ``max_bucket`` is the SKEW guard: a bucket holding B docs contributes
+    B(B-1)/2 candidate pairs, and web corpora have degenerate buckets
+    (boilerplate-only pages, empty docs) whose B reaches millions — one such
+    bucket turns the join quadratic. Buckets larger than ``max_bucket`` are
+    dropped entirely (their members still pair through their OTHER, more
+    selective bands; a bucket that big is a near-identical cluster better
+    handled by exact/fingerprint dedup anyway — standard practice, cf.
+    datasketch MinHashLSH's and BigQuery's bucket caps).
     """
     banded = with_minhash_bands(
         df, id_col, text_col, k, bands, shingle_n, n_partitions
     )
+    if max_bucket is not None:
+        # hot buckets are FEW by construction -> broadcast anti-join
+        hot = (
+            banded.groupBy("band", "key")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") > max_bucket)
+            .select("band", "key")
+        )
+        banded = banded.join(F.broadcast(hot), ["band", "key"], "left_anti")
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -342,24 +361,36 @@ def with_simhash(
     text_col: str = "text",
     bits: int = SIMHASH_BITS,
     n_partitions: int | None = None,
+    hex_chars: int = 4,
 ) -> DataFrame:
     """(id, simhash) with the token-hash array materialized once (staged
-    projections + exchange barrier), instead of ``bits`` re-expansions."""
+    projections + exchange barrier), instead of ``bits`` re-expansions.
+
+    ``hex_chars`` md5 nibbles feed the per-token hash (4 -> 16-bit simhash;
+    12 -> 48-bit — wide enough that chunk-blocked pair generation stays
+    sparse at corpus scale; must keep 4*hex_chars <= 60 so every
+    intermediate fits a long). ``bits`` must be <= 4*hex_chars.
+    """
     staged = df.select(
         F.col(id_col).alias("id"), word_tokens(F.col(text_col)).alias("_t")
     )
     if n_partitions:
         staged = staged.repartition(n_partitions, "id")
-    h16 = F.transform(
-        F.col("_t"),
-        lambda t: (
-            _hex_nibble(F.substring(F.md5(t), 1, 1)) * 4096
-            + _hex_nibble(F.substring(F.md5(t), 2, 1)) * 256
-            + _hex_nibble(F.substring(F.md5(t), 3, 1)) * 16
-            + _hex_nibble(F.substring(F.md5(t), 4, 1))
-        ),
+
+    def _tok_hash(t: Column) -> Column:
+        out: Column | None = None
+        for i in range(hex_chars):
+            # the long cast matters: a mid-range power like 16^7 is an
+            # IntegerType literal and nibble*16^7 overflows int32 (ANSI throw)
+            term = _hex_nibble(F.substring(F.md5(t), i + 1, 1)) * F.lit(
+                16 ** (hex_chars - 1 - i)
+            ).cast("long")
+            out = term if out is None else out + term
+        return out
+
+    staged = staged.select(
+        "id", F.size("_t").alias("_n"), F.transform(F.col("_t"), _tok_hash).alias("_h")
     )
-    staged = staged.select("id", F.size("_t").alias("_n"), h16.alias("_h"))
 
     def _votes(j: int) -> Column:
         def merge(acc: Column, h: Column) -> Column:
@@ -375,6 +406,59 @@ def with_simhash(
     return staged.select(
         "id",
         F.when(F.col("_n") == 0, F.lit(0)).otherwise(out).alias("simhash"),
+    )
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 48,
+    n_chunks: int = 4,
+    hamming_max: int = 3,
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """SimHash near-dup pairs via chunk blocking + exact Hamming verify
+    (Manku/Jain/Sarma, "Detecting near-duplicates for web crawling",
+    WWW'07). Splitting ``bits`` into ``n_chunks`` equal chunks guarantees
+    (pigeonhole) that any pair within ``hamming_max <= n_chunks - 1`` bit
+    flips shares at least one chunk value at the same chunk index — so
+    candidates come from a bucketed equi-join on (chunk_idx, chunk_value),
+    never a cross join, and the exact popcount runs on candidates only.
+    Returns (id_a, id_b, hamming) with hamming <= hamming_max.
+    """
+    assert bits % n_chunks == 0 and hamming_max <= n_chunks - 1
+    chunk_bits = bits // n_chunks
+    sh = with_simhash(
+        df, id_col, text_col, bits=bits, n_partitions=n_partitions,
+        hex_chars=(bits + 3) // 4,
+    ).localCheckpoint()  # the signature plan is heavy; both join sides reuse it
+    mask = (1 << chunk_bits) - 1
+    chunks = F.array(
+        *[
+            F.shiftright(F.col("simhash"), i * chunk_bits).bitwiseAND(F.lit(mask))
+            for i in range(n_chunks)
+        ]
+    )
+    keyed = sh.select(
+        "id", "simhash", F.posexplode(chunks).alias("ci", "ck")
+    )
+    a, b = keyed.alias("a"), keyed.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(
+            b,
+            (F.col("a.ci") == F.col("b.ci"))
+            & (F.col("a.ck") == F.col("b.ck"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            ham.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= hamming_max)
+        .distinct()
     )
 
 

@@ -1185,6 +1185,82 @@ def d_simhash(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+_H48_SQL = " + ".join(
+    f"(strpos('0123456789abcdef', substr(md5(t), {i + 1}, 1)) - 1) * {16 ** (11 - i)}"
+    for i in range(12)
+)
+
+
+@query(
+    "d_simhash_near_dups",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_TOK_SQL}) AS t FROM documents),
+    h AS (SELECT doc_id, {_H48_SQL} AS h48 FROM tok),
+    bits AS (
+      SELECT doc_id, j,
+             sum(CASE WHEN (h48 // power(2, j)::bigint) % 2 = 1 THEN 1 ELSE -1 END) AS vote
+      FROM h CROSS JOIN range(48) r(j) GROUP BY doc_id, j),
+    sh AS (
+      SELECT doc_id,
+             cast(sum(CASE WHEN vote > 0 THEN power(2, j)::bigint ELSE 0 END) AS BIGINT) AS simhash
+      FROM bits GROUP BY doc_id),
+    keyed AS (
+      SELECT doc_id, simhash, ci,
+             ((simhash // power(2, ci * 12)::bigint) % 4096) AS ck
+      FROM sh CROSS JOIN range(4) r(ci))
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+           bit_count(xor(a.simhash, b.simhash)) AS hamming
+    FROM keyed a JOIN keyed b
+      ON a.ci = b.ci AND a.ck = b.ck AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """,
+)
+def d_simhash_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """SimHash near-dup pairs: 48-bit signature, 4x12-bit chunk blocking +
+    exact Hamming verify (Manku/Jain/Sarma WWW'07). Pigeonhole guarantees
+    every pair within 3 bit flips shares a chunk, so candidates come from a
+    short-key bucketed equi-join — never an all-pairs popcount."""
+    d = _t(spark, sf, "documents")
+    return D.simhash_near_dup_pairs(
+        d, bits=48, n_chunks=4, hamming_max=3, n_partitions=_par(spark)
+    )
+
+
+_LSH_CAPPED_SQL = f"""
+    WITH sig AS (
+      SELECT doc_id,
+             md5(concat_ws('|',
+               list_min(list_transform({_SHINGLE_SQL}, s -> md5(concat('0:', s)))),
+               list_min(list_transform({_SHINGLE_SQL}, s -> md5(concat('1:', s)))))) AS band0,
+             md5(concat_ws('|',
+               list_min(list_transform({_SHINGLE_SQL}, s -> md5(concat('2:', s)))),
+               list_min(list_transform({_SHINGLE_SQL}, s -> md5(concat('3:', s)))))) AS band1
+      FROM documents),
+    buckets AS (
+      SELECT doc_id, 0 AS band, band0 AS key FROM sig
+      UNION ALL SELECT doc_id, 1, band1 FROM sig),
+    ok AS (SELECT band, key FROM buckets GROUP BY band, key HAVING count(*) <= 4),
+    b2 AS (SELECT buckets.* FROM buckets JOIN ok USING (band, key))
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM b2 a JOIN b2 b
+      ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+    """
+
+
+@query("d_lsh_pairs_capped", _LSH_CAPPED_SQL)
+def d_lsh_capped(spark: SparkSession, sf: str) -> DataFrame:
+    """LSH candidates with the hot-bucket skew guard (max_bucket=4): a
+    degenerate bucket of B docs contributes B(B-1)/2 pairs, and web corpora
+    have boilerplate/empty-doc buckets with B in the millions — one such
+    bucket turns the pair join quadratic. Oversized buckets are dropped
+    (their members still pair via their other, more selective bands)."""
+    d = _t(spark, sf, "documents")
+    return D.minhash_lsh_pairs(
+        d, k=4, bands=2, shingle_n=2, n_partitions=_par(spark), max_bucket=4
+    )
+
+
 @query(
     "f10_json_parse",
     """

@@ -445,3 +445,40 @@ def test_kmv_distinct_estimate(spark):
     assert got["small"] == (10, 10.0)  # exact below k
     n, est = got["big"]
     assert n == 64 and 700 < est < 1400  # KMV with k=64: ~12% rel. error
+
+
+def test_simhash_near_dup_pairs_and_lsh_cap(spark):
+    from pdf_extractor_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        simhash_near_dup_pairs,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog " * 6
+    rows = [
+        (1, base),
+        (2, base.replace("lazy", "sleepy", 3)),  # near-dup of 1 (hamming 1)
+        (3, "completely different content about spark and parquet " * 6),
+        (4, base),  # exact dup of 1
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_near_dup_pairs(df, hamming_max=3).collect()
+    }
+    assert (1, 4) in pairs and pairs[(1, 4)] == 0  # exact dup: distance 0
+    assert (1, 2) in pairs and (2, 4) in pairs  # near-dups found
+    assert all(h <= 3 for h in pairs.values())
+    assert not any(3 in p for p in pairs)  # unrelated doc pairs with nobody
+
+    # hot-bucket cap: 12 identical docs form one bucket per band; cap=4
+    # drops those buckets entirely -> no pairs (the exact-dup pass owns them)
+    clones = spark.createDataFrame(
+        [(i, base) for i in range(12)] + [(100, base.replace("dog", "cat"))],
+        ["doc_id", "text"],
+    )
+    uncapped = minhash_lsh_pairs(clones, k=4, bands=2, shingle_n=2).count()
+    capped = minhash_lsh_pairs(
+        clones, k=4, bands=2, shingle_n=2, max_bucket=4
+    ).count()
+    assert uncapped >= 66  # 12-clique at least
+    assert capped < uncapped
