@@ -37,6 +37,45 @@ def process_time_range(
     )
 
 
+def stream_extract_to_catalog(
+    spark: SparkSession,
+    input_path: str,
+    schema: str,
+    output_table: str,
+    checkpoint: str,
+    n_partitions: int | None = None,
+):
+    """M5 — Structured Streaming extraction with EXACTLY-ONCE-per-url
+    commits: readStream over the input table -> vectorized extract ->
+    ``foreachBatch`` committing each micro-batch as a catalog snapshot.
+
+    Idempotence does NOT rest on the streaming checkpoint alone: inside
+    every batch, the catalog's resume anti-join removes urls a previous
+    commit already covers, so a replayed epoch (crash after commit, before
+    checkpoint write — the classic foreachBatch at-least-once window) adds
+    zero duplicate rows. Checkpoint = offset tracking; catalog = the
+    exactly-once ledger. Returns a DataStreamWriter; call ``.start()``.
+    """
+    from pdf_extractor_spark.pipeline import extract_documents
+    from pdf_extractor_spark.sources import catalog
+
+    stream = spark.readStream.schema(schema).parquet(input_path)
+
+    def _commit(batch_df: DataFrame, epoch_id: int) -> None:
+        todo = catalog.remaining(batch_df.sparkSession, batch_df, output_table)
+        extracted = extract_documents(todo, n_partitions=n_partitions)
+        sized = extracted.withColumn("bytes_in", F.length("html")).drop("html")
+        if sized.isEmpty():
+            return  # replayed epoch fully covered by a prior commit
+        catalog.commit_snapshot(sized, output_table)
+
+    return (
+        stream.writeStream.foreachBatch(_commit)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+    )
+
+
 def process_in_batches(
     spark: SparkSession,
     input_df: DataFrame,

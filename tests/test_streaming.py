@@ -172,3 +172,57 @@ def test_streaming_first_seen_dedup_matches_batch(spark, tmp_path):
     streamed = [r["url"] for r in spark.read.parquet(out).collect()]
     assert len(streamed) == len(set(streamed)) == 40
     assert set(streamed) == batch
+
+
+def test_stream_extract_exactly_once_per_url(spark, tmp_path):
+    """foreachBatch + catalog anti-join: every url is committed exactly
+    once — across incremental waves AND across a forced epoch replay (the
+    checkpoint is deleted, the stream reprocesses everything, and the
+    catalog absorbs the replay with zero duplicate rows)."""
+    import shutil
+
+    from pdf_extractor_spark.extract.udfs import extract_one
+    from pdf_extractor_spark.fixtures.synth import synth_corpus
+    from pdf_extractor_spark.sources import catalog
+    from pdf_extractor_spark.streaming.incremental import stream_extract_to_catalog
+
+    schema = "url string, warc_ts timestamp, html binary, lang string"
+    src = str(tmp_path / "src")
+    table = str(tmp_path / "table")
+    ckpt = str(tmp_path / "ckpt")
+    corpus = synth_corpus(40)
+
+    def write_wave(rows):
+        spark.createDataFrame(
+            [
+                (r["url"], r["warc_ts"].replace(tzinfo=None), r["html"], r["lang"])
+                for r in rows
+            ],
+            schema,
+        ).write.mode("append").parquet(src)
+
+    def run_stream():
+        q = stream_extract_to_catalog(spark, src, schema, table, ckpt).start()
+        q.awaitTermination(180)
+
+    write_wave(corpus[:25])
+    run_stream()
+    write_wave(corpus[25:])
+    run_stream()
+
+    done = catalog.read_committed(spark, table)
+    counts = done.groupBy("url").count().collect()
+    assert len(counts) == 40 and all(r["count"] == 1 for r in counts)
+
+    # forced replay: drop the checkpoint -> the stream reprocesses ALL
+    # input; the catalog anti-join must absorb it (no new rows, no dups)
+    shutil.rmtree(ckpt)
+    run_stream()
+    done2 = catalog.read_committed(spark, table)
+    counts2 = done2.groupBy("url").count().collect()
+    assert len(counts2) == 40 and all(r["count"] == 1 for r in counts2)
+
+    # and the committed text is the golden pure-function output
+    goldens = {r["url"]: extract_one(r["html"])[0] for r in corpus}
+    got = {r["url"]: r["text"] for r in done2.select("url", "text").collect()}
+    assert got == goldens
