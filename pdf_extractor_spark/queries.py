@@ -2069,6 +2069,33 @@ def m3(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "m_chunk_for_training",
+    f"""
+    WITH tok AS (SELECT doc_id, {_TOK_SQL} AS t FROM documents),
+    meta AS (SELECT doc_id, t, array_length(t) AS n FROM tok),
+    idx AS (
+      SELECT doc_id,
+             unnest(range(1, CASE WHEN n > 0 THEN ((n-1)//48)+2 ELSE 1 END)) AS i
+      FROM meta)
+    SELECT idx.doc_id, cast(i - 1 AS INT) AS chunk_id,
+           array_to_string(list_slice(t, (i-1)*48 + 1, (i-1)*48 + 64), ' ') AS chunk_text,
+           cast(len(list_slice(t, (i-1)*48 + 1, (i-1)*48 + 64)) AS INT) AS chunk_n_tokens
+    FROM idx JOIN meta ON idx.doc_id = meta.doc_id
+    """,
+)
+def m_chunk(spark: SparkSession, sf: str) -> DataFrame:
+    """Training-chunk split (inverse of M3 reassembly): documents cut into
+    64-token chunks with 16-token overlap — the standard pre-training prep
+    shape. Staged token array + one posexplode; tail chunks may be short."""
+    from pdf_extractor_spark.operators.chunks import chunk_for_training
+
+    d = _t(spark, sf, "documents")
+    return chunk_for_training(
+        d, chunk_tokens=64, overlap=16, n_partitions=_par(spark)
+    ).withColumnRenamed("id", "doc_id")
+
+
+@query(
     "p6_quick_validate",
     """
     SELECT doc_id,

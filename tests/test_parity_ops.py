@@ -209,3 +209,33 @@ def test_multiprobe_improves_recall_same_plan_shape(spark):
     ivf1 = {r["vec_id"] for r in S.ivf_topk(e, qv, k=10, n_probe=1).collect()}
     ivf2 = {r["vec_id"] for r in S.ivf_topk(e, qv, k=10, n_probe=2).collect()}
     assert len(ivf2 & exact) > len(ivf1 & exact)
+
+
+def test_chunk_for_training_overlap_and_coverage(spark):
+    from pdf_extractor_spark.operators.chunks import chunk_for_training
+
+    words = " ".join(f"w{i}" for i in range(150))
+    df = spark.createDataFrame([(1, words), (2, "short doc"), (3, "")],
+                               ["doc_id", "text"])
+    rows = sorted(
+        (r["id"], r["chunk_id"], r["chunk_text"].split(" "), r["chunk_n_tokens"])
+        for r in chunk_for_training(df, chunk_tokens=64, overlap=16).collect()
+    )
+    by_doc = {}
+    for i, cid, toks, n in rows:
+        by_doc.setdefault(i, []).append((cid, toks, n))
+    # doc 1: 150 tokens, step 48 -> chunks at 0,48,96,144 (tail of 6)
+    assert [c[0] for c in by_doc[1]] == [0, 1, 2, 3]
+    assert [c[2] for c in by_doc[1]] == [64, 64, 54, 6]
+    # overlap: each full chunk's first 16 tokens = previous chunk's tokens 48..63
+    c0, c1 = by_doc[1][0][1], by_doc[1][1][1]
+    assert c1[:16] == c0[48:64]
+    # full coverage in order: stitching step-prefixes + last chunk = original
+    stitched = []
+    for cid, toks, n in by_doc[1][:-1]:
+        stitched.extend(toks[:48])
+    stitched.extend(by_doc[1][-1][1])
+    assert stitched == words.split(" ")
+    # short doc -> one chunk; empty doc -> none
+    assert len(by_doc[2]) == 1 and by_doc[2][0][1] == ["short", "doc"]
+    assert 3 not in by_doc
