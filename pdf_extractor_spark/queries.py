@@ -1185,6 +1185,104 @@ def d_simhash(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@query(
+    "t_tfidf_top_terms",
+    f"""
+    WITH tok AS (SELECT doc_id, unnest({_TOK_SQL}) AS term FROM documents),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+    dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY term),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term,
+             round(tf * (n_docs + 1.0) / (df + 1.0), 6) AS score
+      FROM tf JOIN dfreq USING (term) CROSS JOIN n),
+    ranked AS (
+      SELECT doc_id, term, score,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY score DESC, term) AS rk
+      FROM scored)
+    SELECT doc_id, term, score, cast(rk AS INT) AS rk
+    FROM ranked WHERE rk <= 3
+    """,
+)
+def t_tfidf(spark: SparkSession, sf: str) -> DataFrame:
+    """TF-IDF-style top-3 characteristic terms per document. The score is
+    tf*(N+1)/(df+1) — a pure-rational idf surrogate: +,*,/ are IEEE-exact
+    so both engines produce bit-identical doubles (ln() implementations
+    differ at ULP level and would flake the value hash). Plan: one explode
+    + two-level agg, a broadcast of the tiny per-term df table's join, and
+    a doc-partitioned window for the top-k."""
+    d = _t(spark, sf, "documents")
+    staged = d.select(
+        "doc_id", D.word_tokens(F.col("text")).alias("_t")
+    ).repartition(_par(spark), "doc_id")
+    tok = staged.select("doc_id", F.explode("_t").alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = d.count()  # driver scalar: one number, rides as a literal
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.col("term"))
+    return (
+        tf.join(dfreq, "term")
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                F.col("tf") * (F.lit(float(n_docs)) + 1.0) / (F.col("df") + 1.0), 6
+            ).alias("score"),
+        )
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+    )
+
+
+@query(
+    "d_cluster_representatives",
+    f"""
+    WITH RECURSIVE e AS ({_LSH_PAIRS_SQL}),
+    edges AS (SELECT id_a AS src, id_b AS dst FROM e
+              UNION SELECT id_b, id_a FROM e),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    walk(node, reach) AS (
+      SELECT node, node FROM nodes
+      UNION
+      SELECT e2.dst, w.reach FROM walk w JOIN edges e2 ON w.node = e2.src),
+    comps AS (SELECT node, min(reach) AS comp FROM walk GROUP BY node),
+    labeled AS (
+      SELECT d.doc_id, d.n_chars, coalesce(c.comp, d.doc_id) AS comp
+      FROM documents d LEFT JOIN comps c ON d.doc_id = c.node)
+    SELECT comp,
+           max(struct_pack(nc := n_chars, neg_id := -doc_id)).neg_id * -1 AS rep_id,
+           cast(max(struct_pack(nc := n_chars, neg_id := -doc_id)).nc AS BIGINT)
+             AS rep_n_chars,
+           count(*) AS n_members
+    FROM labeled GROUP BY comp
+    """,
+)
+def d_cluster_reps(spark: SparkSession, sf: str) -> DataFrame:
+    """End-to-end dedup decision: LSH candidates -> connected components ->
+    ONE representative per duplicate cluster, chosen by quality (longest
+    n_chars, ties to the smallest doc_id via the struct-max trick — min_by/
+    max_by tie order is undefined in both engines). Docs in no cluster are
+    their own singleton representative. This is the row set a dedup pass
+    actually keeps."""
+    d = _t(spark, sf, "documents")
+    pairs = D.minhash_lsh_pairs(
+        d, k=4, bands=2, shingle_n=2, n_partitions=_par(spark)
+    )
+    comps = D.connected_components_star(pairs)
+    labeled = d.join(comps, d["doc_id"] == comps["node"], "left").select(
+        "doc_id",
+        "n_chars",
+        F.coalesce(comps["comp"], d["doc_id"]).alias("comp"),
+    )
+    best = F.max(F.struct(F.col("n_chars"), (-F.col("doc_id")).alias("neg_id")))
+    return labeled.groupBy("comp").agg(
+        (best.getField("neg_id") * -1).alias("rep_id"),
+        best.getField("n_chars").cast("bigint").alias("rep_n_chars"),
+        F.count(F.lit(1)).alias("n_members"),
+    )
+
+
 _H48_SQL = " + ".join(
     f"(strpos('0123456789abcdef', substr(md5(t), {i + 1}, 1)) - 1) * {16 ** (11 - i)}"
     for i in range(12)
