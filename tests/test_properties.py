@@ -170,3 +170,29 @@ def test_extract_one_total_on_mutated_pdfs(doc_id, cut_seed, flip_val):
         mutated[cut_seed % len(mutated)] = flip_val
     out = extract_one(bytes(mutated))
     assert isinstance(out, tuple) and isinstance(out[0], str)
+
+
+@settings(max_examples=120, deadline=None)
+@given(
+    st.integers(min_value=0, max_value=49),
+    st.integers(min_value=1, max_value=10**6),
+    st.integers(min_value=0, max_value=255),
+)
+def test_extract_one_total_on_mutated_html(doc_id, cut_seed, flip_val):
+    """Near-valid HTML (truncations + byte flips of fixture pages — split
+    tags, broken entities, invalid UTF-8) must produce a deterministic row,
+    never an exception, and the span invariant must survive mutation."""
+    from pdf_extractor_spark.extract.udfs import extract_one
+    from pdf_extractor_spark.fixtures.synth import make_document_row
+
+    base = bytearray(make_document_row(doc_id)["html"])
+    cut = 1 + cut_seed % len(base)
+    mutated = base[:cut]
+    if mutated:
+        mutated[cut_seed % len(mutated)] = flip_val
+    out = extract_one(bytes(mutated))
+    assert out == extract_one(bytes(mutated))  # deterministic
+    text, spans, n_blocks, kind, ok, err = out
+    assert isinstance(text, str)
+    if kind == "html" and ok:
+        assert len(spans) == n_blocks
