@@ -852,6 +852,147 @@ def t_gopher(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+_MESSY_URL_SQL = """
+    concat(
+      CASE WHEN doc_id % 2 = 0 THEN 'HTTP' ELSE 'https' END, '://',
+      'WWW.Example', cast(doc_id % 7 AS VARCHAR), '.COM',
+      CASE WHEN doc_id % 2 = 0 THEN ':80' ELSE ':443' END,
+      '/Articles/', cast(doc_id % 50 AS VARCHAR),
+      CASE WHEN doc_id % 3 = 0
+             THEN concat('?utm_source=feed&id=', cast(doc_id % 10 AS VARCHAR),
+                         '&utm_campaign=x')
+           WHEN doc_id % 3 = 1
+             THEN concat('?id=', cast(doc_id % 10 AS VARCHAR), '&gclid=abc')
+           ELSE '' END,
+      CASE WHEN doc_id % 5 = 0 THEN '#Section-2' ELSE '' END)
+"""
+
+@query(
+    "t_feature_vector",
+    f"""
+    WITH q AS (
+      SELECT doc_id, length(text) AS n_chars,
+             CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE array_length(regexp_split_to_array(trim(text), '\\s+')) END AS n_ws_tokens,
+             round(cast(length(text) AS DOUBLE)
+                   / greatest(CASE WHEN length(trim(text)) = 0 THEN 0
+                        ELSE array_length(regexp_split_to_array(trim(text), '\\s+')) END, 1), 4)
+               AS mean_word_len,
+        CASE WHEN length(regexp_extract_all(text, '[一-鿿]')) > 0 THEN 'zh'
+             WHEN greatest(en, de, fr, es) = 0 THEN 'und'
+             WHEN en = greatest(en, de, fr, es) THEN 'en'
+             WHEN de = greatest(en, de, fr, es) THEN 'de'
+             WHEN fr = greatest(en, de, fr, es) THEN 'fr'
+             ELSE 'es' END AS lang_pred
+      FROM (
+        SELECT doc_id, text,
+          length(regexp_extract_all(lower(text), '\\b(the|and|of|to|in|is|that|for)\\b')) AS en,
+          length(regexp_extract_all(lower(text), '\\b(der|die|und|das|ist|nicht|ein|mit)\\b')) AS de,
+          length(regexp_extract_all(lower(text), '\\b(le|la|et|les|des|est|dans|que)\\b')) AS fr,
+          length(regexp_extract_all(lower(text), '\\b(el|la|los|las|es|en|una|por)\\b')) AS es
+        FROM documents)),
+    tok AS (SELECT doc_id, unnest({_TOK_SQL}) AS tok FROM documents),
+    c AS (SELECT doc_id, tok, count(*) AS c FROM tok GROUP BY doc_id, tok),
+    rep AS (
+      SELECT doc_id,
+             round(count(*) / sum(c), 6) AS distinct_token_frac,
+             round(max(c) / sum(c), 6) AS top_token_frac
+      FROM c GROUP BY doc_id)
+    SELECT q.doc_id, n_chars, n_ws_tokens, mean_word_len, lang_pred,
+           distinct_token_frac, top_token_frac
+    FROM q JOIN rep ON q.doc_id = rep.doc_id
+    """,
+)
+def t_features(spark: SparkSession, sf: str) -> DataFrame:
+    """Quality-classifier feature vector: one wide row per document
+    composing the cheap projections (length/word stats, language id) with
+    the repetition aggregate — the table a learned quality filter trains
+    and scores on. One explode-aggregate plus codegen projections; a
+    single join on doc_id."""
+    d = _t(spark, sf, "documents")
+    feats = T.quality_features(F.col("text"))
+    proj = d.select(
+        "doc_id",
+        feats["n_chars"].alias("n_chars"),
+        feats["n_tokens"].alias("n_ws_tokens"),
+        feats["mean_word_len"].alias("mean_word_len"),
+        T.language_id(F.col("text")).alias("lang_pred"),
+    )
+    rep = T.repetition_stats(d, "doc_id", "text", n_partitions=_par(spark)).select(
+        "doc_id", "distinct_token_frac", "top_token_frac"
+    )
+    return proj.join(rep, "doc_id")
+
+
+@query(
+    "u_host_rollup",
+    f"""
+    WITH raw AS (SELECT doc_id, lang, n_chars, {_MESSY_URL_SQL} AS url FROM documents),
+    h AS (
+      SELECT doc_id, lang, n_chars,
+             regexp_replace(
+               lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)),
+               ':[0-9]+$', '') AS host
+      FROM raw)
+    SELECT host, count(*) AS n_docs,
+           round(avg(n_chars), 4) AS mean_chars,
+           count(DISTINCT lang) AS n_langs,
+           min(doc_id) AS first_doc
+    FROM h GROUP BY host
+    """,
+)
+def u_hosts(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-host crawl rollup over canonical hosts (the partition key a
+    web-corpus curator budgets by: docs per host, size, language spread).
+    Host extraction is the same engine-portable regex pair as
+    u_canonical_dedupe; one groupBy shuffle on the host key — the Zipf-
+    skewed key the salting machinery exists for at 100 TB."""
+    from pdf_extractor_spark.functions.urls import HOSTPORT_RE
+
+    d = _t(spark, sf, "documents")
+    messy = F.concat(
+        F.when(F.col("doc_id") % 2 == 0, F.lit("HTTP")).otherwise(F.lit("https")),
+        F.lit("://"),
+        F.lit("WWW.Example"),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit(".COM"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit(":80")).otherwise(F.lit(":443")),
+        F.lit("/Articles/"),
+        (F.col("doc_id") % 50).cast("string"),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit("?utm_source=feed&id="),
+                (F.col("doc_id") % 10).cast("string"),
+                F.lit("&utm_campaign=x"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 3 == 1,
+            F.concat(
+                F.lit("?id="),
+                (F.col("doc_id") % 10).cast("string"),
+                F.lit("&gclid=abc"),
+            ),
+        )
+        .otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 5 == 0, F.lit("#Section-2")).otherwise(F.lit("")),
+    )
+    host = F.regexp_replace(
+        F.lower(F.regexp_extract(messy, HOSTPORT_RE, 1)), r":[0-9]+$", ""
+    )
+    return (
+        d.select("doc_id", "lang", "n_chars", host.alias("host"))
+        .groupBy("host")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("n_chars"), 4).alias("mean_chars"),
+            F.countDistinct("lang").alias("n_langs"),
+            F.min("doc_id").alias("first_doc"),
+        )
+    )
+
+
 @query(
     "d_minhash_signature",
     f"""
@@ -1061,21 +1202,6 @@ def t_redact(spark: SparkSession, sf: str) -> DataFrame:
         n_phones.alias("n_phones"),
     )
 
-
-_MESSY_URL_SQL = """
-    concat(
-      CASE WHEN doc_id % 2 = 0 THEN 'HTTP' ELSE 'https' END, '://',
-      'WWW.Example', cast(doc_id % 7 AS VARCHAR), '.COM',
-      CASE WHEN doc_id % 2 = 0 THEN ':80' ELSE ':443' END,
-      '/Articles/', cast(doc_id % 50 AS VARCHAR),
-      CASE WHEN doc_id % 3 = 0
-             THEN concat('?utm_source=feed&id=', cast(doc_id % 10 AS VARCHAR),
-                         '&utm_campaign=x')
-           WHEN doc_id % 3 = 1
-             THEN concat('?id=', cast(doc_id % 10 AS VARCHAR), '&gclid=abc')
-           ELSE '' END,
-      CASE WHEN doc_id % 5 = 0 THEN '#Section-2' ELSE '' END)
-"""
 
 
 @query(
