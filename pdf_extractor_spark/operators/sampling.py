@@ -73,3 +73,26 @@ def kmv_distinct(
             2,
         ).alias("kmv_est"),
     )
+
+
+def stratified_sample(
+    df: DataFrame,
+    rates: dict[str, float],
+    strata_col: str,
+    key_col: str,
+    default_rate: float = 0.0,
+    salt: str = "strat",
+) -> DataFrame:
+    """Per-stratum deterministic sampling — the corpus REBALANCING op
+    (downsample the dominant language/source, keep the long tail whole).
+
+    Same md5-keyed uniform as ``deterministic_sample``; the keep threshold
+    is a CASE over the stratum column, so the whole thing stays ONE
+    scan-side filter (no shuffle, no per-group pass), reproducible across
+    partitionings and engines. Strata absent from ``rates`` fall back to
+    ``default_rate`` (use 1.0 to keep unlisted strata whole).
+    """
+    rate = F.lit(float(default_rate))
+    for value, r in sorted(rates.items()):
+        rate = F.when(F.col(strata_col) == value, F.lit(float(r))).otherwise(rate)
+    return df.filter(_hash_frac(F.col(key_col), salt) < rate)

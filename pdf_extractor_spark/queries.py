@@ -1875,6 +1875,30 @@ def t_sample(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "t_stratified_sample",
+    f"""
+    WITH h AS (
+      SELECT doc_id, lang, md5(concat('strat:', doc_id)) AS hx FROM documents)
+    SELECT doc_id, lang FROM h
+    WHERE ({_HEX8.format(h="hx", p="1")}) / 4294967296.0 <
+          CASE lang WHEN 'en' THEN 0.1 WHEN 'de' THEN 0.4 ELSE 0.8 END
+    """,
+)
+def t_strat(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus REBALANCING: per-language sampling rates (downsample dominant
+    English, keep the tail) as ONE deterministic scan-side filter — the
+    keep threshold is a CASE over the stratum, the keep decision an
+    md5-keyed uniform, so no shuffle and no per-group pass; identical rows
+    survive at any partitioning or engine."""
+    from pdf_extractor_spark.operators.sampling import stratified_sample
+
+    d = _t(spark, sf, "documents").select("doc_id", "lang")
+    return stratified_sample(
+        d, {"en": 0.1, "de": 0.4}, "lang", "doc_id", default_rate=0.8
+    )
+
+
+@query(
     "a_kmv_distinct_tokens",
     f"""
     WITH tok AS (SELECT lang, unnest({_TOK_SQL}) AS t FROM documents),
