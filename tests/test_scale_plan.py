@@ -207,3 +207,62 @@ def test_bucketed_anti_join_is_shuffle_free(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
         spark.sql("DROP TABLE IF EXISTS t_bucket_in")
         spark.sql("DROP TABLE IF EXISTS t_bucket_done")
+
+
+def test_ann_bucket_layout_partition_prunes(spark, tmp_path):
+    """similarity.py's scale claim, proven on disk: write the embedding
+    table partitioned by srp_bucket and an ANN probe becomes a
+    partition-pruned scan (PartitionFilters carries the bucket equality;
+    only the probe bucket's files are read), with results identical to the
+    unpartitioned filter."""
+    from pdf_extractor_spark.operators.similarity import (
+        cosine,
+        hyperplanes,
+        srp_bucket,
+    )
+
+    dim, n_planes = 8, 4
+    planes = hyperplanes(n_planes, dim)
+    # deterministic vectors from md5 nibbles (engine-agnostic, no RNG)
+    df = spark.range(0, 400).select(
+        F.col("id").alias("vec_id"),
+        F.array(
+            *[
+                (
+                    (
+                        F.position(
+                            F.substring(F.md5(F.concat(F.col("id").cast("string"), F.lit(f"_{d}"))), 1, 1),
+                            F.lit("0123456789abcdef"),
+                        )
+                        - 1
+                    ).cast("double")
+                    / 7.5
+                    - 1.0
+                )
+                for d in range(dim)
+            ]
+        ).alias("embedding"),
+    )
+    keyed = df.withColumn("bucket", srp_bucket(F.col("embedding"), planes))
+    path = str(tmp_path / "emb_by_bucket")
+    keyed.write.partitionBy("bucket").parquet(path)
+
+    probe = keyed.filter(F.col("vec_id") == 7).select("bucket").first()["bucket"]
+    scan = spark.read.parquet(path).filter(F.col("bucket") == probe)
+    plan = _explain(scan)
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert pf and "bucket" in pf[0] and str(probe) in pf[0], plan
+
+    qv = [0.9] * dim
+    q = F.array(*[F.lit(float(x)) for x in qv])
+    pruned = {
+        r["vec_id"]: r["c"]
+        for r in scan.select("vec_id", F.round(cosine(F.col("embedding"), q), 6).alias("c")).collect()
+    }
+    unpruned = {
+        r["vec_id"]: r["c"]
+        for r in keyed.filter(F.col("bucket") == probe)
+        .select("vec_id", F.round(cosine(F.col("embedding"), q), 6).alias("c"))
+        .collect()
+    }
+    assert pruned == unpruned and len(pruned) > 0
