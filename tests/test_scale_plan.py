@@ -266,3 +266,48 @@ def test_ann_bucket_layout_partition_prunes(spark, tmp_path):
         .collect()
     }
     assert pruned == unpruned and len(pruned) > 0
+
+
+def test_aqe_splits_skewed_join_at_runtime(spark):
+    """The LSH/host skew story's runtime backstop, evidenced: a join whose
+    shuffle has one dominant key partition gets split by AQE's skew-join
+    handling (SortMergeJoin(skew=true) over an 'coalesced and skewed'
+    AQEShuffleRead in the FINAL adaptive plan), with unchanged results."""
+    saved = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.shuffle.partitions",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB"
+        )
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32KB")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        # 90% of rows on key 0 — the degenerate-host shape
+        big = spark.range(0, 300000).select(
+            F.when(F.col("id") % 10 < 9, F.lit(0))
+            .otherwise(F.col("id") % 50)
+            .alias("k"),
+            F.md5(F.col("id").cast("string")).alias("payload"),
+        )
+        dim = spark.range(0, 50).select(
+            F.col("id").alias("k"), F.lit("d").alias("attr")
+        )
+        j = big.join(dim, "k")
+        rows = j.collect()  # execute j's own queryExecution -> final plan
+        assert len(rows) == 300000  # every big row matches exactly one dim
+        plan = _explain(j)
+        assert "isFinalPlan=true" in plan
+        assert "SortMergeJoin(skew=true)" in plan, plan[:2000]
+        assert "coalesced and skewed" in plan
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
