@@ -8,8 +8,11 @@ layout parser:
 
 Supported PDF subset (documented per SURVEY.md §7 "hard parts"):
   - objects scanned as ``N G obj ... endobj`` with one optional stream each;
-  - FlateDecode (zlib) and uncompressed content streams, including
-    /Predictor 2 (TIFF) and 10-15 (PNG Sub/Up/Average/Paeth) post-filters;
+  - stream filters: FlateDecode, ASCIIHexDecode, ASCII85Decode,
+    RunLengthDecode, LZWDecode (early-change TIFF variant), including
+    filter CHAINS (e.g. [/ASCII85Decode /FlateDecode]) and /Predictor 2
+    (TIFF) / 10-15 (PNG Sub/Up/Average/Paeth) post-filters; image/crypt
+    filters mark the stream non-text;
   - text operators ``BT ET Tf TL Td TD Tm T* Tj TJ ' "``;
   - literal ``(...)`` strings with escapes and ``<...>`` hex strings;
   - simple fonts decoded as WinAnsi (cp1252, latin-1 fallback);
@@ -201,21 +204,129 @@ def _unpredict(data: bytes, header: bytes) -> bytes:
     return bytes(out)
 
 
+def _ascii_hex_decode(data: bytes) -> bytes:
+    body = data.split(b">", 1)[0]
+    hexstr = re.sub(rb"\s", b"", body)
+    if len(hexstr) % 2:
+        hexstr += b"0"
+    return bytes.fromhex(hexstr.decode("ascii"))
+
+
+def _ascii85_decode(data: bytes) -> bytes:
+    import base64
+
+    body = data.split(b"~>", 1)[0]
+    body = re.sub(rb"\s", b"", body)
+    if body.startswith(b"<~"):
+        body = body[2:]
+    return base64.a85decode(body)
+
+
+def _run_length_decode(data: bytes) -> bytes:
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        ln = data[i]
+        i += 1
+        if ln == 128:  # EOD
+            break
+        if ln < 128:  # copy ln+1 literal bytes
+            out += data[i : i + ln + 1]
+            i += ln + 1
+        else:  # repeat next byte 257-ln times
+            if i < n:
+                out += bytes([data[i]]) * (257 - ln)
+                i += 1
+    return bytes(out)
+
+
+def _lzw_decode(data: bytes) -> bytes:
+    """PDF LZWDecode (TIFF-style LZW with 256=clear, 257=EOD, early code-width
+    change at table sizes 511/1023/2047)."""
+    out = bytearray()
+    table: list[bytes] = [bytes([i]) for i in range(256)] + [b"", b""]
+    width = 9
+    buf = 0
+    nbits = 0
+    prev: bytes | None = None
+    for byte in data:
+        buf = (buf << 8) | byte
+        nbits += 8
+        while nbits >= width:
+            nbits -= width
+            code = (buf >> nbits) & ((1 << width) - 1)
+            if code == 256:  # clear table
+                table = [bytes([i]) for i in range(256)] + [b"", b""]
+                width = 9
+                prev = None
+                continue
+            if code == 257:  # EOD
+                return bytes(out)
+            if prev is None:
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                table.append(prev + entry[:1])
+            else:  # KwKwK case
+                entry = prev + prev[:1]
+                table.append(entry)
+            out += entry
+            prev = entry
+            # early change: width grows one code BEFORE the table fills
+            if len(table) >= (1 << width) - 1 and width < 12:
+                width += 1
+    return bytes(out)
+
+
+_FILTER_NAMES_RE = re.compile(
+    rb"/(FlateDecode|Fl|ASCIIHexDecode|AHx|ASCII85Decode|A85|"
+    rb"RunLengthDecode|RL|LZWDecode|LZW|DCTDecode|JPXDecode|CCITTFaxDecode|"
+    rb"JBIG2Decode|Crypt)\b"
+)
+
+
+def _filter_chain(header: bytes) -> list[bytes] | None:
+    """Ordered decode filters from /Filter (name or array); None if the
+    stream declares no filter."""
+    fpos = header.find(b"/Filter")
+    if fpos < 0:
+        return None
+    return [m.group(1) for m in _FILTER_NAMES_RE.finditer(header, fpos)]
+
+
 def _maybe_inflate(header: bytes, stream: bytes) -> bytes | None:
-    if b"/FlateDecode" in header:
+    """Run the stream through its declared filter chain (PDF 7.4): Flate,
+    ASCIIHex, ASCII85, RunLength, and LZW are decoded (plus /Predictor
+    post-filters); image/crypt filters (DCT, JPX, CCITT, JBIG2, Crypt)
+    mark the stream undecodable for text purposes -> None."""
+    filters = _filter_chain(header)
+    if filters is None:
+        return stream
+    if not filters:
+        return None  # /Filter present but unparseable
+    data = stream
+    for name in filters:
         try:
-            raw = zlib.decompress(stream)
-        except zlib.error:
+            if name in (b"FlateDecode", b"Fl"):
+                data = zlib.decompress(data)
+            elif name in (b"ASCIIHexDecode", b"AHx"):
+                data = _ascii_hex_decode(data)
+            elif name in (b"ASCII85Decode", b"A85"):
+                data = _ascii85_decode(data)
+            elif name in (b"RunLengthDecode", b"RL"):
+                data = _run_length_decode(data)
+            elif name in (b"LZWDecode", b"LZW"):
+                data = _lzw_decode(data)
+            else:
+                return None  # image / crypt filter: not text
+        except Exception:
             return None
-        if b"/Predictor" in header:
-            try:
-                return _unpredict(raw, header)
-            except Exception:
-                return raw
-        return raw
-    if b"/Filter" in header:
-        return None  # unsupported filter
-    return stream
+    if b"/Predictor" in header:
+        try:
+            return _unpredict(data, header)
+        except Exception:
+            return data
+    return data
 
 
 # --- content-stream tokenizer -------------------------------------------------

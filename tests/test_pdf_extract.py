@@ -394,3 +394,104 @@ def test_predictor_filtered_content_streams(ft, predictor):
     text, spans, n = extract_pdf_one(_predictor_pdf(ft, predictor))
     assert text == "Predictor stream decoded"
     assert n == 1
+
+
+def _filtered_pdf(filter_decl: bytes, encoded: bytes) -> bytes:
+    objs = {
+        1: b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica "
+        b"/Encoding /WinAnsiEncoding >>",
+        2: b"<< /Filter %s /Length %d >>\nstream\n%s\nendstream"
+        % (filter_decl, len(encoded), encoded),
+        3: b"<< /Type /Page /Parent 4 0 R /MediaBox [0 0 612 792] "
+        b"/Contents 2 0 R /Resources << /Font << /F1 1 0 R >> >> >>",
+        4: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        5: b"<< /Type /Catalog /Pages 4 0 R >>",
+    }
+    return _classic_objs(objs)
+
+
+_FILTER_CONTENT = b"BT\n/F1 11 Tf\n1 0 0 1 72 700 Tm\n(Filtered stream text) Tj\nET"
+
+
+def _lzw_encode(raw: bytes) -> bytes:
+    """Byte-at-a-time PDF LZW encoder (valid, uncompressing): clear, each
+    byte as its own code, EOD — with decoder-synchronized early width
+    growth (the decoder adds a table entry per code after the first)."""
+    bits = []
+
+    def emit(code: int, width: int) -> None:
+        bits.extend((code >> (width - 1 - i)) & 1 for i in range(width))
+
+    width, size, prev = 9, 258, False
+    emit(256, width)  # clear
+    for b in raw:
+        emit(b, width)
+        if prev:
+            size += 1
+        prev = True
+        if size >= (1 << width) - 1 and width < 12:
+            width += 1
+    emit(257, width)  # EOD
+    while len(bits) % 8:
+        bits.append(0)
+    return bytes(
+        sum(bit << (7 - j) for j, bit in enumerate(bits[i : i + 8]))
+        for i in range(0, len(bits), 8)
+    )
+
+
+@pytest.mark.parametrize(
+    "decl,encode",
+    [
+        (b"/ASCIIHexDecode", lambda raw: raw.hex().encode() + b">"),
+        (
+            b"/ASCII85Decode",
+            lambda raw: __import__("base64").a85encode(raw) + b"~>",
+        ),
+        (
+            b"/RunLengthDecode",
+            lambda raw: b"".join(
+                bytes([len(raw[i : i + 127]) - 1]) + raw[i : i + 127]
+                for i in range(0, len(raw), 127)
+            )
+            + b"\x80",
+        ),
+        (b"/LZWDecode", _lzw_encode),
+        (
+            b"[/ASCII85Decode /FlateDecode]",
+            lambda raw: __import__("base64").a85encode(
+                __import__("zlib").compress(raw)
+            )
+            + b"~>",
+        ),
+    ],
+    ids=["ahx", "a85", "rle", "lzw", "chain-a85-flate"],
+)
+def test_stream_filters_decode(decl, encode):
+    payload = _filtered_pdf(decl, encode(_FILTER_CONTENT))
+    text, spans, n = extract_pdf_one(payload)
+    assert text == "Filtered stream text"
+    assert n == 1
+
+
+def test_image_filter_streams_are_skipped_not_fatal():
+    """A DCTDecode (JPEG) stream must not break extraction of the rest."""
+    import zlib as _z
+
+    content = b"BT\n/F1 11 Tf\n1 0 0 1 72 700 Tm\n(Real text) Tj\nET"
+    data = _z.compress(content)
+    objs = {
+        1: b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica "
+        b"/Encoding /WinAnsiEncoding >>",
+        2: b"<< /Filter /FlateDecode /Length %d >>\nstream\n%s\nendstream"
+        % (len(data), data),
+        3: b"<< /Type /Page /Parent 4 0 R /MediaBox [0 0 612 792] "
+        b"/Contents 2 0 R /Resources << /Font << /F1 1 0 R >> "
+        b"/XObject << /Im1 6 0 R >> >> >>",
+        4: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        5: b"<< /Type /Catalog /Pages 4 0 R >>",
+        6: b"<< /Subtype /Image /Filter /DCTDecode /Length 8 >>\n"
+        b"stream\n\xff\xd8\xff\xe0fake\nendstream",
+    }
+    text, spans, n = extract_pdf_one(_classic_objs(objs))
+    assert text == "Real text"
