@@ -122,9 +122,18 @@ _CODECS = {
 
 
 def _decode(payload: bytes) -> str:
-    """Decode page bytes: honor a declared <meta charset> when it is a
-    supported single-byte/utf-8 codec, else utf-8 with replacement (the
+    """Decode page bytes: a UTF byte-order mark wins (per WHATWG encoding
+    sniffing), then a declared <meta charset> when it is a supported
+    single-byte/utf-8 codec, else utf-8 with replacement (the
     Common-Crawl-safe default). Pure function of the bytes."""
+    if payload[:2] in (b"\xff\xfe", b"\xfe\xff") and payload[:3] != b"\xef\xbb\xbf":
+        try:
+            # utf-16 with BOM: codec consumes the BOM and picks endianness
+            return payload.decode("utf-16")
+        except UnicodeDecodeError:
+            pass
+    if payload[:3] == b"\xef\xbb\xbf":
+        return payload[3:].decode("utf-8", errors="replace")
     m = _CHARSET_RE.search(payload[:2048])
     if m:
         codec = _CODECS.get(m.group(1).decode("ascii", "ignore").lower())

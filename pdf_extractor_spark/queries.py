@@ -852,6 +852,60 @@ def t_gopher(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@query(
+    "w_page_metadata",
+    """
+    WITH page AS (
+      SELECT doc_id,
+             concat('<html><head><title>Doc ', cast(doc_id AS VARCHAR), ' - ',
+                    lang, '</title>',
+                    '<meta name="description" content="',
+                    substr(translate(text, '"', ''), 1, 50), '">',
+                    '<link rel="canonical" href="https://example',
+                    cast(doc_id % 7 AS VARCHAR), '.com/d/',
+                    cast(doc_id AS VARCHAR), '">',
+                    '</head><body><p>body</p></body></html>') AS html
+      FROM documents)
+    SELECT doc_id,
+           regexp_extract(html, '<title>([^<]*)</title>', 1) AS title,
+           regexp_extract(html, 'name="description" content="([^"]*)"', 1) AS description,
+           regexp_extract(html, 'rel="canonical" href="([^"]*)"', 1) AS canonical_url
+    FROM page
+    """,
+)
+def w_meta(spark: SparkSession, sf: str) -> DataFrame:
+    """Page-metadata extraction (beyond-reference web op): title / meta
+    description / canonical link pulled from page markup — the metadata
+    columns a training corpus carries beside the main text. Pages are
+    synthesized deterministically from the documents table so both engines
+    parse identical markup; the regexes are in the shared Java/RE2
+    dialect. Pure codegen projection, no shuffle."""
+    d = _t(spark, sf, "documents")
+    page = F.concat(
+        F.lit("<html><head><title>Doc "),
+        F.col("doc_id").cast("string"),
+        F.lit(" - "),
+        F.col("lang"),
+        F.lit('</title><meta name="description" content="'),
+        F.substring(F.translate(F.col("text"), '"', ""), 1, 50),
+        F.lit('"><link rel="canonical" href="https://example'),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit(".com/d/"),
+        F.col("doc_id").cast("string"),
+        F.lit('"></head><body><p>body</p></body></html>'),
+    )
+    return d.select(
+        "doc_id",
+        F.regexp_extract(page, r"<title>([^<]*)</title>", 1).alias("title"),
+        F.regexp_extract(page, r'name="description" content="([^"]*)"', 1).alias(
+            "description"
+        ),
+        F.regexp_extract(page, r'rel="canonical" href="([^"]*)"', 1).alias(
+            "canonical_url"
+        ),
+    )
+
+
 _MESSY_URL_SQL = """
     concat(
       CASE WHEN doc_id % 2 = 0 THEN 'HTTP' ELSE 'https' END, '://',

@@ -143,3 +143,20 @@ def test_unknown_charset_falls_back_to_utf8():
     ).encode()
     text, _, _ = extract_html_one(page)
     assert "plain ascii body" in text
+
+
+def test_bom_detection_utf16_and_utf8():
+    """WHATWG-style BOM sniffing: UTF-16LE/BE pages decode; a UTF-8 BOM is
+    stripped rather than leaking into the first block."""
+    from pdf_extractor_spark.extract.html_parser import extract_html_one
+
+    body = "<html><body><p>Unicode naïve café page with enough characters.</p></body></html>"
+    for enc in ("utf-16-le", "utf-16-be"):
+        import codecs
+
+        bom = codecs.BOM_UTF16_LE if enc == "utf-16-le" else codecs.BOM_UTF16_BE
+        payload = bom + body.encode(enc)
+        text, spans, n = extract_html_one(payload)
+        assert "naïve café" in text, enc
+    text8, _, _ = extract_html_one(b"\xef\xbb\xbf" + body.encode("utf-8"))
+    assert "naïve café" in text8 and not text8.startswith("﻿")
