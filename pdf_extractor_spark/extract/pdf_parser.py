@@ -15,7 +15,9 @@ Supported PDF subset (documented per SURVEY.md §7 "hard parts"):
     filters mark the stream non-text;
   - text operators ``BT ET Tf TL Td TD Tm T* Tj TJ ' "``;
   - literal ``(...)`` strings with escapes and ``<...>`` hex strings;
-  - simple fonts decoded as WinAnsi (cp1252, latin-1 fallback);
+  - simple fonts decoded as WinAnsi (cp1252, latin-1 fallback), with
+    /Encoding /Differences overrides (AGL-subset glyph names + /uniXXXX);
+  - inline images (BI ... ID <binary> EI) skipped wholesale;
   - composite/CID fonts decoded via their /ToUnicode CMap (bfchar + bfrange,
     scalar and array destinations, 1- and 2-byte codes) — enough to read
     Identity-H encoded documents like the reference's own examples;
@@ -421,15 +423,26 @@ _CODESPACE_RE = re.compile(rb"begincodespacerange(.*?)endcodespacerange", re.DOT
 
 
 class _Font:
-    __slots__ = ("cmap", "code_bytes")
+    __slots__ = ("cmap", "code_bytes", "differences")
 
-    def __init__(self, cmap: dict[int, str] | None, code_bytes: int) -> None:
+    def __init__(
+        self,
+        cmap: dict[int, str] | None,
+        code_bytes: int,
+        differences: dict[int, str] | None = None,
+    ) -> None:
         self.cmap = cmap
         self.code_bytes = code_bytes
+        self.differences = differences
 
     def decode(self, raw: bytes) -> str:
         if self.cmap is None:
-            return _decode_simple(raw)
+            if not self.differences:
+                return _decode_simple(raw)
+            diffs = self.differences
+            return "".join(
+                diffs.get(b, _SIMPLE_DECODE[b]) for b in raw
+            )
         w = self.code_bytes
         out: list[str] = []
         for i in range(0, len(raw) - (w - 1), w):
@@ -445,6 +458,66 @@ class _Font:
 
 
 _SIMPLE_FONT = _Font(None, 1)
+
+# Adobe-Glyph-List subset: the names /Encoding /Differences arrays use in
+# practice (punctuation + Latin-1 accents + typographic marks). Single-char
+# names map to themselves; /uniXXXX is handled generically.
+_GLYPH_NAMES = {
+    "space": " ", "exclam": "!", "quotedbl": '"', "numbersign": "#",
+    "dollar": "$", "percent": "%", "ampersand": "&", "quotesingle": "'",
+    "parenleft": "(", "parenright": ")", "asterisk": "*", "plus": "+",
+    "comma": ",", "hyphen": "-", "period": ".", "slash": "/",
+    "zero": "0", "one": "1", "two": "2", "three": "3", "four": "4",
+    "five": "5", "six": "6", "seven": "7", "eight": "8", "nine": "9",
+    "colon": ":", "semicolon": ";", "less": "<", "equal": "=",
+    "greater": ">", "question": "?", "at": "@", "bracketleft": "[",
+    "backslash": "\\", "bracketright": "]", "asciicircum": "^",
+    "underscore": "_", "grave": "`", "braceleft": "{", "bar": "|",
+    "braceright": "}", "asciitilde": "~",
+    "emdash": "—", "endash": "–", "bullet": "•",
+    "quotedblleft": "“", "quotedblright": "”",
+    "quoteleft": "‘", "quoteright": "’", "ellipsis": "…",
+    "fi": "ﬁ", "fl": "ﬂ", "dagger": "†",
+    "daggerdbl": "‡", "trademark": "™", "copyright": "©",
+    "registered": "®", "degree": "°", "Euro": "€",
+    "sterling": "£", "section": "§", "paragraph": "¶",
+    "germandbls": "ß", "eacute": "é", "egrave": "è",
+    "agrave": "à", "acircumflex": "â", "ccedilla": "ç",
+    "adieresis": "ä", "odieresis": "ö", "udieresis": "ü",
+    "ntilde": "ñ", "oacute": "ó", "uacute": "ú",
+    "iacute": "í", "aacute": "á",
+}
+
+
+def _glyph_to_char(name: bytes) -> str | None:
+    s = name.decode("latin-1")
+    if len(s) == 1:
+        return s
+    if s.startswith("uni") and len(s) == 7:
+        try:
+            return chr(int(s[3:], 16))
+        except ValueError:
+            return None
+    return _GLYPH_NAMES.get(s)
+
+
+def _parse_differences(enc_src: bytes) -> dict[int, str] | None:
+    """/Encoding << /Differences [code /name /name ... code /name ...] >>
+    -> {byte code: unicode char} overrides on the simple decode."""
+    m = re.search(rb"/Differences\s*\[([^\]]*)\]", enc_src)
+    if not m:
+        return None
+    out: dict[int, str] = {}
+    code = 0
+    for tok in re.finditer(rb"(\d+)|/([^\s/\[\]()<>{}%]+)", m.group(1)):
+        if tok.group(1) is not None:
+            code = int(tok.group(1))
+        else:
+            ch = _glyph_to_char(tok.group(2))
+            if ch is not None and 0 <= code <= 255:
+                out[code] = ch
+            code += 1
+    return out or None
 
 
 def _utf16be(hexbytes: bytes) -> str:
@@ -536,6 +609,16 @@ def _page_fonts(
                 dec = _maybe_inflate(objects[tu_num][0], objects[tu_num][1])
                 if dec:
                     font = _parse_cmap(dec)
+        if font is _SIMPLE_FONT:
+            # simple font: honor /Encoding /Differences overrides (inline
+            # dict or indirect Encoding object)
+            enc_src = font_header
+            er = re.search(rb"/Encoding\s+(\d+)\s+\d+\s+R", font_header)
+            if er:
+                enc_src = objects.get(int(er.group(1)), (b"", None))[0]
+            diffs = _parse_differences(enc_src)
+            if diffs:
+                font = _Font(None, 1, diffs)
         font_cache[num] = font
         fonts[name] = font
     return fonts
@@ -589,7 +672,15 @@ def _tokenize_content(data: bytes):
                 continue
             m = _OP_RE.match(data, i)
             if m and m.end() > i:
-                yield ("op", m.group(0))
+                op = m.group(0)
+                if op == b"BI":
+                    # inline image: raw binary follows the ID operator until
+                    # a whitespace-delimited EI — skipping it keeps image
+                    # bytes out of the text stream (they contain (, <, ops)
+                    em = re.compile(rb"\sEI(?=\s|$)").search(data, m.end())
+                    i = em.end() if em else n
+                    continue
+                yield ("op", op)
                 i = m.end()
             else:
                 i += 1

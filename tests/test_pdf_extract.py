@@ -495,3 +495,58 @@ def test_image_filter_streams_are_skipped_not_fatal():
     }
     text, spans, n = extract_pdf_one(_classic_objs(objs))
     assert text == "Real text"
+
+
+def test_inline_image_skipped_not_parsed_as_text():
+    """BI ... ID <raw binary> EI inline images must be skipped wholesale —
+    the binary payload contains parens/brackets/letters that would
+    otherwise become phantom text runs or corrupt operator state."""
+    binary = bytes(range(256)) + b"(fake string) [9 9] Tj BT"
+    content = (
+        b"BT\n/F1 11 Tf\n1 0 0 1 72 700 Tm\n(Before image) Tj\nET\n"
+        b"BI /W 8 /H 8 /BPC 8 /CS /RGB ID " + binary + b" EI\n"
+        b"BT\n/F1 11 Tf\n1 0 0 1 72 686 Tm\n(After image) Tj\nET"
+    )
+    objs = {
+        1: b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica "
+        b"/Encoding /WinAnsiEncoding >>",
+        2: b"<< /Length %d >>\nstream\n%s\nendstream" % (len(content), content),
+        3: b"<< /Type /Page /Parent 4 0 R /MediaBox [0 0 612 792] "
+        b"/Contents 2 0 R /Resources << /Font << /F1 1 0 R >> >> >>",
+        4: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        5: b"<< /Type /Catalog /Pages 4 0 R >>",
+    }
+    text, spans, n = extract_pdf_one(_classic_objs(objs))
+    assert "Before image" in text and "After image" in text
+    assert "fake string" not in text
+
+
+def test_encoding_differences_remap():
+    """Simple fonts with /Encoding /Differences: remapped codes decode to
+    their glyph names' unicode, unmapped codes stay WinAnsi."""
+    content = (
+        b"BT\n/F1 11 Tf\n1 0 0 1 72 700 Tm\n"
+        b"(caf\x80 d\x81j\x81 vu \x82 A-Z intact) Tj\nET"
+    )
+    objs = {
+        1: b"<< /Type /Font /Subtype /Type1 /BaseFont /Custom "
+        b"/Encoding << /Differences [ 128 /eacute /egrave /emdash ] >> >>",
+        2: b"<< /Length %d >>\nstream\n%s\nendstream" % (len(content), content),
+        3: b"<< /Type /Page /Parent 4 0 R /MediaBox [0 0 612 792] "
+        b"/Contents 2 0 R /Resources << /Font << /F1 1 0 R >> >> >>",
+        4: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        5: b"<< /Type /Catalog /Pages 4 0 R >>",
+    }
+    text, spans, n = extract_pdf_one(_classic_objs(objs))
+    assert "café dèjè vu — A-Z intact" in text
+
+    # indirect /Encoding object + uniXXXX names
+    objs6 = dict(objs)
+    objs6[1] = (
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Custom /Encoding 6 0 R >>"
+    )
+    objs6[6] = b"<< /Type /Encoding /Differences [ 128 /uni20AC ] >>"
+    content2 = b"BT\n/F1 11 Tf\n1 0 0 1 72 700 Tm\n(price \x80 ninety nine) Tj\nET"
+    objs6[2] = b"<< /Length %d >>\nstream\n%s\nendstream" % (len(content2), content2)
+    text2, _, _ = extract_pdf_one(_classic_objs(objs6))
+    assert "price € ninety nine" in text2
