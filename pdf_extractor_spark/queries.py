@@ -2398,6 +2398,70 @@ def m_chunk(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "x_curation_pipeline",
+    f"""
+    WITH tok AS (SELECT doc_id, unnest({_TOK_SQL}) AS tok FROM documents),
+    c AS (SELECT doc_id, tok, count(*) AS c FROM tok GROUP BY doc_id, tok),
+    uni AS (
+      SELECT doc_id, cast(sum(c) AS BIGINT) AS n_tokens,
+             round(count(*) / sum(c), 6) AS distinct_token_frac,
+             round(max(c) / sum(c), 6) AS top_token_frac
+      FROM c GROUP BY doc_id),
+    keepers AS (
+      SELECT d.doc_id, d.lang, u.n_tokens
+      FROM documents d JOIN uni u ON d.doc_id = u.doc_id
+      WHERE u.n_tokens BETWEEN 10 AND 100000
+        AND u.distinct_token_frac >= 0.3 AND u.top_token_frac <= 0.3
+        AND d.doc_id = (SELECT min(d2.doc_id) FROM documents d2
+                        WHERE md5(d2.text) = md5(d.text))
+        AND ({_HEX8.format(h="md5(concat('strat:', d.doc_id))", p="1")})
+            / 4294967296.0 < CASE d.lang WHEN 'en' THEN 0.5 ELSE 0.9 END),
+    final AS (
+      SELECT doc_id, lang, n_tokens,
+             cast(CASE WHEN n_tokens > 0 THEN ((n_tokens - 1) // 48) + 1
+                  ELSE 0 END AS BIGINT) AS n_chunks
+      FROM keepers)
+    SELECT doc_id, lang, n_tokens, n_chunks FROM final
+    """,
+)
+def x_curation(spark: SparkSession, sf: str) -> DataFrame:
+    """The end-to-end CURATION decision in one declarative plan — the
+    composition this engine exists for: Gopher repetition/length filter ->
+    exact-dup keep-first -> per-language rebalancing sample -> training
+    chunk accounting. One explode-aggregate for the quality signals, one
+    hash groupBy for the dup keep-set (broadcast back), a scan-side
+    deterministic sample filter, and pure arithmetic for chunk counts —
+    no UDF anywhere."""
+    from pdf_extractor_spark.operators.sampling import stratified_sample
+
+    d = _t(spark, sf, "documents")
+    stats = T.repetition_stats(d, "doc_id", "text", n_partitions=_par(spark))
+    keep_q = stats.filter(
+        F.col("n_tokens").between(10, 100000)
+        & (F.col("distinct_token_frac") >= 0.3)
+        & (F.col("top_token_frac") <= 0.3)
+    ).select("doc_id", "n_tokens")
+    reps = (
+        d.select(F.md5(F.encode(F.col("text"), "UTF-8")).alias("_h"), "doc_id")
+        .groupBy("_h")
+        .agg(F.min("doc_id").alias("keep_id"))
+        .select(F.col("keep_id").alias("doc_id"))
+    )
+    sampled = stratified_sample(
+        d.select("doc_id", "lang"), {"en": 0.5}, "lang", "doc_id",
+        default_rate=0.9,
+    )
+    curated = (
+        keep_q.join(reps, "doc_id").join(sampled, "doc_id")
+    )
+    step = 64 - 16
+    n_chunks = F.when(
+        F.col("n_tokens") > 0, F.floor((F.col("n_tokens") - 1) / step) + 1
+    ).otherwise(F.lit(0)).cast("bigint")
+    return curated.select("doc_id", "lang", "n_tokens", n_chunks.alias("n_chunks"))
+
+
+@query(
     "p6_quick_validate",
     """
     SELECT doc_id,
