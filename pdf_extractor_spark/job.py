@@ -5,10 +5,14 @@ Replaces the reference CLI (reference main.py:160-904 ``extract``/``batch``):
 
     spark-submit --py-files pdf_extractor_spark.zip pdf_extractor_spark/job.py \
         --input /path/to/documents_parquet --output /path/to/extracted_table \
-        [--partitions 64] [--no-resume] [--synth N]
+        [--partitions 64] [--no-resume] [--synth N] [--repair ROUNDS] \
+        [--min-content-chars N] [--max-link-density F]
 
 ``--synth N`` generates the deterministic fixture corpus in-flight instead of
 reading an input table (for smoke runs and benchmarks; FIXTURES.md §1).
+``--repair ROUNDS`` runs the V7 repair loop over committed ok=false rows
+(reference main.py:321-337) instead of a fresh pass; the M4 context flags
+override the boilerplate classifier thresholds for the run.
 """
 
 from __future__ import annotations
@@ -26,13 +30,44 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--no-resume", action="store_true", help="reprocess everything")
     ap.add_argument("--synth", type=int, default=None, help="synthesize N fixture docs as input")
     ap.add_argument("--master", default=None, help="spark master (default: local[$SPARK_GRAFT_CPUS])")
+    ap.add_argument(
+        "--repair", type=int, default=None, metavar="ROUNDS",
+        help="repair mode (V7): re-extract committed ok=false rows for up to "
+        "ROUNDS rounds instead of running a fresh extraction pass",
+    )
+    ap.add_argument(
+        "--min-content-chars", type=int, default=None,
+        help="M4 context override: content-block char threshold",
+    )
+    ap.add_argument(
+        "--max-link-density", type=float, default=None,
+        help="M4 context override: max anchor-chars/chars for content blocks",
+    )
     args = ap.parse_args(argv)
 
     if not args.input and not args.synth:
         ap.error("one of --input or --synth is required")
 
     from pdf_extractor_spark.session import build_session
-    from pdf_extractor_spark.pipeline import run_extraction_job
+    from pdf_extractor_spark.pipeline import rerun_failed, run_extraction_job
+
+    context = None
+    if args.min_content_chars is not None or args.max_link_density is not None:
+        from pdf_extractor_spark.extract.udfs import ExtractContext
+
+        defaults = ExtractContext()
+        context = ExtractContext(
+            min_content_chars=(
+                args.min_content_chars
+                if args.min_content_chars is not None
+                else defaults.min_content_chars
+            ),
+            max_link_density=(
+                args.max_link_density
+                if args.max_link_density is not None
+                else defaults.max_link_density
+            ),
+        )
 
     spark = build_session(app_name="extract-job", master=args.master)
     try:
@@ -48,12 +83,24 @@ def main(argv: list[str] | None = None) -> int:
             )
         else:
             df = spark.read.parquet(args.input)
+        if args.repair is not None:
+            rounds = rerun_failed(
+                spark,
+                df,
+                args.output,
+                max_rounds=args.repair,
+                n_partitions=args.partitions,
+                context=context,
+            )
+            print(json.dumps({"repair_rounds": rounds}))
+            return 0
         metrics = run_extraction_job(
             spark,
             df,
             args.output,
             n_partitions=args.partitions,
             resume=not args.no_resume,
+            context=context,
         )
         print(json.dumps(metrics))
         return 0

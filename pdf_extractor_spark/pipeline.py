@@ -64,6 +64,7 @@ def run_extraction_job(
     output_table: str,
     n_partitions: int | None = None,
     resume: bool = True,
+    context: ExtractContext | None = None,
 ) -> dict:
     """Resumable batch job: extract everything not yet committed.
 
@@ -72,7 +73,7 @@ def run_extraction_job(
     exactly the unprocessed urls (catalog.remaining anti-join).
     """
     todo = catalog.remaining(spark, input_df, output_table) if resume else input_df
-    extracted = extract_documents(todo, n_partitions=n_partitions)
+    extracted = extract_documents(todo, n_partitions=n_partitions, context=context)
     # keep html out of the committed output (it's the 100-TB column); lineage
     # needs its length, so compute sizes before dropping.
     sized = extracted.withColumn("bytes_in", F.length("html")).drop("html")
@@ -105,6 +106,7 @@ def rerun_failed(
     output_table: str,
     max_rounds: int = 3,
     n_partitions: int | None = None,
+    context: ExtractContext | None = None,
 ) -> list[dict]:
     """V7 — bounded repair loop (reference main.py:321-337, :486-519):
     re-extract only the committed rows with ok=false (e.g. after a parser
@@ -121,7 +123,7 @@ def rerun_failed(
         if failed.isEmpty():
             break
         todo = input_df.join(failed, on="url", how="left_semi")
-        extracted = extract_documents(todo, n_partitions=n_partitions)
+        extracted = extract_documents(todo, n_partitions=n_partitions, context=context)
         sized = extracted.withColumn("bytes_in", F.length("html")).drop("html")
         # last-wins: newer snapshot rows supersede older ones for the same
         # url at read time via dedupe_latest
