@@ -40,3 +40,23 @@ def pii_counts(col: Column) -> tuple[Column, Column, Column]:
         F.size(F.regexp_extract_all(col, F.lit(IPV4_RE), 0)),
         F.size(F.regexp_extract_all(col, F.lit(PHONE_RE), 0)),
     )
+
+
+# Training-text cleanup (the pre-tokenizer normalization every corpus
+# pipeline runs). \\x{...} codepoint escapes parse identically in Java
+# regex and RE2, so the DuckDB oracle runs the same pattern strings.
+CONTROL_RE = r"[\x{00}-\x{08}\x{0B}\x{0C}\x{0E}-\x{1F}\x{7F}]"
+UNICODE_SPACE_RE = r"[\x{A0}\x{1680}\x{2000}-\x{200A}\x{202F}\x{205F}\x{3000}]"
+ZERO_WIDTH_RE = r"[\x{AD}\x{200B}-\x{200D}\x{2060}\x{FEFF}]"
+
+
+def clean_training_text(col: Column) -> Column:
+    """Normalize raw extracted text for tokenization: drop control chars
+    and zero-width/soft-hyphen marks, map exotic unicode spaces to ASCII
+    space, collapse space runs, trim. Order matters: zero-width removal
+    can join two space runs that must then collapse."""
+    out = F.regexp_replace(col, CONTROL_RE, "")
+    out = F.regexp_replace(out, ZERO_WIDTH_RE, "")
+    out = F.regexp_replace(out, UNICODE_SPACE_RE, " ")
+    out = F.regexp_replace(out, " {2,}", " ")
+    return F.trim(out)

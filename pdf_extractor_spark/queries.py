@@ -853,6 +853,48 @@ def t_gopher(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "t_clean_text",
+    r"""
+    WITH dirty AS (
+      SELECT doc_id,
+             concat(substr(text, 1, 60), chr(7), ' bell', chr(160), 'nbsp ',
+                    chr(8203), 'zw', chr(173), 'joined', '   runs ',
+                    chr(12288), 'ideo') AS raw
+      FROM documents)
+    SELECT doc_id,
+           trim(regexp_replace(
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(raw, '[\x{00}-\x{08}\x{0B}\x{0C}\x{0E}-\x{1F}\x{7F}]', '', 'g'),
+                 '[\x{AD}\x{200B}-\x{200D}\x{2060}\x{FEFF}]', '', 'g'),
+               '[\x{A0}\x{1680}\x{2000}-\x{200A}\x{202F}\x{205F}\x{3000}]', ' ', 'g'),
+             ' {2,}', ' ', 'g')) AS clean,
+           cast(length(raw) AS INT) AS n_raw
+    FROM dirty
+    """,
+)
+def t_clean(spark: SparkSession, sf: str) -> DataFrame:
+    """Pre-tokenizer text cleanup (beyond-reference corpus prep): control
+    chars and zero-width/soft-hyphen marks dropped, exotic unicode spaces
+    mapped to ASCII space, runs collapsed, trimmed. Dirt is injected
+    deterministically so both engines clean identical strings; the
+    \\x{{..}} codepoint classes parse the same in Java regex and RE2.
+    Pure codegen projection."""
+    from pdf_extractor_spark.functions.redact import clean_training_text
+
+    d = _t(spark, sf, "documents")
+    dirty = F.concat(
+        F.substring(F.col("text"), 1, 60),
+        F.lit("\x07 bell nbsp ​zw­joined   runs 　ideo"),
+    )
+    return d.select(
+        "doc_id",
+        clean_training_text(dirty).alias("clean"),
+        F.length(dirty).cast("int").alias("n_raw"),
+    )
+
+
+@query(
     "w_page_metadata",
     """
     WITH page AS (

@@ -135,3 +135,20 @@ def test_canonicalize_url_rules(spark):
         r["c"] for r in df.select(canonicalize_url(F.col("url")).alias("c")).collect()
     ]
     assert got == [want for _, want in cases]
+
+
+def test_clean_training_text_explicit_codepoints(spark):
+    from pyspark.sql import functions as F
+
+    from pdf_extractor_spark.functions.redact import clean_training_text
+
+    dirty = (
+        "a\x00b\x07c"                    # controls dropped -> abc
+        "\tkeep\nlines\r"               # tab/newline/CR preserved
+        "\u00a0x\u2003y\u3000z"         # NBSP/em-space/ideographic -> ' '
+        "\u00a0j\u200bo\u00adi\ufeffn"  # zero-width/SHY/BOM removed
+        "  many   spaces "
+    )
+    df = spark.createDataFrame([(dirty,)], "t string")
+    got = df.select(clean_training_text(F.col("t")).alias("c")).first()["c"]
+    assert got == "abc\tkeep\nlines\r x y z join many spaces"
