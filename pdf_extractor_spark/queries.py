@@ -885,7 +885,9 @@ def t_clean(spark: SparkSession, sf: str) -> DataFrame:
     d = _t(spark, sf, "documents")
     dirty = F.concat(
         F.substring(F.col("text"), 1, 60),
-        F.lit("\x07 bell nbsp ​zw­joined   runs 　ideo"),
+        F.lit(
+            "\x07 bell\u00a0nbsp \u200bzw\u00adjoined   runs \u3000ideo"
+        ),
     )
     return d.select(
         "doc_id",
