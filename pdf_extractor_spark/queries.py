@@ -746,6 +746,67 @@ def t_winnow(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "d_winnow_shared_pairs",
+    f"""
+    WITH n AS (
+      SELECT doc_id,
+             trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS t
+      FROM documents),
+    g AS (
+      SELECT doc_id,
+             list_transform(range(1, greatest(length(t) - 4, 0) + 1),
+                            i -> substr(t, i, 5)) AS gs
+      FROM n),
+    h AS (
+      SELECT doc_id,
+             list_transform(gs, g ->
+               (strpos('0123456789abcdef', substr(md5(g), 1, 1)) - 1) * 4096
+             + (strpos('0123456789abcdef', substr(md5(g), 2, 1)) - 1) * 256
+             + (strpos('0123456789abcdef', substr(md5(g), 3, 1)) - 1) * 16
+             + (strpos('0123456789abcdef', substr(md5(g), 4, 1)) - 1)) AS hs
+      FROM g),
+    sel AS (
+      SELECT doc_id,
+             list_sort(list_distinct(list_transform(
+               range(1, greatest(len(hs) - 7, 0) + 1),
+               j -> list_min(list_slice(hs, j, j + 7))))) AS fps
+      FROM h),
+    fp AS (SELECT doc_id, unnest(fps) AS fp FROM sel)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           count(*) AS shared_fps
+    FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    HAVING count(*) >= 40
+    """,
+)
+def d_winnow_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Shared-substring candidate pairs via winnowing fingerprints
+    (Schleimer et al. SIGMOD'03, the MOSS construction; the distributed
+    stand-in for Lee et al.'s suffix-array substring dedup): docs sharing
+    >= 40 selected k-gram fingerprints have long verbatim overlaps
+    (threshold sized to the fixture corpus's pervasive template overlap). Pair
+    generation is an equi-join on the fingerprint value (short int key)
+    + count aggregate — candidates only, no cross join."""
+    fps = T.winnow_fingerprints_df(
+        _t(spark, sf, "documents"), "doc_id", "text", k=5, w=8,
+        n_partitions=_par(spark),
+    )
+    a, b = fps.alias("a"), fps.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("shared_fps"))
+        .filter(F.col("shared_fps") >= 40)
+    )
+
+
+@query(
     "d_exact_dup_groups",
     """
     SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS n_copies
