@@ -148,6 +148,71 @@ def ann_topk(
     )
 
 
+def kmeans_iterations(
+    df: DataFrame,
+    k: int = 4,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Spherical k-means for the IVF coarse quantizer: ``n_iter`` rounds of
+    assign-to-nearest-centroid (cosine) + per-cluster mean.
+
+    Deterministic throughout: init centroids are the ``k`` lowest-id
+    vectors; assignment argmax breaks ties toward the smaller cluster id
+    via a greatest-over-structs (max_by tie order is undefined);
+    similarities round to 6 dp so FP summation order cannot flip an
+    assignment between engines. Plan per round: one codegen'd projection
+    scoring against k broadcast centroid literals (k*dim floats ride in
+    the plan) + one groupBy-avg shuffle; the driver holds only the k*dim
+    centroid floats between rounds — the standard distributed k-means
+    shape. Returns (id, cluster) after the final assignment.
+    """
+    seed_rows = (
+        df.filter(F.col(id_col) < k).orderBy(id_col).select(vec_col).collect()
+    )
+    cents: list[list[float]] = [
+        [float(x) for x in r[vec_col]] for r in seed_rows
+    ]
+    dim = len(cents[0])
+    assigned = None
+    for _ in range(n_iter):
+        sims = [
+            F.round(
+                cosine(F.col(vec_col), F.array(*[F.lit(c) for c in cent])), 6
+            ).alias(f"_s{j}")
+            for j, cent in enumerate(cents)
+        ]
+        scored = df.select(F.col(id_col).alias("id"), F.col(vec_col), *sims)
+        best = F.greatest(
+            *[
+                F.struct(
+                    F.col(f"_s{j}").alias("s"), F.lit(-j).alias("nc")
+                )
+                for j in range(len(cents))
+            ]
+        )
+        assigned = scored.select(
+            "id", F.col(vec_col), (-best.getField("nc")).alias("cluster")
+        )
+        new_rows = (
+            assigned.groupBy("cluster")
+            .agg(
+                *[
+                    F.avg(F.col(vec_col)[i].cast("double")).alias(f"c{i}")
+                    for i in range(dim)
+                ]
+            )
+            .collect()
+        )
+        by_cluster = {
+            r["cluster"]: [r[f"c{i}"] for i in range(dim)] for r in new_rows
+        }
+        # a cluster that lost every member keeps its previous centroid
+        cents = [by_cluster.get(j, cents[j]) for j in range(len(cents))]
+    return assigned.select("id", "cluster")
+
+
 def ivf_assign(df: DataFrame, vec_col: str = "embedding", label_col: str = "label") -> DataFrame:
     """IVF coarse quantizer: per-group centroids (here seeded by ``label``;
     at scale the groups come from k-means iterations of exactly this step)

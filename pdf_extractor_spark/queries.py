@@ -2454,6 +2454,55 @@ def e_ivf2(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "e_kmeans_clusters",
+    """
+    WITH e2 AS (
+      SELECT vec_id, unnest(embedding)::DOUBLE AS v,
+             generate_subscripts(embedding, 1) AS d
+      FROM embeddings),
+    c0 AS (SELECT vec_id AS cluster, d, v AS cv FROM e2 WHERE vec_id < 4),
+    s1 AS (
+      SELECT e2.vec_id, c0.cluster,
+             round(sum(e2.v * c0.cv)
+                   / (sqrt(sum(e2.v * e2.v)) * sqrt(sum(c0.cv * c0.cv))), 6) AS sim
+      FROM e2 JOIN c0 USING (d) GROUP BY e2.vec_id, c0.cluster),
+    a1 AS (
+      SELECT vec_id,
+             -(max(struct_pack(s := sim, nc := -cluster)).nc) AS cluster
+      FROM s1 GROUP BY vec_id),
+    c1 AS (
+      SELECT a1.cluster, e2.d, avg(e2.v) AS cv
+      FROM a1 JOIN e2 ON a1.vec_id = e2.vec_id GROUP BY a1.cluster, e2.d),
+    c1f AS (
+      SELECT * FROM c1
+      UNION ALL
+      SELECT c0.cluster, c0.d, c0.cv FROM c0
+      WHERE c0.cluster NOT IN (SELECT DISTINCT cluster FROM c1)),
+    s2 AS (
+      SELECT e2.vec_id, c1f.cluster,
+             round(sum(e2.v * c1f.cv)
+                   / (sqrt(sum(e2.v * e2.v)) * sqrt(sum(c1f.cv * c1f.cv))), 6) AS sim
+      FROM e2 JOIN c1f USING (d) GROUP BY e2.vec_id, c1f.cluster),
+    a2 AS (
+      SELECT vec_id,
+             -(max(struct_pack(s := sim, nc := -cluster)).nc) AS cluster
+      FROM s2 GROUP BY vec_id)
+    SELECT vec_id, cast(cluster AS BIGINT) AS cluster FROM a2
+    """,
+)
+def e_kmeans(spark: SparkSession, sf: str) -> DataFrame:
+    """Spherical k-means (k=4, 2 rounds) — the IVF coarse quantizer's
+    training loop as repeated assign+mean steps (similarity.py
+    kmeans_iterations). Deterministic init (k lowest-id vectors), rounded
+    similarities, struct-greatest tie-break; every iteration's argmax and
+    centroid update replicated in SQL."""
+    e = _t(spark, sf, "embeddings")
+    return S.kmeans_iterations(e, k=4, n_iter=2).select(
+        F.col("id").alias("vec_id"), F.col("cluster").cast("bigint").alias("cluster")
+    )
+
+
+@query(
     "m3_reassemble_chunks",
     """
     SELECT l_orderkey AS doc_key,
