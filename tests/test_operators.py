@@ -482,3 +482,23 @@ def test_simhash_near_dup_pairs_and_lsh_cap(spark):
     ).count()
     assert uncapped >= 66  # 12-clique at least
     assert capped < uncapped
+
+
+def test_connected_components_star_edge_cases(spark):
+    from pdf_extractor_spark.operators.dedup import connected_components_star
+
+    # self-loops only: every node is its own component
+    loops = spark.createDataFrame([(5, 5), (9, 9)], ["id_a", "id_b"])
+    got = {r["node"]: r["comp"] for r in connected_components_star(loops).collect()}
+    assert got == {5: 5, 9: 9}
+
+    # empty edge list -> empty labeling, no crash
+    empty = spark.createDataFrame([], "id_a long, id_b long")
+    assert connected_components_star(empty).count() == 0
+
+    # duplicate + reversed edges collapse to one component
+    dup = spark.createDataFrame(
+        [(1, 2), (2, 1), (1, 2), (2, 3)], ["id_a", "id_b"]
+    )
+    got2 = {r["node"]: r["comp"] for r in connected_components_star(dup).collect()}
+    assert got2 == {1: 1, 2: 1, 3: 1}
