@@ -119,6 +119,88 @@ def extract_image_features(
     return df.mapInPandas(run, IMAGE_FEATURES_SCHEMA)
 
 
+AUDIO_FEATURES_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("n_bytes", LongType()),
+        StructField("content_hash", StringType()),
+        StructField("duration_est_ms", LongType()),
+        StructField("features", ArrayType(FloatType())),
+        StructField("decode_ok", BooleanType()),
+        StructField("error", StringType()),
+    ]
+)
+
+_AUDIO_BYTES_PER_SEC = 16000  # assumed mono 16 kB/s for the duration estimate
+
+
+def _decode_audio_real(payload: bytes):  # pragma: no cover - needs codec libs
+    """STUB: real decoder requires an audio library not present here."""
+    raise NotImplementedError(
+        "audio decoding requires soundfile/ffmpeg; run with fake=True in "
+        "this environment or swap in a real decoder on a cluster with codecs"
+    )
+
+
+def extract_audio_features(
+    df: DataFrame,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    fake: bool = False,
+) -> DataFrame:
+    """Audio half of the multimodal triad: same mapInPandas plumbing as
+    ``extract_image_features`` with audio metadata (estimated duration at
+    an assumed byte rate) and a salt-distinguished fake feature family
+    ('audio:' prefix) so identical payloads yield different audio vs image
+    features. The codec itself is an honest stub; everything Spark-side
+    (schema, batch shape, partitioning, determinism) is real and
+    oracle-checked."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for media_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                payload = bytes(payload) if payload is not None else b""
+                try:
+                    feats = (
+                        _fake_features(b"audio:" + payload)
+                        if fake
+                        else _decode_audio_real(payload)
+                    )
+                    rows.append(
+                        (
+                            int(media_id),
+                            len(payload),
+                            hashlib.md5(payload).hexdigest(),
+                            len(payload) * 1000 // _AUDIO_BYTES_PER_SEC,
+                            feats,
+                            True,
+                            None,
+                        )
+                    )
+                except Exception as exc:
+                    rows.append(
+                        (
+                            int(media_id),
+                            len(payload),
+                            hashlib.md5(payload).hexdigest(),
+                            0,
+                            [],
+                            False,
+                            f"{type(exc).__name__}: {exc}",
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "n_bytes", "content_hash", "duration_est_ms",
+                    "features", "decode_ok", "error",
+                ],
+            )
+
+    return df.mapInPandas(run, AUDIO_FEATURES_SCHEMA)
+
+
 def frame_sample_plan(
     df: DataFrame, every_ms: int = 1000, duration_col: str = "duration_ms"
 ) -> DataFrame:

@@ -2761,6 +2761,51 @@ def mm_features(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "mm_audio_features",
+    f"""
+    WITH h AS (
+      SELECT doc_id AS media_id,
+             octet_length(text::BLOB) AS n_bytes,
+             octet_length(text::BLOB) * 1000 // 16000 AS duration_est_ms,
+             c,
+             md5('audio:' || text || chr(0) || chr(0) || chr(0)
+                 || chr(cast(c AS INT))) AS hx
+      FROM documents, range(4) t(c))
+    SELECT media_id, n_bytes, duration_est_ms,
+           cast(c * 4 + j AS INT) AS feat_idx,
+           round(cast(({_HEX8.format(h="hx", p="j * 8 + 1")})
+                      / 4294967296.0 AS REAL)::DOUBLE, 6) AS feat
+    FROM h, range(4) t2(j)
+    """,
+)
+def mm_audio(spark: SparkSession, sf: str) -> DataFrame:
+    """Audio half of the multimodal triad: mapInPandas plumbing with the
+    salt-distinguished fake decoder ('audio:' prefix) plus the byte-rate
+    duration estimate — schema, batch shape, float32 quantization, and
+    per-byte determinism all oracle-checked; a real soundfile/ffmpeg
+    decoder drops into the stub."""
+    d = _t(spark, sf, "documents")
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+    ).repartition(_par(spark), "media_id")
+    feats = M.extract_audio_features(media, fake=True)
+    return feats.select(
+        "media_id",
+        "n_bytes",
+        "duration_est_ms",
+        F.posexplode("features").alias("feat_idx", "_f"),
+    ).select(
+        "media_id",
+        "n_bytes",
+        "duration_est_ms",
+        F.col("feat_idx").cast("int").alias("feat_idx"),
+        F.round(F.col("_f").cast("double"), 6).alias("feat"),
+    )
+
+
+
+@query(
     "mm_frame_sample",
     """
     WITH v AS (
