@@ -46,7 +46,7 @@ def canonicalize_url(col: Column) -> Column:
         lambda kv: (~kv.rlike(TRACKING_RE)) & (F.length(kv) > 0),
     )
     qjoin = F.array_join(kept, "&")
-    return F.concat(
+    built = F.concat(
         scheme,
         F.lit("://"),
         host,
@@ -55,3 +55,6 @@ def canonicalize_url(col: Column) -> Column:
             F.lit("")
         ),
     )
+    # no scheme (relative / schemeless urls): pass the trimmed input through
+    # rather than fabricating '://...'
+    return F.when(F.length(scheme) == 0, u).otherwise(built)

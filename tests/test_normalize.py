@@ -129,6 +129,8 @@ def test_canonicalize_url_rules(spark):
         ("http://site.com/p?a=1&fbclid=q&b=2", "http://site.com/p?a=1&b=2"),
         ("  http://site.com/x  ", "http://site.com/x"),  # trimmed
         ("http://site.com/CaseKept/Path", "http://site.com/CaseKept/Path"),
+        ("example.com/no-scheme?a=1", "example.com/no-scheme?a=1"),  # passthrough
+        ("not a url at all", "not a url at all"),
     ]
     df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
     got = [
