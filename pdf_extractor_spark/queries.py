@@ -2871,6 +2871,40 @@ def x_extract(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@query(
+    "x_extract_spans",
+    f"""
+    SELECT doc_id,
+           CASE WHEN length(trim(regexp_replace(text, '\\s+', ' ', 'g'))) >= 25
+                THEN 1 ELSE 0 END AS n_spans,
+           CASE WHEN length(trim(regexp_replace(text, '\\s+', ' ', 'g'))) >= 25
+                THEN {len(_PAGE_PREFIX)} ELSE NULL END AS span_start,
+           CASE WHEN length(trim(regexp_replace(text, '\\s+', ' ', 'g'))) >= 25
+                THEN {len(_PAGE_PREFIX)} + length(text) ELSE NULL END AS span_end
+    FROM documents
+    """,
+)
+def x_spans(spark: SparkSession, sf: str) -> DataFrame:
+    """Character-span offsets under the driver gate (the north rule asks
+    for 'extracted text plus character-span offsets per url'): on the
+    synthesized pages the kept block's span must cover exactly the raw
+    article text region — start at the boilerplate prefix's length, end at
+    start + len(raw text); boilerplate-only pages emit no spans."""
+    from pdf_extractor_spark.extract.udfs import extract_udf
+
+    d = _t(spark, sf, "documents")
+    pages = d.select("doc_id", synthesize_page(F.col("text")).alias("html"))
+    pages = pages.repartition(_par(spark), "doc_id")
+    out = pages.withColumn("_x", extract_udf(F.col("html")))
+    spans = F.col("_x.spans")
+    return out.select(
+        "doc_id",
+        F.size(spans).alias("n_spans"),
+        F.element_at(spans, 1).getField("start").cast("int").alias("span_start"),
+        F.element_at(spans, 1).getField("end").cast("int").alias("span_end"),
+    )
+
+
 _PDF_CHARS_PER_LINE = 60
 _PDF_LINES_PER_PAGE = 40
 
