@@ -113,8 +113,10 @@ def time_extraction(cpus: int, corpus_path: str) -> tuple[float, int]:
         one_pass()  # full untimed warmup: worker spin-up + codegen/JIT
         # min of several steady-state passes: this box is multi-tenant and
         # neighbor CPU bursts inflate single measurements by up to ~5x;
-        # the minimum is the least-contended (most transferable) figure
-        dt = min(one_pass() for _ in range(4))
+        # the minimum is the least-contended (most transferable) figure.
+        # (3 passes x 2 interleaved sweeps = 6 samples/level — enough; the
+        # 78-query phase grew, so keep total bench wall in budget)
+        dt = min(one_pass() for _ in range(3))
         return dt, n
     finally:
         spark.stop()
