@@ -107,6 +107,25 @@ def read_json_with_repair(
     ).drop("_json")
 
 
+def save_curated_corpus(
+    df: DataFrame,
+    path: str,
+    partition_cols: tuple[str, ...] = ("lang",),
+    max_records_per_file: int = 500_000,
+) -> None:
+    """Corpus-output sink: parquet partitioned by ``partition_cols`` (the
+    layout a trainer consumes — per-language directories, partition-pruned
+    reads for language-filtered runs) with bounded file sizes so no
+    partition produces an unsplittable giant file. Pure writer config —
+    the upstream plan is untouched."""
+    (
+        df.write.mode("overwrite")
+        .option("maxRecordsPerFile", max_records_per_file)
+        .partitionBy(*partition_cols)
+        .parquet(path)
+    )
+
+
 def display_preview(df: DataFrame, n: int = 10, max_chars: int = 500) -> str:
     """S11 — truncated console preview (reference src/formatter.py:278-300)."""
     cols = [

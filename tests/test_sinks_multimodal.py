@@ -191,3 +191,36 @@ def test_display_table_preview_tabular_and_fallback(spark):
     df3 = spark.createDataFrame([("plain prose, not json",)], "text string")
     out3 = display_table_preview(df3, "text")
     assert "text" in out3 and "plain prose" in out3
+
+
+def test_save_curated_corpus_partitioned_and_pruned(spark, tmp_path):
+    """The curated-corpus sink writes per-language partition directories;
+    a language-filtered read partition-prunes (PartitionFilters in plan)
+    and file counts respect maxRecordsPerFile."""
+    from pdf_extractor_spark.sources.sinks import save_curated_corpus
+
+    df = spark.createDataFrame(
+        [(i, f"text {i}", "en" if i % 3 else "de") for i in range(90)],
+        "doc_id long, text string, lang string",
+    )
+    path = str(tmp_path / "corpus")
+    save_curated_corpus(df, path, max_records_per_file=10)
+
+    import glob
+    import os
+
+    langs = sorted(
+        os.path.basename(p) for p in glob.glob(os.path.join(path, "lang=*"))
+    )
+    assert langs == ["lang=de", "lang=en"]
+    # 60 en rows / 10 per file -> at least 6 files in the en partition
+    en_files = glob.glob(os.path.join(path, "lang=en", "*.parquet"))
+    assert len(en_files) >= 6
+
+    scan = spark.read.parquet(path).filter(F.col("lang") == "de")
+    plan = scan._sc._jvm.PythonSQLUtils.explainString(
+        scan._jdf.queryExecution(), "formatted"
+    )
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert pf and "lang" in pf[0]
+    assert scan.count() == 30
