@@ -1011,6 +1011,39 @@ def w_meta(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _messy_url_col() -> F.Column:
+    """The deterministic messy-url synthesis shared by the u_* / d_joint
+    queries (mirrors _MESSY_URL_SQL exactly)."""
+    return F.concat(
+        F.when(F.col("doc_id") % 2 == 0, F.lit("HTTP")).otherwise(F.lit("https")),
+        F.lit("://"),
+        F.lit("WWW.Example"),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit(".COM"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit(":80")).otherwise(F.lit(":443")),
+        F.lit("/Articles/"),
+        (F.col("doc_id") % 50).cast("string"),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit("?utm_source=feed&id="),
+                (F.col("doc_id") % 10).cast("string"),
+                F.lit("&utm_campaign=x"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 3 == 1,
+            F.concat(
+                F.lit("?id="),
+                (F.col("doc_id") % 10).cast("string"),
+                F.lit("&gclid=abc"),
+            ),
+        )
+        .otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 5 == 0, F.lit("#Section-2")).otherwise(F.lit("")),
+    )
+
+
 _MESSY_URL_SQL = """
     concat(
       CASE WHEN doc_id % 2 = 0 THEN 'HTTP' ELSE 'https' END, '://',
@@ -1109,34 +1142,7 @@ def u_hosts(spark: SparkSession, sf: str) -> DataFrame:
     from pdf_extractor_spark.functions.urls import HOSTPORT_RE
 
     d = _t(spark, sf, "documents")
-    messy = F.concat(
-        F.when(F.col("doc_id") % 2 == 0, F.lit("HTTP")).otherwise(F.lit("https")),
-        F.lit("://"),
-        F.lit("WWW.Example"),
-        (F.col("doc_id") % 7).cast("string"),
-        F.lit(".COM"),
-        F.when(F.col("doc_id") % 2 == 0, F.lit(":80")).otherwise(F.lit(":443")),
-        F.lit("/Articles/"),
-        (F.col("doc_id") % 50).cast("string"),
-        F.when(
-            F.col("doc_id") % 3 == 0,
-            F.concat(
-                F.lit("?utm_source=feed&id="),
-                (F.col("doc_id") % 10).cast("string"),
-                F.lit("&utm_campaign=x"),
-            ),
-        )
-        .when(
-            F.col("doc_id") % 3 == 1,
-            F.concat(
-                F.lit("?id="),
-                (F.col("doc_id") % 10).cast("string"),
-                F.lit("&gclid=abc"),
-            ),
-        )
-        .otherwise(F.lit("")),
-        F.when(F.col("doc_id") % 5 == 0, F.lit("#Section-2")).otherwise(F.lit("")),
-    )
+    messy = _messy_url_col()
     host = F.regexp_replace(
         F.lower(F.regexp_extract(messy, HOSTPORT_RE, 1)), r":[0-9]+$", ""
     )
@@ -1406,38 +1412,77 @@ def u_canon(spark: SparkSession, sf: str) -> DataFrame:
     from pdf_extractor_spark.functions.urls import canonicalize_url
 
     d = _t(spark, sf, "documents")
-    messy = F.concat(
-        F.when(F.col("doc_id") % 2 == 0, F.lit("HTTP")).otherwise(F.lit("https")),
-        F.lit("://"),
-        F.lit("WWW.Example"),
-        (F.col("doc_id") % 7).cast("string"),
-        F.lit(".COM"),
-        F.when(F.col("doc_id") % 2 == 0, F.lit(":80")).otherwise(F.lit(":443")),
-        F.lit("/Articles/"),
-        (F.col("doc_id") % 50).cast("string"),
-        F.when(
-            F.col("doc_id") % 3 == 0,
-            F.concat(
-                F.lit("?utm_source=feed&id="),
-                (F.col("doc_id") % 10).cast("string"),
-                F.lit("&utm_campaign=x"),
-            ),
-        )
-        .when(
-            F.col("doc_id") % 3 == 1,
-            F.concat(
-                F.lit("?id="),
-                (F.col("doc_id") % 10).cast("string"),
-                F.lit("&gclid=abc"),
-            ),
-        )
-        .otherwise(F.lit("")),
-        F.when(F.col("doc_id") % 5 == 0, F.lit("#Section-2")).otherwise(F.lit("")),
-    )
+    messy = _messy_url_col()
     return (
         d.select("doc_id", canonicalize_url(messy).alias("canon_url"))
         .groupBy("canon_url")
         .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_dups"))
+    )
+
+
+@query(
+    "d_joint_dedup_clusters",
+    f"""
+    WITH RECURSIVE raw AS (
+      SELECT doc_id, text, {_MESSY_URL_SQL} AS url FROM documents),
+    canon AS (
+      SELECT doc_id,
+             concat(
+               lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)), '://',
+               regexp_replace(lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)), ':[0-9]+$', ''),
+               regexp_extract(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)', 1), '^([^?]*)', 1)
+             ) AS key
+      FROM raw),
+    url_edges AS (
+      SELECT min(doc_id) OVER (PARTITION BY key) AS src, doc_id AS dst FROM canon),
+    text_edges AS (
+      SELECT min(doc_id) OVER (PARTITION BY md5(text)) AS src, doc_id AS dst FROM raw),
+    edges0 AS (
+      SELECT src, dst FROM url_edges WHERE src != dst
+      UNION SELECT src, dst FROM text_edges WHERE src != dst),
+    edges AS (SELECT src, dst FROM edges0 UNION SELECT dst, src FROM edges0),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    walk(node, reach) AS (
+      SELECT node, node FROM nodes
+      UNION
+      SELECT e2.dst, w.reach FROM walk w JOIN edges e2 ON w.node = e2.src),
+    comps AS (SELECT node, min(reach) AS comp FROM walk GROUP BY node)
+    SELECT d.doc_id, coalesce(c.comp, d.doc_id) AS cluster
+    FROM documents d LEFT JOIN comps c ON d.doc_id = c.node
+    """,
+)
+def d_joint(spark: SparkSession, sf: str) -> DataFrame:
+    """Multi-signal dedup clustering (entity-resolution shape): docs are
+    the same item if they share a canonical URL (query/fragment stripped —
+    the same page recrawled with tracking params) OR identical text bytes;
+    connected components over the UNION of both edge sets give the joint
+    clusters. Each signal contributes star edges (group-min -> member), so
+    the union graph is shallow and the star rounds converge immediately."""
+    from pdf_extractor_spark.functions.urls import HOSTPORT_RE, PATHQ_RE, SCHEME_RE
+
+    d = _t(spark, sf, "documents")
+    messy = _messy_url_col()
+    url_key = F.concat(
+        F.lower(F.regexp_extract(messy, SCHEME_RE, 1)),
+        F.lit("://"),
+        F.regexp_replace(
+            F.lower(F.regexp_extract(messy, HOSTPORT_RE, 1)), r":[0-9]+$", ""
+        ),
+        F.regexp_extract(F.regexp_extract(messy, PATHQ_RE, 1), r"^([^?]*)", 1),
+    )
+    w_url = Window.partitionBy(url_key)
+    w_txt = Window.partitionBy(F.md5(F.encode(F.col("text"), "UTF-8")))
+    url_edges = d.select(
+        F.min("doc_id").over(w_url).alias("id_a"), F.col("doc_id").alias("id_b")
+    ).filter(F.col("id_a") != F.col("id_b"))
+    text_edges = d.select(
+        F.min("doc_id").over(w_txt).alias("id_a"), F.col("doc_id").alias("id_b")
+    ).filter(F.col("id_a") != F.col("id_b"))
+    comps = D.connected_components_star(url_edges.union(text_edges).distinct())
+    return d.select("doc_id").join(
+        comps, d["doc_id"] == comps["node"], "left"
+    ).select(
+        "doc_id", F.coalesce(comps["comp"], d["doc_id"]).alias("cluster")
     )
 
 
