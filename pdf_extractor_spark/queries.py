@@ -2079,6 +2079,48 @@ def t_sample(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "t_quality_weighted_sample",
+    f"""
+    WITH q AS (
+      SELECT doc_id,
+             round(least(40.0, cast(length(text) AS DOUBLE) / 50.0)
+                   + least(30.0, round(cast(n_stop AS DOUBLE) / greatest(n_tokens, 1), 4) * 100.0)
+                   + CASE WHEN round(cast(length(text) AS DOUBLE) / greatest(n_tokens, 1), 4)
+                               BETWEEN 3.0 AND 12.0 THEN 30.0 ELSE 0.0 END, 2) AS quality
+      FROM (
+        SELECT doc_id, text,
+               CASE WHEN length(trim(text)) = 0 THEN 0
+                    ELSE array_length(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens,
+               length(regexp_extract_all(lower(text), '\\b(the|and|of|to|in|is|that|for)\\b'))
+               + length(regexp_extract_all(lower(text), '\\b(der|die|und|das|ist|nicht|ein|mit)\\b'))
+               + length(regexp_extract_all(lower(text), '\\b(le|la|et|les|des|est|dans|que)\\b'))
+               + length(regexp_extract_all(lower(text), '\\b(el|la|los|las|es|en|una|por)\\b')) AS n_stop
+        FROM documents)),
+    h AS (
+      SELECT doc_id, quality, md5(concat('qsample:', doc_id)) AS hx FROM q)
+    SELECT doc_id, quality FROM h
+    WHERE ({_HEX8.format(h="hx", p="1")}) / 4294967296.0 < quality / 100.0
+    """,
+)
+def t_qsample(spark: SparkSession, sf: str) -> DataFrame:
+    """SOFT quality filtering (CCNet/DCLM-style): keep probability equals
+    the quality score instead of a hard threshold — low-quality docs
+    survive occasionally (diversity), high-quality docs almost always.
+    Deterministic: the md5-keyed uniform makes the same doc survive on any
+    engine/partitioning. One scan-side filter, no shuffle."""
+    from pdf_extractor_spark.operators.sampling import _hash_frac
+
+    d = _t(spark, sf, "documents")
+    scored = d.select(
+        "doc_id",
+        T.quality_score(F.col("text")).alias("quality"),
+    )
+    return scored.filter(
+        _hash_frac(F.col("doc_id"), "qsample") < F.col("quality") / 100.0
+    )
+
+
+@query(
     "t_stratified_sample",
     f"""
     WITH h AS (
