@@ -1420,6 +1420,72 @@ def u_canon(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+_SHINGLE5_SQL = f"""
+    list_transform(range(1, greatest(array_length({_TOK_SQL}) - 4, 0) + 1),
+                   i -> array_to_string(list_slice({_TOK_SQL}, i, i + 4), ' '))
+"""
+
+
+@query(
+    "d_decontaminate",
+    f"""
+    WITH hkey AS (
+      SELECT doc_id, text, md5(concat('eval:', doc_id)) AS hx FROM documents),
+    split AS (
+      SELECT doc_id, text,
+             (({_HEX8.format(h="hx", p="1")}) / 4294967296.0 < 0.05) AS is_eval
+      FROM hkey),
+    sh AS (
+      SELECT doc_id, is_eval, unnest(list_distinct({_SHINGLE5_SQL})) AS s
+      FROM split),
+    hits AS (
+      SELECT t.doc_id, count(*) AS n_overlap_shingles,
+             count(DISTINCT e.doc_id) AS n_eval_docs
+      FROM sh t JOIN sh e ON t.s = e.s
+      WHERE NOT t.is_eval AND e.is_eval
+      GROUP BY t.doc_id)
+    SELECT doc_id, n_overlap_shingles, n_eval_docs FROM hits
+    """,
+)
+def d_decontam(spark: SparkSession, sf: str) -> DataFrame:
+    """DECONTAMINATION: flag training docs sharing any 5-token shingle
+    with the held-out eval split (the GPT-3-style n-gram overlap check;
+    eval set = deterministic 5% md5 split of the same corpus). Per-doc
+    distinct shingles materialize once behind a repartition barrier; the
+    overlap is an equi-join on the shingle string (eval side is the small
+    fraction — broadcastable at corpus scale) + one aggregate. Returns
+    every contaminated train doc with shingle/eval-doc overlap counts."""
+    from pdf_extractor_spark.operators.sampling import _hash_frac
+
+    d = _t(spark, sf, "documents")
+    staged = d.select(
+        "doc_id",
+        (_hash_frac(F.col("doc_id"), "eval") < 0.05).alias("is_eval"),
+        D.word_tokens(F.col("text")).alias("_t"),
+    ).repartition(_par(spark), "doc_id")
+    sh = staged.select(
+        "doc_id",
+        "is_eval",
+        F.explode(
+            F.array_distinct(D.shingles_from_tokens(F.col("_t"), 5))
+        ).alias("s"),
+    )
+    train = sh.filter(~F.col("is_eval")).select(
+        F.col("doc_id"), F.col("s")
+    )
+    ev = sh.filter(F.col("is_eval")).select(
+        F.col("doc_id").alias("eval_id"), F.col("s")
+    )
+    return (
+        train.join(ev, "s")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_overlap_shingles"),
+            F.countDistinct("eval_id").alias("n_eval_docs"),
+        )
+    )
+
+
 @query(
     "d_joint_dedup_clusters",
     f"""
