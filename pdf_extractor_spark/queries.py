@@ -2769,6 +2769,52 @@ def x_curation(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "m_pack_sequences",
+    f"""
+    WITH tok AS (SELECT doc_id, lang, {_TOK_SQL} AS t FROM documents),
+    meta AS (
+      SELECT doc_id, lang, array_length(t) AS n FROM tok),
+    cum AS (
+      SELECT doc_id, lang, n,
+             coalesce(sum(n) OVER (PARTITION BY lang ORDER BY doc_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cum_prev
+      FROM meta)
+    SELECT doc_id, lang, cast(n AS BIGINT) AS n_tokens,
+           cast(cum_prev // 2048 AS BIGINT) AS seq_id,
+           cast(cum_prev % 2048 AS BIGINT) AS seq_offset
+    FROM cum
+    """,
+)
+def m_pack(spark: SparkSession, sf: str) -> DataFrame:
+    """SEQUENCE PACKING: assign documents to fixed-budget training
+    sequences (2048 tokens) per language stream by streaming quotient
+    packing — seq_id = floor(exclusive-running-token-sum / budget). One
+    partitioned window (deterministic doc_id order), no sequential state;
+    a sequence may exceed the budget by < one document's tokens, the
+    standard trade of stateless packing (exact first-fit needs a
+    sequential pass). seq_offset = position inside the sequence."""
+    d = _t(spark, sf, "documents")
+    staged = d.select(
+        "doc_id", "lang", D.word_tokens(F.col("text")).alias("_t")
+    ).repartition(_par(spark), "doc_id")
+    meta = staged.select("doc_id", "lang", F.size("_t").alias("n"))
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_prev = F.coalesce(F.sum("n").over(w), F.lit(0))
+    return meta.select(
+        "doc_id",
+        "lang",
+        F.col("n").cast("bigint").alias("n_tokens"),
+        F.floor(cum_prev / 2048).cast("bigint").alias("seq_id"),
+        (cum_prev % 2048).cast("bigint").alias("seq_offset"),
+    )
+
+
+@query(
     "p6_quick_validate",
     """
     SELECT doc_id,
