@@ -17,6 +17,32 @@ def test_queries_and_oracles_paired():
     assert set(o) == set(q)
 
 
+def test_driver_window_first_50():
+    """The driver grades CORRECTNESS for exactly the first 50 queries()
+    entries. Pin the window: flagship extraction pipelines first, every
+    never-driver-checked query inside, and no duplicates (VERDICT r2 item 1)."""
+    from pdf_extractor_spark.queries import _DRIVER_WINDOW
+
+    names = list(E.queries())
+    assert len(_DRIVER_WINDOW) == 50
+    assert len(set(_DRIVER_WINDOW)) == 50
+    assert names[:50] == _DRIVER_WINDOW
+    assert names[0] == "x_extract_pipeline"
+    must_be_graded = {
+        "x_extract_pipeline", "x_extract_spans", "x_extract_pdf_pipeline",
+        "x_curation_pipeline", "m_pack_sequences", "m_chunk_for_training",
+        "m3_reassemble_chunks", "p6_quick_validate", "a1_collect_note_refs",
+        "e_kmeans_clusters", "e_ann_multiprobe", "e_ivf_multiprobe",
+        "mm_image_features", "mm_audio_features", "mm_frame_sample",
+        "t_stratified_sample", "t_quality_weighted_sample",
+        "d_decontaminate", "d_dup_components", "d_cluster_representatives",
+    }
+    assert must_be_graded <= set(names[:50])
+    # oracles, where present, follow the same order as queries
+    o = list(E.oracle_sql())
+    assert o == [n for n in names if n in set(o)]
+
+
 def test_entry_runs_and_returns_rows(spark):
     df = E.entry(spark)
     rows = df.limit(5).collect()
