@@ -2863,28 +2863,65 @@ def x_curation(spark: SparkSession, sf: str) -> DataFrame:
 def m_pack(spark: SparkSession, sf: str) -> DataFrame:
     """SEQUENCE PACKING: assign documents to fixed-budget training
     sequences (2048 tokens) per language stream by streaming quotient
-    packing — seq_id = floor(exclusive-running-token-sum / budget). One
-    partitioned window (deterministic doc_id order), no sequential state;
-    a sequence may exceed the budget by < one document's tokens, the
+    packing — seq_id = floor(exclusive-running-token-sum / budget).
+    A sequence may exceed the budget by < one document's tokens, the
     standard trade of stateless packing (exact first-fit needs a
-    sequential pass). seq_offset = position inside the sequence."""
+    sequential pass). seq_offset = position inside the sequence.
+
+    Two-level running sum (the ``_dotted_rank`` pattern): a window
+    partitioned by ``lang`` alone serializes each language stream on one
+    task — with 'en' ≈ half the corpus that is a single task owning ~10⁹
+    rows at 100 TB. Instead shard each language into contiguous doc_id
+    ranges (shard id monotone in doc_id, so per-lang order is preserved),
+    run the prefix sum within (lang, shard), and add broadcast per-shard
+    prefix offsets (|lang|×S rows — tiny at any scale). Output identical
+    to the single-window form; no serialized task anywhere."""
     d = _t(spark, sf, "documents")
     staged = d.select(
         "doc_id", "lang", D.word_tokens(F.col("text")).alias("_t")
     ).repartition(_par(spark), "doc_id")
     meta = staged.select("doc_id", "lang", F.size("_t").alias("n"))
-    w = (
-        Window.partitionBy("lang")
+    # contiguous range shards: shard = floor(doc_id * S / (max_id + 1)).
+    # The 1-row max rides in as a broadcast nested-loop join (no driver
+    # action, no collect); S scales with the session's parallelism.
+    n_shards = _par(spark) * 4
+    hi = meta.agg(F.max("doc_id").alias("_hi"))
+    sharded = meta.join(F.broadcast(hi)).select(
+        "doc_id",
+        "lang",
+        "n",
+        F.floor(F.col("doc_id") * n_shards / (F.col("_hi") + 1))
+        .cast("int")
+        .alias("_shard"),
+    )
+    w_in = (
+        Window.partitionBy("lang", "_shard")
         .orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    cum_prev = F.coalesce(F.sum("n").over(w), F.lit(0))
-    return meta.select(
-        "doc_id",
-        "lang",
-        F.col("n").cast("bigint").alias("n_tokens"),
-        F.floor(cum_prev / 2048).cast("bigint").alias("seq_id"),
-        (cum_prev % 2048).cast("bigint").alias("seq_offset"),
+    local_prev = F.coalesce(F.sum("n").over(w_in), F.lit(0))
+    totals = sharded.groupBy("lang", "_shard").agg(F.sum("n").alias("_cnt"))
+    x, y = totals.alias("x"), totals.alias("y")
+    offsets = (
+        x.join(
+            F.broadcast(y),
+            (F.col("y.lang") == F.col("x.lang"))
+            & (F.col("y._shard") < F.col("x._shard")),
+            "left",
+        )
+        .groupBy(F.col("x.lang").alias("lang"), F.col("x._shard").alias("_shard"))
+        .agg(F.coalesce(F.sum("y._cnt"), F.lit(0)).alias("_off"))
+    )
+    cum_prev = F.col("_off") + local_prev
+    return (
+        sharded.join(F.broadcast(offsets), ["lang", "_shard"])
+        .select(
+            "doc_id",
+            "lang",
+            F.col("n").cast("bigint").alias("n_tokens"),
+            F.floor(cum_prev / 2048).cast("bigint").alias("seq_id"),
+            (cum_prev % 2048).cast("bigint").alias("seq_offset"),
+        )
     )
 
 

@@ -151,6 +151,67 @@ def test_all_queries_plan_hygiene(spark):
         assert not _unpartitioned_windows(plan), name
 
 
+def test_pack_sequences_window_is_sharded(spark):
+    """m_pack_sequences must never window-partition by lang alone — with a
+    handful of language values that is one task per language owning the whole
+    stream. Every Window's partition spec must carry the range-shard column
+    alongside lang (two-level prefix sum + broadcast offsets)."""
+    import re
+
+    from pdf_extractor_spark.queries import all_queries
+
+    df = all_queries()["m_pack_sequences"](spark, "/root/testdata/sf0.001")
+    plan = _explain(df)
+    lines = plan.splitlines()
+    n_windows = 0
+    for i, ln in enumerate(lines):
+        if re.fullmatch(r"\(\d+\) Window", ln.strip()):
+            n_windows += 1
+            detail = next(
+                d for d in lines[i + 1 : i + 8] if d.startswith("Arguments:")
+            )
+            m = re.search(r"\], \[(.*?)\], \[", detail)
+            assert m is not None, detail
+            part_spec = m.group(1)
+            assert "_shard" in part_spec, detail
+    assert n_windows >= 1  # the prefix-sum window exists and is sharded
+
+
+def test_pack_sequences_matches_single_window_form(spark):
+    """The sharded two-level prefix sum must be value-identical to the naive
+    single-window-per-language form on the same input."""
+    from pyspark.sql import Window
+
+    from pdf_extractor_spark.operators.dedup import word_tokens
+    from pdf_extractor_spark.queries import all_queries
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["seq_id"], r["seq_offset"])
+        for r in all_queries()["m_pack_sequences"](spark, sf).collect()
+    }
+    d = spark.read.parquet(f"{sf}/documents.parquet")
+    meta = d.select(
+        "doc_id", "lang", F.size(word_tokens(F.col("text"))).alias("n")
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = F.coalesce(F.sum("n").over(w), F.lit(0))
+    want = {
+        r["doc_id"]: (r["n"], r["seq_id"], r["seq_offset"])
+        for r in meta.select(
+            "doc_id",
+            F.col("n").cast("bigint").alias("n"),
+            F.floor(cum / 2048).cast("bigint").alias("seq_id"),
+            (cum % 2048).cast("bigint").alias("seq_offset"),
+        ).collect()
+    }
+    assert got == want
+
+
 def test_salted_output_identical(spark, doc_parquet):
     """Salting changes placement, never results."""
     df = spark.read.parquet(doc_parquet)
