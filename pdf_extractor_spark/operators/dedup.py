@@ -462,6 +462,65 @@ def simhash_near_dup_pairs(
     )
 
 
+def decontaminate(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    eval_col: str = "is_eval",
+    shingle_n: int = 5,
+    df_max: int | None = None,
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """Train/eval n-gram decontamination (the GPT-3-style overlap check):
+    flag every non-eval doc sharing >=1 ``shingle_n``-token shingle with any
+    eval doc -> (id, n_overlap_shingles, n_eval_docs).
+
+    Skew guards — the two 100-TB failure modes of the shingle join:
+    - ``df_max``: shingles whose document frequency (both splits) exceeds it
+      are dropped from BOTH sides before the join, via the same broadcast
+      anti-join pattern as the LSH ``max_bucket`` cap above. A boilerplate
+      shingle present in E eval and T train docs materializes E*T join rows
+      — one hot key kills the task at 10^9 docs. Ultra-common n-grams carry
+      no contamination signal, so capping is standard practice.
+    - the eval side is broadcast EXPLICITLY: an eval set is a fixed
+      benchmark suite, small by construction, and Catalyst's post-explode
+      cardinality estimates are too unreliable to leave the choice to stats.
+    """
+    staged = df.select(
+        F.col(id_col).alias("id"),
+        F.col(eval_col).alias("is_eval"),
+        word_tokens(F.col(text_col)).alias("_t"),
+    )
+    if n_partitions:
+        staged = staged.repartition(n_partitions, "id")
+    sh = staged.select(
+        "id",
+        "is_eval",
+        F.explode(
+            F.array_distinct(shingles_from_tokens(F.col("_t"), shingle_n))
+        ).alias("s"),
+    )
+    if df_max is not None:
+        # hot shingles are FEW by construction -> broadcast anti-join
+        hot = (
+            sh.groupBy("s")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") > df_max)
+            .select("s")
+        )
+        sh = sh.join(F.broadcast(hot), "s", "left_anti")
+    train = sh.filter(~F.col("is_eval")).select("id", "s")
+    ev = sh.filter(F.col("is_eval")).select(F.col("id").alias("eval_id"), "s")
+    return (
+        train.join(F.broadcast(ev), "s")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_overlap_shingles"),
+            F.countDistinct("eval_id").alias("n_eval_docs"),
+        )
+    )
+
+
 def exact_duplicates(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", normalized: bool = False
 ) -> DataFrame:

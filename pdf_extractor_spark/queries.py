@@ -1500,6 +1500,15 @@ _SHINGLE5_SQL = f"""
 """
 
 
+# Decontamination shingle document-frequency cap: shingles appearing in more
+# than this many documents (both splits counted) are dropped BEFORE the
+# train×eval join. Boilerplate shingles ("all rights reserved ...") occur in
+# a large fraction of BOTH sides; one such key materializes E·T join rows —
+# a task-killing hot key at 10⁹ docs. Dropping ultra-common n-grams is
+# standard decontamination practice (they carry no contamination signal).
+DECONTAM_DF_MAX = 50
+
+
 @query(
     "d_decontaminate",
     f"""
@@ -1512,10 +1521,12 @@ _SHINGLE5_SQL = f"""
     sh AS (
       SELECT doc_id, is_eval, unnest(list_distinct({_SHINGLE5_SQL})) AS s
       FROM split),
+    keep AS (
+      SELECT s FROM sh GROUP BY s HAVING count(*) <= {DECONTAM_DF_MAX}),
     hits AS (
       SELECT t.doc_id, count(*) AS n_overlap_shingles,
              count(DISTINCT e.doc_id) AS n_eval_docs
-      FROM sh t JOIN sh e ON t.s = e.s
+      FROM sh t JOIN keep k ON t.s = k.s JOIN sh e ON t.s = e.s
       WHERE NOT t.is_eval AND e.is_eval
       GROUP BY t.doc_id)
     SELECT doc_id, n_overlap_shingles, n_eval_docs FROM hits
@@ -1525,39 +1536,32 @@ def d_decontam(spark: SparkSession, sf: str) -> DataFrame:
     """DECONTAMINATION: flag training docs sharing any 5-token shingle
     with the held-out eval split (the GPT-3-style n-gram overlap check;
     eval set = deterministic 5% md5 split of the same corpus). Per-doc
-    distinct shingles materialize once behind a repartition barrier; the
-    overlap is an equi-join on the shingle string (eval side is the small
-    fraction — broadcastable at corpus scale) + one aggregate. Returns
-    every contaminated train doc with shingle/eval-doc overlap counts."""
+    distinct shingles materialize once behind a repartition barrier.
+
+    Skew guards (the two 100-TB failure modes of this join):
+    - shingles with document frequency > DECONTAM_DF_MAX are removed on
+      BOTH sides before the join via the same broadcast anti-join pattern
+      as the LSH hot-bucket cap (operators/dedup.py max_bucket) — a
+      boilerplate shingle in E eval × T train docs would otherwise emit
+      E·T rows into the shuffle;
+    - the eval side is broadcast EXPLICITLY (an eval set is a fixed
+      benchmark suite — small by construction; post-explode cardinality
+      estimates are unreliable, so this is not left to Catalyst stats).
+    Returns every contaminated train doc with overlap counts."""
     from pdf_extractor_spark.operators.sampling import _hash_frac
 
     d = _t(spark, sf, "documents")
-    staged = d.select(
+    split = d.select(
         "doc_id",
+        "text",
         (_hash_frac(F.col("doc_id"), "eval") < 0.05).alias("is_eval"),
-        D.word_tokens(F.col("text")).alias("_t"),
-    ).repartition(_par(spark), "doc_id")
-    sh = staged.select(
-        "doc_id",
-        "is_eval",
-        F.explode(
-            F.array_distinct(D.shingles_from_tokens(F.col("_t"), 5))
-        ).alias("s"),
     )
-    train = sh.filter(~F.col("is_eval")).select(
-        F.col("doc_id"), F.col("s")
-    )
-    ev = sh.filter(F.col("is_eval")).select(
-        F.col("doc_id").alias("eval_id"), F.col("s")
-    )
-    return (
-        train.join(ev, "s")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_overlap_shingles"),
-            F.countDistinct("eval_id").alias("n_eval_docs"),
-        )
-    )
+    return D.decontaminate(
+        split,
+        shingle_n=5,
+        df_max=DECONTAM_DF_MAX,
+        n_partitions=_par(spark),
+    ).withColumnRenamed("id", "doc_id")
 
 
 @query(

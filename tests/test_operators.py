@@ -502,3 +502,50 @@ def test_connected_components_star_edge_cases(spark):
     )
     got2 = {r["node"]: r["comp"] for r in connected_components_star(dup).collect()}
     assert got2 == {1: 1, 2: 1, 3: 1}
+
+
+def test_decontaminate_df_cap_drops_boilerplate_shingles(spark):
+    """The df_max guard removes hot boilerplate shingles before the
+    train-eval join while rare-shingle contamination is still flagged."""
+    from pdf_extractor_spark.operators.dedup import decontaminate
+
+    boiler = "all rights reserved copyright twenty twenty four"  # 7 tokens
+    secret = "zebra quantum umbrella fastened lantern"  # 5 tokens, rare
+    rows = (
+        # eval doc carrying both the boilerplate and the rare shingle
+        [(0, f"{secret} {boiler}", True)]
+        # one genuinely contaminated train doc (shares the rare shingle)
+        + [(1, f"prefix words here {secret} and a suffix", False)]
+        # many train docs sharing ONLY the boilerplate shingle
+        + [(i, f"document number {i} body text {boiler}", False) for i in range(2, 40)]
+    )
+    df = spark.createDataFrame(rows, ["doc_id", "text", "is_eval"])
+
+    uncapped = {
+        r["id"] for r in decontaminate(df, shingle_n=5, df_max=None).collect()
+    }
+    assert 1 in uncapped
+    assert len(uncapped) > 10  # boilerplate alone flags dozens of docs
+
+    capped = {
+        r["id"]: (r["n_overlap_shingles"], r["n_eval_docs"])
+        for r in decontaminate(df, shingle_n=5, df_max=10).collect()
+    }
+    # boilerplate shingles (df=39) are dropped: only the real hit remains
+    assert set(capped) == {1}
+    assert capped[1] == (1, 1)
+
+
+def test_decontaminate_plan_broadcasts_eval_side(spark):
+    """The eval side of the shingle join must be an explicit broadcast and
+    the hot-shingle cap a broadcast anti-join — never left to stats."""
+    import re
+
+    from pdf_extractor_spark.queries import all_queries
+
+    df = all_queries()["d_decontaminate"](spark, "/root/testdata/sf0.001")
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    joins = re.findall(r"\(\d+\) BroadcastHashJoin", plan)
+    assert len(joins) >= 2, plan  # anti-join (cap) + inner join (eval side)
