@@ -616,7 +616,11 @@ def connected_components(
                 "node",
                 F.least(F.col("comp"), F.coalesce("j_comp", "comp")).alias("comp"),
             )
-        labels = labels.localCheckpoint()
+        # LAZY checkpoint: the convergence agg below is the round's only
+        # action — it materializes (and caches) the checkpoint in the same
+        # job, so each round schedules ONE job instead of two (checkpoint +
+        # agg). At toy scale per-round job scheduling dominates CC wall time.
+        labels = labels.localCheckpoint(eager=False)
         # decimal(38,0): sum of 64-bit labels over billions of nodes can
         # overflow long — ANSI mode would throw mid-iteration (and legacy
         # wraparound could fake convergence)
@@ -695,13 +699,13 @@ def connected_components_star(
         raw.select(F.col("a").alias("node"))
         .union(raw.select(F.col("b").alias("node")))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)  # materialized by the final union
     )
     e = (
         raw.filter(F.col("a") != F.col("b"))
         .select(F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v"))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)  # materialized by the first _sig
     )
 
     def _sig(frame: DataFrame) -> tuple:
@@ -714,7 +718,11 @@ def connected_components_star(
 
     prev = _sig(e)
     for _ in range(max_iter):
-        e = _small_star(_large_star(e)).localCheckpoint()
+        # LAZY checkpoint: _sig is the round's single action and it
+        # materializes the checkpoint as a side effect — one scheduled job
+        # per round instead of two (the r2 profile showed per-round job
+        # scheduling, not compute, dominating CC wall time at sf0.1)
+        e = _small_star(_large_star(e)).localCheckpoint(eager=False)
         cur = _sig(e)
         if cur == prev:
             break

@@ -168,12 +168,16 @@ def kmeans_iterations(
     centroid floats between rounds — the standard distributed k-means
     shape. Returns (id, cluster) after the final assignment.
     """
-    seed_rows = (
-        df.filter(F.col(id_col) < k).orderBy(id_col).select(vec_col).collect()
-    )
+    # seed with the k lowest ids (NOT `id < k`: ids may be non-contiguous
+    # or non-zero-based, which would under-seed or return zero centroids)
+    seed_rows = df.orderBy(id_col).select(vec_col).limit(k).collect()
     cents: list[list[float]] = [
         [float(x) for x in r[vec_col]] for r in seed_rows
     ]
+    if len(cents) < k:
+        raise ValueError(
+            f"kmeans_iterations: k={k} but input has only {len(cents)} rows"
+        )
     dim = len(cents[0])
     assigned = None
     for _ in range(n_iter):

@@ -549,3 +549,29 @@ def test_decontaminate_plan_broadcasts_eval_side(spark):
     )
     joins = re.findall(r"\(\d+\) BroadcastHashJoin", plan)
     assert len(joins) >= 2, plan  # anti-join (cap) + inner join (eval side)
+
+
+def test_kmeans_seeds_with_noncontiguous_ids(spark):
+    """Seeding must take the k lowest ids, not rows with id < k — inputs
+    with offset or sparse ids previously under-seeded (IndexError)."""
+    from pyspark.sql import functions as FF
+
+    from pdf_extractor_spark.operators.similarity import kmeans_iterations
+
+    df = spark.range(0, 40).select(
+        (FF.col("id") * 7 + 1000).alias("vec_id"),  # ids 1000, 1007, ...
+        FF.array(
+            (FF.col("id") % 4).cast("double"),
+            ((FF.col("id") + 1) % 4).cast("double"),
+            FF.lit(1.0),
+        ).alias("embedding"),
+    )
+    out = kmeans_iterations(df, k=4, n_iter=2)
+    rows = out.collect()
+    assert len(rows) == 40
+    assert {r["cluster"] for r in rows} <= {0, 1, 2, 3}
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="only 2 rows"):
+        kmeans_iterations(df.limit(2), k=4, n_iter=1)
