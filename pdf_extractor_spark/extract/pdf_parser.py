@@ -336,6 +336,64 @@ def _maybe_inflate(header: bytes, stream: bytes) -> bytes | None:
 _NUM_RE = re.compile(rb"[+-]?(?:\d+\.?\d*|\.\d+)")
 _NAME_RE = re.compile(rb"/[^\s/\[\]()<>{}%]*")
 _OP_RE = re.compile(rb"[A-Za-z'\"*]+")
+
+# inline images: BI <dict> ID <binary> EI. The binary may contain "\sEI\s" by
+# pure chance, so a candidate EI is only accepted when the bytes after it
+# parse as a plausible content-stream continuation (known operator, name,
+# number, string/array/dict opener, or end of stream).
+_INLINE_ID_RE = re.compile(rb"(?<![A-Za-z0-9])ID(?=[\s])")
+_INLINE_EI_RE = re.compile(rb"\sEI(?=\s|$)")
+_WS = b" \t\r\n\x0c\x00"
+_KNOWN_OPS = {
+    # text
+    b"BT", b"ET", b"Tf", b"TL", b"Td", b"TD", b"Tm", b"T*", b"Tj", b"TJ",
+    b"'", b'"', b"Tc", b"Tw", b"Tz", b"Ts", b"Tr",
+    # graphics state / path / paint
+    b"q", b"Q", b"cm", b"gs", b"w", b"J", b"j", b"M", b"d", b"ri", b"i",
+    b"re", b"m", b"l", b"c", b"v", b"y", b"h", b"n",
+    b"f", b"F", b"f*", b"B", b"B*", b"b", b"b*", b"s", b"S", b"W", b"W*",
+    # color
+    b"cs", b"CS", b"sc", b"scn", b"SC", b"SCN", b"g", b"G", b"rg", b"RG",
+    b"k", b"K", b"sh",
+    # xobjects / marked content / compatibility / next image
+    b"Do", b"BI", b"BMC", b"BDC", b"EMC", b"MP", b"DP", b"BX", b"EX", b"d0", b"d1",
+}
+
+
+def _plausible_resume(data: bytes, pos: int, n: int) -> bool:
+    """True when ``pos`` looks like a real content-stream position: used to
+    reject EI byte sequences occurring inside inline-image binary data."""
+    while pos < n and data[pos] in _WS:
+        pos += 1
+    if pos >= n:
+        return True
+    c = data[pos]
+    if c in b"/([<)]>%":
+        return True
+    m = _NUM_RE.match(data, pos)
+    if m and m.end() > pos:
+        return True
+    m = _OP_RE.match(data, pos)
+    return bool(m and m.end() > pos and m.group(0) in _KNOWN_OPS)
+
+
+def _skip_inline_image(data: bytes, start: int, n: int) -> int:
+    """Resume index after an inline image whose ``BI`` ends at ``start``.
+
+    Scans from AFTER the ``ID`` operator (the image dict itself may contain
+    strings with 'EI') and accepts the first whitespace-delimited ``EI``
+    whose suffix parses as a plausible stream continuation — raw image bytes
+    can contain '\\sEI\\s' by chance, and resuming mid-image used to emit
+    garbage text from stray '(...)' runs in image data."""
+    idm = _INLINE_ID_RE.search(data, start)
+    pos = (idm.end() + 1) if idm else start  # ID + one whitespace byte
+    while True:
+        em = _INLINE_EI_RE.search(data, pos)
+        if not em:
+            return n
+        if _plausible_resume(data, em.end(), n):
+            return em.end()
+        pos = em.start() + 1
 _ESCAPES = {
     ord("n"): b"\n", ord("r"): b"\r", ord("t"): b"\t", ord("b"): b"\b",
     ord("f"): b"\f", ord("("): b"(", ord(")"): b")", ord("\\"): b"\\",
@@ -674,11 +732,9 @@ def _tokenize_content(data: bytes):
             if m and m.end() > i:
                 op = m.group(0)
                 if op == b"BI":
-                    # inline image: raw binary follows the ID operator until
-                    # a whitespace-delimited EI — skipping it keeps image
-                    # bytes out of the text stream (they contain (, <, ops)
-                    em = re.compile(rb"\sEI(?=\s|$)").search(data, m.end())
-                    i = em.end() if em else n
+                    # inline image: skip binary payload, validating the
+                    # resume position (see _skip_inline_image)
+                    i = _skip_inline_image(data, m.end(), n)
                     continue
                 yield ("op", op)
                 i = m.end()

@@ -70,12 +70,26 @@ def commit_snapshot(df: DataFrame, table_path: str, snapshot_id: int | None = No
 
 
 def read_committed(spark: SparkSession, table_path: str) -> DataFrame | None:
-    """Union of all committed snapshots; None when the table is empty."""
+    """Union of all committed snapshots; None when the table is empty.
+
+    Reads with ``mergeSchema`` and backfills ``_snapshot`` from the
+    ``snap_<n>`` directory name: snapshots committed before the column
+    existed (legacy tables being resumed/repaired) would otherwise drop the
+    column from the inferred schema — or surface nulls that break
+    ``read_latest``'s last-wins ordering."""
     ids = _committed_ids(table_path)
     if not ids:
         return None
     paths = [os.path.join(table_path, f"snap_{n}") for n in ids]
-    return spark.read.parquet(*paths)
+    df = spark.read.option("mergeSchema", "true").parquet(*paths)
+    from_dir = F.regexp_extract(
+        F.input_file_name(), r"/snap_(\d+)/", 1
+    ).try_cast("int")
+    if "_snapshot" in df.columns:
+        backfilled = F.coalesce(F.col("_snapshot"), from_dir)
+    else:
+        backfilled = from_dir
+    return df.withColumn("_snapshot", backfilled)
 
 
 def list_snapshots(spark: SparkSession, table_path: str) -> DataFrame:

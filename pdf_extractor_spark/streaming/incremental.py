@@ -65,9 +65,16 @@ def stream_extract_to_catalog(
         todo = catalog.remaining(batch_df.sparkSession, batch_df, output_table)
         extracted = extract_documents(todo, n_partitions=n_partitions)
         sized = extracted.withColumn("bytes_in", F.length("html")).drop("html")
-        if sized.isEmpty():
-            return  # replayed epoch fully covered by a prior commit
-        catalog.commit_snapshot(sized, output_table)
+        # persist before the emptiness probe: extraction is the expensive
+        # stage, and without the cache both isEmpty() AND the snapshot write
+        # would execute the full extraction UDF — doubling every batch
+        sized = sized.persist()
+        try:
+            if sized.isEmpty():
+                return  # replayed epoch fully covered by a prior commit
+            catalog.commit_snapshot(sized, output_table)
+        finally:
+            sized.unpersist()
 
     return (
         stream.writeStream.foreachBatch(_commit)

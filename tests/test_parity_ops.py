@@ -239,3 +239,35 @@ def test_chunk_for_training_overlap_and_coverage(spark):
     # short doc -> one chunk; empty doc -> none
     assert len(by_doc[2]) == 1 and by_doc[2][0][1] == ["short", "doc"]
     assert 3 not in by_doc
+
+
+def test_catalog_legacy_snapshot_without_snapshot_column(spark, tmp_path):
+    """Tables written before commit_snapshot stamped _snapshot must still
+    read and order correctly: read_committed backfills _snapshot from the
+    snap_<n> directory name (mergeSchema read + coalesce)."""
+    import os
+
+    from pdf_extractor_spark import pipeline
+
+    table = str(tmp_path / "t")
+    # legacy snapshot: written WITHOUT the _snapshot column, marker by hand
+    legacy = spark.createDataFrame([("u1", "old"), ("u2", "old")], ["url", "text"])
+    os.makedirs(table, exist_ok=True)
+    legacy.write.mode("overwrite").parquet(os.path.join(table, "snap_1"))
+    with open(os.path.join(table, "_committed_1"), "w") as fh:
+        fh.write("1")
+    # modern snapshot via the current commit path (stamps _snapshot=2)
+    catalog.commit_snapshot(
+        spark.createDataFrame([("u1", "new")], ["url", "text"]), table
+    )
+
+    committed = catalog.read_committed(spark, table)
+    snaps = {
+        (r["url"], r["text"]): r["_snapshot"] for r in committed.collect()
+    }
+    assert snaps[("u1", "old")] == 1  # backfilled from directory name
+    assert snaps[("u2", "old")] == 1
+    assert snaps[("u1", "new")] == 2
+
+    latest = {r["url"]: r["text"] for r in pipeline.read_latest(spark, table).collect()}
+    assert latest == {"u1": "new", "u2": "old"}  # last-wins across the mix

@@ -550,3 +550,53 @@ def test_encoding_differences_remap():
     objs6[2] = b"<< /Length %d >>\nstream\n%s\nendstream" % (len(content2), content2)
     text2, _, _ = extract_pdf_one(_classic_objs(objs6))
     assert "price € ninety nine" in text2
+
+
+def test_inline_image_with_fake_ei_in_binary():
+    """Raw image bytes containing a whitespace-delimited 'EI' by chance must
+    NOT end the inline image early: resuming mid-image used to emit garbage
+    text from stray '(...)' sequences in image data. A candidate EI is only
+    accepted when the following bytes parse as a real stream continuation."""
+    # fake EI followed by binary garbage (not a plausible operator), then a
+    # paren run that would leak as phantom text if tokenization resumed here
+    binary = (
+        b"\x89\x50\x4e\x47 EI \xde\xad\xbe\xef(leaked garbage) Tj \xff\xfe"
+        + bytes(range(200, 256))
+    )
+    content = (
+        b"BT\n/F1 11 Tf\n1 0 0 1 72 700 Tm\n(Before image) Tj\nET\n"
+        b"BI /W 4 /H 4 /BPC 8 /CS /RGB ID " + binary + b" EI\n"
+        b"BT\n/F1 11 Tf\n1 0 0 1 72 686 Tm\n(After image) Tj\nET"
+    )
+    objs = {
+        1: b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica "
+        b"/Encoding /WinAnsiEncoding >>",
+        2: b"<< /Length %d >>\nstream\n%s\nendstream" % (len(content), content),
+        3: b"<< /Type /Page /Parent 4 0 R /MediaBox [0 0 612 792] "
+        b"/Contents 2 0 R /Resources << /Font << /F1 1 0 R >> >> >>",
+        4: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        5: b"<< /Type /Catalog /Pages 4 0 R >>",
+    }
+    text, spans, n = extract_pdf_one(_classic_objs(objs))
+    assert "Before image" in text and "After image" in text
+    assert "leaked garbage" not in text
+
+
+def test_inline_image_dict_string_with_ei_not_terminator():
+    """The EI scan must start AFTER the ID operator — only bytes following
+    ID are image data."""
+    content = (
+        b"BI /W 2 /H 2 /BPC 8 /CS /G ID \x01\x02\x03\x04 EI\n"
+        b"BT\n/F1 11 Tf\n1 0 0 1 72 700 Tm\n(Visible) Tj\nET"
+    )
+    objs = {
+        1: b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica "
+        b"/Encoding /WinAnsiEncoding >>",
+        2: b"<< /Length %d >>\nstream\n%s\nendstream" % (len(content), content),
+        3: b"<< /Type /Page /Parent 4 0 R /MediaBox [0 0 612 792] "
+        b"/Contents 2 0 R /Resources << /Font << /F1 1 0 R >> >> >>",
+        4: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        5: b"<< /Type /Catalog /Pages 4 0 R >>",
+    }
+    text, spans, n = extract_pdf_one(_classic_objs(objs))
+    assert text == "Visible"
