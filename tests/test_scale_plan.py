@@ -372,3 +372,61 @@ def test_aqe_splits_skewed_join_at_runtime(spark):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_skew_guards_end_to_end(spark, tmp_path):
+    """SCALE.md §4's two skew claims, exercised on a 100×-shape corpus in one
+    test: (a) an LSH bucket above max_bucket is dropped WITHOUT losing the
+    capped docs' recall through their other bands; (b) a single host holding
+    most of the corpus still yields bounded per-partition lineage doc-count
+    spread through the real extraction job (salting flattens the Zipf head)."""
+    import statistics
+
+    from pdf_extractor_spark.operators.dedup import minhash_lsh_pairs
+    from pdf_extractor_spark.fixtures.synth import make_document_row
+    from pdf_extractor_spark.pipeline import run_extraction_job
+    from pdf_extractor_spark.sources import catalog
+
+    # --- (a) hot-bucket cap preserves other-band recall ---------------------
+    boiler = (
+        "the quick brown fox jumps over the lazy dog while rain falls on "
+        "the quiet town square " * 3
+    )
+    near = boiler.replace("lazy", "sleepy")  # differs from boiler in band 0 only
+    rows = [(i, boiler) for i in range(30)] + [(100, near), (101, near)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    uncapped = minhash_lsh_pairs(df, k=4, bands=2, shingle_n=2)
+    assert uncapped.count() >= 30 * 29 // 2  # degenerate clique dominates
+
+    capped = minhash_lsh_pairs(df, k=4, bands=2, shingle_n=2, max_bucket=8)
+    pairs = {(r["id_a"], r["id_b"]) for r in capped.collect()}
+    # the 30-clone buckets (>max_bucket in EVERY band) are gone...
+    assert not any(a < 30 and b < 30 for a, b in pairs)
+    # ...but the capped docs still pair through their non-hot band
+    assert (100, 101) in pairs
+
+    # --- (b) heavy-host salting bounds lineage spread -----------------------
+    n_docs, n_parts = 240, 16
+    doc_rows = []
+    for i in range(n_docs):
+        r = make_document_row(i)
+        r["warc_ts"] = r["warc_ts"].replace(tzinfo=None)
+        if i % 10 < 6:  # one host owns 60% of the corpus
+            r["url"] = f"https://megahost.example/page/{i}"
+        doc_rows.append((r["url"], r["warc_ts"], r["html"], r["lang"]))
+    inp = spark.createDataFrame(
+        doc_rows, "url string, warc_ts timestamp, html binary, lang string"
+    )
+    table = str(tmp_path / "skew_out")
+    metrics = run_extraction_job(spark, inp, table, n_partitions=n_parts)
+    assert metrics["rows"] == n_docs
+
+    lineage = catalog.read_committed(spark, str(tmp_path / "skew_out" / "_lineage"))
+    counts = [r["doc_count"] for r in lineage.collect()]
+    assert sum(counts) == n_docs
+    # without salting the heavy host would serialize ~60% of rows onto one
+    # partition; with it no partition holds a host-sized share and the
+    # spread stays within 3x the mean
+    assert max(counts) < 0.25 * n_docs
+    assert max(counts) < 3 * statistics.mean(counts)
