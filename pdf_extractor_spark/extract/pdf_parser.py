@@ -24,6 +24,11 @@ Supported PDF subset (documented per SURVEY.md §7 "hard parts"):
   - per-page MediaBox (default US-Letter 612x792);
   - /Type /ObjStm object streams (PDF 1.5+): embedded page/font dicts are
     surfaced before page-tree resolution;
+  - /Type /XRef cross-reference STREAMS, including /Prev chains across
+    incremental updates: the live-object map they define overrides the
+    brute scan, so an update whose new object generation lives inside an
+    ObjStm resolves to the new version (classic xref tables need no such
+    override — appended updates already win by scan order);
   - header/footer margin bands excluded; up to two columns per page detected
     by the gutter in line x-starts.
 
@@ -55,40 +60,58 @@ _STREAM_RE = re.compile(rb"stream\r?\n")
 # --- file-level parsing -------------------------------------------------------
 
 
+def _parse_object_body(
+    data: bytes, m: re.Match
+) -> tuple[int, bytes, bytes | None]:
+    """Parse one ``N G obj`` match -> (num, header_bytes, stream_bytes|None)."""
+    num = int(m.group(1))
+    body_start = m.end()
+    sm = _STREAM_RE.search(data, body_start)
+    end_obj = data.find(b"endobj", body_start)
+    if end_obj < 0:
+        end_obj = len(data)
+    if sm and sm.start() < end_obj:
+        header = data[body_start : sm.start()]
+        length = _dict_int(header, b"/Length")
+        if length is not None and sm.end() + length <= len(data):
+            stream = data[sm.end() : sm.end() + length]
+        else:
+            es = data.find(b"endstream", sm.end())
+            if es < 0:
+                es = len(data)
+            stream = data[sm.end() : es]
+            if stream.endswith(b"\r\n"):
+                stream = stream[:-2]
+            elif stream.endswith(b"\n"):
+                stream = stream[:-1]
+        return num, header, stream
+    return num, data[body_start:end_obj], None
+
+
 def _parse_objects(data: bytes) -> dict[int, tuple[bytes, bytes | None]]:
     """Scan ``N G obj … endobj`` — returns {obj_num: (header_dict_bytes, stream_bytes|None)}."""
     objects: dict[int, tuple[bytes, bytes | None]] = {}
     for m in _OBJ_RE.finditer(data):
-        num = int(m.group(1))
-        body_start = m.end()
-        sm = _STREAM_RE.search(data, body_start)
-        end_obj = data.find(b"endobj", body_start)
-        if end_obj < 0:
-            end_obj = len(data)
-        if sm and sm.start() < end_obj:
-            header = data[body_start : sm.start()]
-            length = _dict_int(header, b"/Length")
-            if length is not None and sm.end() + length <= len(data):
-                stream = data[sm.end() : sm.end() + length]
-                end_obj = data.find(b"endobj", sm.end() + length)
-                if end_obj < 0:
-                    end_obj = len(data)
-            else:
-                es = data.find(b"endstream", sm.end())
-                if es < 0:
-                    es = len(data)
-                stream = data[sm.end() : es]
-                if stream.endswith(b"\r\n"):
-                    stream = stream[:-2]
-                elif stream.endswith(b"\n"):
-                    stream = stream[:-1]
-                end_obj = data.find(b"endobj", es)
-                if end_obj < 0:
-                    end_obj = len(data)
-            objects[num] = (header, stream)
-        else:
-            objects[num] = (data[body_start:end_obj], None)
+        num, header, stream = _parse_object_body(data, m)
+        objects[num] = (header, stream)
     return objects
+
+
+def _parse_object_at(
+    data: bytes, offset: int, expected_num: int
+) -> tuple[bytes, bytes | None] | None:
+    """Parse the object at a byte ``offset`` from an xref entry; None when
+    the offset does not hold the expected object (corrupt/stale xref)."""
+    if not (0 <= offset < len(data)):
+        return None
+    pos = offset
+    while pos < len(data) and data[pos] in b" \t\r\n\x00":
+        pos += 1
+    m = _OBJ_RE.match(data, pos)
+    if not m or int(m.group(1)) != expected_num:
+        return None
+    num, header, stream = _parse_object_body(data, m)
+    return header, stream
 
 
 def _expand_object_streams(
@@ -109,20 +132,148 @@ def _expand_object_streams(
     for header, stream in list(objects.values()):
         if stream is None or not re.search(rb"/Type\s*/ObjStm\b", header):
             continue
-        data = _maybe_inflate(header, stream)
-        if not data:
-            continue
-        n = _dict_int(header, b"/N")
-        first = _dict_int(header, b"/First")
-        if not n or first is None:
-            continue
-        nums = [int(x) for x in re.findall(rb"\d+", data[:first])]
-        pairs = list(zip(nums[0::2], nums[1::2]))[:n]
-        for i, (objnum, off) in enumerate(pairs):
-            end = pairs[i + 1][1] if i + 1 < len(pairs) else len(data) - first
-            found[objnum] = (data[first + off : first + end], None)
+        for objnum, body in _objstm_members(header, stream):
+            found[objnum] = (body, None)
     for num, obj in found.items():
         objects.setdefault(num, obj)
+    return objects
+
+
+def _objstm_members(header: bytes, stream: bytes) -> list[tuple[int, bytes]]:
+    """Decode a /Type /ObjStm stream -> [(obj_num, body_bytes)] in index order."""
+    data = _maybe_inflate(header, stream)
+    if not data:
+        return []
+    n = _dict_int(header, b"/N")
+    first = _dict_int(header, b"/First")
+    if not n or first is None:
+        return []
+    nums = [int(x) for x in re.findall(rb"\d+", data[:first])]
+    pairs = list(zip(nums[0::2], nums[1::2]))[:n]
+    out: list[tuple[int, bytes]] = []
+    for i, (objnum, off) in enumerate(pairs):
+        end = pairs[i + 1][1] if i + 1 < len(pairs) else len(data) - first
+        out.append((objnum, data[first + off : first + end]))
+    return out
+
+
+_STARTXREF_RE = re.compile(rb"startxref\s+(\d+)")
+_XREF_W_RE = re.compile(rb"/W\s*\[\s*(\d+)\s+(\d+)\s+(\d+)\s*\]")
+_XREF_INDEX_RE = re.compile(rb"/Index\s*\[([^\]]*)\]")
+
+
+def _xref_live_entries(data: bytes) -> dict[int, tuple[int, int, int]]:
+    """Walk the xref-STREAM chain from the last ``startxref`` (PDF 7.5.8).
+
+    Returns the authoritative live-object map {obj_num: (type, f2, f3)}
+    with type 1 = direct object at byte offset f2, type 2 = object f3-th
+    member of ObjStm f2. Sections are merged newest-first (the startxref
+    section wins over its /Prev ancestors), which is what makes
+    incrementally-updated files resolve to the NEW object generation.
+    Classic ``xref`` table chains return {} — the brute object scan's
+    last-occurrence-wins rule already picks the appended (newer) version
+    for those. Type-0 (free) entries are recorded during the merge so an
+    older section cannot resurrect a freed slot, then dropped; we do not
+    delete scanned bodies on their account (dirty-crawl robustness beats
+    spec purity for freed-slot reuse)."""
+    last = None
+    for last in _STARTXREF_RE.finditer(data):
+        pass
+    if last is None:
+        return {}
+    live: dict[int, tuple[int, int, int]] = {}
+    pos, seen = int(last.group(1)), set()
+    while 0 <= pos < len(data) and pos not in seen:
+        seen.add(pos)
+        obj = _parse_object_at_any(data, pos)
+        if obj is None:
+            break
+        header, stream = obj
+        if stream is None or not re.search(rb"/Type\s*/XRef\b", header):
+            break  # classic xref table or corrupt chain
+        dec = _maybe_inflate(header, stream)
+        wm = _XREF_W_RE.search(header)
+        if dec is None or wm is None:
+            break
+        wa, wb, wc = (int(wm.group(i)) for i in range(1, 4))
+        esize = wa + wb + wc
+        if esize <= 0:
+            break
+        im = _XREF_INDEX_RE.search(header)
+        if im:
+            ints = [int(x) for x in re.findall(rb"\d+", im.group(1))]
+            index = list(zip(ints[0::2], ints[1::2]))
+        else:
+            size = _dict_int(header, b"/Size") or 0
+            index = [(0, size)]
+        p = 0
+        for start, count in index:
+            for k in range(count):
+                if p + esize > len(dec):
+                    break
+                f1 = int.from_bytes(dec[p : p + wa], "big") if wa else 1
+                f2 = int.from_bytes(dec[p + wa : p + wa + wb], "big")
+                f3 = int.from_bytes(dec[p + wa + wb : p + esize], "big")
+                p += esize
+                live.setdefault(start + k, (f1, f2, f3))
+        prev = _dict_int(header, b"/Prev")
+        if prev is None:
+            break
+        pos = prev
+    return {n: e for n, e in live.items() if e[0] in (1, 2)}
+
+
+def _parse_object_at_any(data: bytes, offset: int) -> tuple[bytes, bytes | None] | None:
+    """Like _parse_object_at but without an expected object number."""
+    if not (0 <= offset < len(data)):
+        return None
+    pos = offset
+    while pos < len(data) and data[pos] in b" \t\r\n\x00":
+        pos += 1
+    m = _OBJ_RE.match(data, pos)
+    if not m:
+        return None
+    _num, header, stream = _parse_object_body(data, m)
+    return header, stream
+
+
+def _resolve_objects(data: bytes) -> dict[int, tuple[bytes, bytes | None]]:
+    """Full object resolution: brute scan + ObjStm expansion as the robust
+    base, overridden by the xref-stream live map where one parses.
+
+    The brute scan alone mis-resolves one real layout: an incremental
+    update that stores the NEW generation of an object inside an ObjStm
+    while the stale generation sits uncompressed in the original body —
+    scan order picks the stale one. The xref chain is authoritative there.
+    Files with no/broken xref streams (truncated crawls) keep the scan's
+    best-effort behavior."""
+    objects = _expand_object_streams(_parse_objects(data))
+    live = _xref_live_entries(data)
+    if not live:
+        return objects
+    direct: dict[int, tuple[bytes, bytes | None]] = {}
+    for num, (etype, f2, _f3) in live.items():
+        if etype == 1:
+            obj = _parse_object_at(data, f2, num)
+            if obj is not None:
+                direct[num] = obj
+    members_cache: dict[int, list[tuple[int, bytes]]] = {}
+    compressed: dict[int, tuple[bytes, bytes | None]] = {}
+    for num, (etype, stm_num, idx) in live.items():
+        if etype != 2:
+            continue
+        if stm_num not in members_cache:
+            holder = direct.get(stm_num) or objects.get(stm_num)
+            members_cache[stm_num] = (
+                _objstm_members(*holder)
+                if holder and holder[1] is not None
+                else []
+            )
+        members = members_cache[stm_num]
+        if 0 <= idx < len(members) and members[idx][0] == num:
+            compressed[num] = (members[idx][1], None)
+    objects.update(direct)
+    objects.update(compressed)
     return objects
 
 
@@ -931,7 +1082,7 @@ def extract_pdf_one(payload: bytes) -> tuple[str, list[tuple[int, int]], int]:
     texts in content-stream order; each output block maps to the (merged)
     source segments of its runs in reading order.
     """
-    objects = _expand_object_streams(_parse_objects(payload))
+    objects = _resolve_objects(payload)
 
     # page objects in document order; fall back to "any stream containing BT"
     pages: list[tuple[bytes, list[int]]] = []  # (page_header, content_obj_nums)

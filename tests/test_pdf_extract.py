@@ -315,7 +315,11 @@ def test_edge_case_pdfs_byte_identical_at_two_parallelisms(spark):
         4: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
         5: b"<< /Type /Catalog /Pages 4 0 R >>",
     }
-    payloads = [_classic_objs(hexpdf_objs), _two_objstm_chain_pdf()]
+    payloads = [
+        _classic_objs(hexpdf_objs),
+        _two_objstm_chain_pdf(),
+        _incremental_update_pdf(),
+    ]
     goldens = {i: extract_one(p)[0] for i, p in enumerate(payloads)}
     assert all(goldens.values())
     rows = [(f"https://h/{i}", p) for i, p in enumerate(payloads)]
@@ -600,3 +604,121 @@ def test_inline_image_dict_string_with_ei_not_terminator():
     }
     text, spans, n = extract_pdf_one(_classic_objs(objs))
     assert text == "Visible"
+
+
+def _incremental_update_pdf() -> bytes:
+    """PDF 1.5 incremental update resolved ONLY through the xref-stream
+    chain: the original page object sits uncompressed in the base body,
+    while the update stores the NEW page generation inside an ObjStm and
+    appends an xref stream whose /Prev chains to the base section's xref
+    stream. A brute object scan alone resolves the STALE page."""
+    import zlib as _z
+
+    def obj(num: int, body: bytes) -> bytes:
+        return b"%d 0 obj\n%s\nendobj\n" % (num, body)
+
+    def stream_obj(num: int, extra: bytes, payload: bytes) -> bytes:
+        return obj(
+            num,
+            b"<< %s/Length %d >>\nstream\n%s\nendstream"
+            % (extra, len(payload), payload),
+        )
+
+    def content(txt: bytes) -> bytes:
+        return b"BT\n/F1 11 Tf\n1 0 0 1 72 700 Tm\n(%s) Tj\nET" % txt
+
+    def xref_stream_obj(
+        num: int, entries: list[tuple[int, int, int, int]], prev: int | None
+    ) -> bytes:
+        # entries: (obj_num, type, f2, f3); /W [1 2 1]
+        entries = sorted(entries)
+        index = b" ".join(b"%d 1" % e[0] for e in entries)
+        raw = b"".join(
+            bytes([t]) + f2.to_bytes(2, "big") + bytes([f3])
+            for _n, t, f2, f3 in entries
+        )
+        data = _z.compress(raw)
+        prev_part = b"/Prev %d " % prev if prev is not None else b""
+        return stream_obj(
+            num,
+            b"/Type /XRef /Size 32 %s/W [1 2 1] /Index [%s] /Root 5 0 R "
+            b"/Filter /FlateDecode " % (prev_part, index),
+            data,
+        )
+
+    out = bytearray(b"%PDF-1.5\n%\xe2\xe3\xcf\xd3\n")
+    offsets = {}
+
+    def add(num: int, body: bytes) -> None:
+        offsets[num] = len(out)
+        out.extend(body)
+
+    # --- base document ------------------------------------------------------
+    add(1, obj(1, b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica "
+                  b"/Encoding /WinAnsiEncoding >>"))
+    add(2, stream_obj(2, b"", content(b"Original text body")))
+    add(3, obj(3, b"<< /Type /Page /Parent 4 0 R /MediaBox [0 0 612 792] "
+                  b"/Contents 2 0 R /Resources << /Font << /F1 1 0 R >> >> >>"))
+    add(4, obj(4, b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>"))
+    add(5, obj(5, b"<< /Type /Catalog /Pages 4 0 R >>"))
+    add(8, xref_stream_obj(
+        8, [(n, 1, offsets[n], 0) for n in (1, 2, 3, 4, 5)], None
+    ))
+    out.extend(b"startxref\n%d\n%%%%EOF\n" % offsets[8])
+
+    # --- incremental update: new page generation lives in an ObjStm ---------
+    add(6, stream_obj(6, b"", content(b"Updated text body")))
+    new_page = (
+        b"<< /Type /Page /Parent 4 0 R /MediaBox [0 0 612 792] "
+        b"/Contents 6 0 R /Resources << /Font << /F1 1 0 R >> >> >>"
+    )
+    pairs = b"3 0 "
+    stm = _z.compress(pairs + new_page)
+    add(10, stream_obj(
+        10,
+        b"/Type /ObjStm /N 1 /First %d /Filter /FlateDecode " % len(pairs),
+        stm,
+    ))
+    add(9, xref_stream_obj(
+        9,
+        [(3, 2, 10, 0), (6, 1, offsets[6], 0), (10, 1, offsets[10], 0)],
+        offsets[8],
+    ))
+    out.extend(b"startxref\n%d\n%%%%EOF\n" % offsets[9])
+    return bytes(out)
+
+
+def test_xref_stream_incremental_update_resolves_new_generation():
+    """The xref-stream chain must override the brute scan: the updated page
+    (inside an ObjStm, referenced by the newest xref section) wins over the
+    stale uncompressed page from the base body."""
+    from pdf_extractor_spark.extract.pdf_parser import (
+        _expand_object_streams,
+        _parse_objects,
+        _xref_live_entries,
+    )
+
+    payload = _incremental_update_pdf()
+    # the brute scan alone resolves the STALE generation (direct obj 3)
+    scanned = _expand_object_streams(_parse_objects(payload))
+    assert b"/Contents 2 0 R" in scanned[3][0]
+    # the xref chain sees the update: obj 3 is member 0 of ObjStm 10
+    live = _xref_live_entries(payload)
+    assert live[3] == (2, 10, 0)
+    assert live[2][0] == 1  # base-section entry survives via /Prev
+
+    text, spans, n = extract_pdf_one(payload)
+    assert text == "Updated text body"
+    assert n == 1
+
+
+def test_xref_stream_corrupt_chain_falls_back_to_scan():
+    """A startxref pointing at garbage must not break extraction — the
+    brute scan stays the robust base for truncated/dirty crawl payloads."""
+    payload = _incremental_update_pdf()
+    # corrupt the last startxref offset
+    broken = payload.replace(
+        b"startxref\n%d" % payload.rfind(b"9 0 obj"), b"startxref\n999999"
+    )
+    text, spans, n = extract_pdf_one(broken)
+    assert "text body" in text  # still extracts (stale generation is fine)
