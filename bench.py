@@ -275,6 +275,13 @@ def main() -> int:
             "cpu_calibration": calib,
         },
     }
+    # The driver stores only a truncated tail of this output in
+    # BENCH_r{N}.json; persist the COMPLETE result (full per-query map +
+    # heavy-query scaling) so each round's numbers can be diffed
+    # query-by-query. The per-round copy (bench_full_rN.json) is committed
+    # alongside the driver's BENCH file.
+    with open(os.path.join(_REPO, "bench_full_latest.json"), "w") as fh:
+        json.dump(result, fh, indent=1, sort_keys=True)
     print(json.dumps(result))
     return 0
 

@@ -107,6 +107,59 @@ def read_json_with_repair(
     ).drop("_json")
 
 
+def curate_corpus(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    strata_col: str = "lang",
+    rates: dict[str, float] | None = None,
+    default_rate: float = 1.0,
+    quality_salt: str = "qsample",
+    strata_salt: str = "strat",
+) -> DataFrame:
+    """The production keep-set for the curated-corpus sink: soft
+    quality-weighted sampling (keep probability = quality score; the
+    CCNet/DCLM-style filter behind the ``t_quality_weighted_sample``
+    contract query) composed with per-stratum rebalancing rates
+    (``t_stratified_sample``). Both are deterministic md5-keyed scan-side
+    filters — no shuffle, identical keep-set at any partitioning — so the
+    sink writes EXACTLY the rows the oracle-checked contract queries keep
+    (pytest-asserted)."""
+    from pdf_extractor_spark.operators.sampling import _hash_frac, stratified_sample
+    from pdf_extractor_spark.operators.textstats import quality_score
+
+    kept = df.filter(
+        _hash_frac(F.col(key_col), quality_salt)
+        < quality_score(F.col(text_col)) / 100.0
+    )
+    if rates is not None:
+        kept = stratified_sample(
+            kept, rates, strata_col, key_col, default_rate, salt=strata_salt
+        )
+    return kept
+
+
+def curate_and_save(
+    df: DataFrame,
+    path: str,
+    rates: dict[str, float] | None = None,
+    default_rate: float = 1.0,
+    partition_cols: tuple[str, ...] = ("lang",),
+    max_records_per_file: int = 500_000,
+    **curate_kwargs,
+) -> None:
+    """Curated-corpus sink path: sampling composition -> partitioned write."""
+    kept = curate_corpus(
+        df, rates=rates, default_rate=default_rate, **curate_kwargs
+    )
+    save_curated_corpus(
+        kept,
+        path,
+        partition_cols=partition_cols,
+        max_records_per_file=max_records_per_file,
+    )
+
+
 def save_curated_corpus(
     df: DataFrame,
     path: str,

@@ -224,3 +224,31 @@ def test_save_curated_corpus_partitioned_and_pruned(spark, tmp_path):
     pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
     assert pf and "lang" in pf[0]
     assert scan.count() == 30
+
+
+def test_curated_sink_keeps_exactly_the_contract_query_rows(spark, tmp_path):
+    """Closing the loop between the oracle-checked sampling queries and the
+    production sink: rows written by curate_and_save must equal the
+    intersection of t_quality_weighted_sample and t_stratified_sample
+    keep-sets on the same table (same salts, same rates)."""
+    from pdf_extractor_spark.queries import all_queries
+    from pdf_extractor_spark.sources.sinks import curate_and_save
+
+    sf = "/root/testdata/sf0.001"
+    qs = all_queries()
+    q_quality = {r["doc_id"] for r in qs["t_quality_weighted_sample"](spark, sf).collect()}
+    q_strat = {r["doc_id"] for r in qs["t_stratified_sample"](spark, sf).collect()}
+    expected = q_quality & q_strat
+    assert expected  # non-trivial keep-set
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    path = str(tmp_path / "curated")
+    curate_and_save(
+        docs, path, rates={"en": 0.1, "de": 0.4}, default_rate=0.8
+    )
+    written = {r["doc_id"] for r in spark.read.parquet(path).select("doc_id").collect()}
+    assert written == expected
+    # partition layout: per-language directories exist for written langs
+    import os
+
+    assert any(d.startswith("lang=") for d in os.listdir(path))
