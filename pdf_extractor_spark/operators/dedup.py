@@ -462,6 +462,134 @@ def simhash_near_dup_pairs(
     )
 
 
+def token_segments(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seg_tokens: int = 12,
+    extra_cols: tuple[str, ...] = (),
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """Fixed-token-window segmentation -> (id, <extra_cols>, idx, seg_text).
+
+    The segment source for line/paragraph-level dedup when the corpus has
+    no natural line structure (or for language-agnostic windows). Staged
+    token array behind a repartition barrier (higher-order lambdas
+    re-evaluate full expression trees per element), then one posexplode —
+    embarrassingly parallel."""
+    staged = df.select(
+        F.col(id_col).alias("id"),
+        *[F.col(c) for c in extra_cols],
+        word_tokens(F.col(text_col)).alias("_t"),
+    )
+    if n_partitions:
+        staged = staged.repartition(n_partitions, "id")
+    n = F.size("_t")
+    n_seg = F.when(n > 0, F.floor((n - 1) / seg_tokens) + 1).otherwise(F.lit(0))
+    segs = F.when(
+        n_seg > 0,
+        F.transform(
+            F.sequence(F.lit(0), (n_seg - 1).cast("int")),
+            lambda i: F.concat_ws(
+                " ", F.slice(F.col("_t"), i * seg_tokens + 1, seg_tokens)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return staged.select(
+        "id", *extra_cols, F.posexplode(segs).alias("idx", "seg_text")
+    )
+
+
+def line_segments(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    extra_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Newline segmentation -> (id, <extra_cols>, idx, seg_text) — the
+    natural segment source for extracted web text."""
+    return df.select(
+        F.col(id_col).alias("id"),
+        *[F.col(c) for c in extra_cols],
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("idx", "seg_text"),
+    )
+
+
+def line_boilerplate_clean(
+    segs: DataFrame,
+    scope_cols: tuple[str, ...] = (),
+    df_max: int = 2,
+    joiner: str = "\n",
+) -> DataFrame:
+    """FineWeb/CCNet-style duplicated-line boilerplate removal: a segment is
+    boilerplate when its distinct-document frequency within its scope
+    (e.g. per host — pass ``scope_cols``; empty = corpus-wide) exceeds
+    ``df_max``. Returns (id, n_lines, n_boilerplate_lines, clean_text) with
+    the kept segments rejoined in original order.
+
+    Plan: one groupBy on (scope, md5(segment)) for the frequency table, an
+    equi-join back on the same key (the exchange is reused), one groupBy on
+    id to rebuild. The frequency side is one row per distinct segment, so a
+    hot boilerplate segment costs fan-out only on the probe side — no
+    multiplicative join blow-up; map-side partial aggregation absorbs the
+    groupBy skew."""
+    keyed = segs.withColumn("_h", F.md5(F.encode(F.col("seg_text"), "UTF-8")))
+    scope = list(scope_cols)
+    dfreq = keyed.groupBy(*scope, "_h").agg(
+        F.countDistinct("id").alias("_df")
+    )
+    flag = keyed.join(dfreq, scope + ["_h"]).withColumn(
+        "is_boiler", F.col("_df") > df_max
+    )
+    kept = F.when(
+        ~F.col("is_boiler"), F.struct(F.col("idx"), F.col("seg_text"))
+    )
+    return flag.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(F.when(F.col("is_boiler"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_boilerplate_lines"),
+        F.concat_ws(
+            joiner,
+            F.transform(
+                F.array_sort(F.collect_list(kept)),
+                lambda s: s.getField("seg_text"),
+            ),
+        ).alias("clean_text"),
+    )
+
+
+def paragraph_dedup_stats(segs: DataFrame) -> DataFrame:
+    """Paragraph-level exact dedup accounting (Lee et al., "Deduplicating
+    Training Data Makes Language Models Better", ACL 2022 — the exact-
+    substring family at paragraph granularity): a segment occurrence is a
+    duplicate unless it is the corpus-wide FIRST occurrence (minimum
+    (id, idx)) of its content. Returns (id, n_paragraphs,
+    n_dup_paragraphs, dup_frac).
+
+    Plan: one ranking window partitioned by the segment md5 (uniform key —
+    a degenerate segment shared by B docs costs a B-row partition sort,
+    linear not quadratic), one groupBy on id."""
+    from pyspark.sql import Window
+
+    keyed = segs.withColumn("_h", F.md5(F.encode(F.col("seg_text"), "UTF-8")))
+    w = Window.partitionBy("_h").orderBy("id", "idx")
+    flag = keyed.withColumn("_rn", F.row_number().over(w))
+    return (
+        flag.groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_paragraphs"),
+            F.sum(F.when(F.col("_rn") > 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_dup_paragraphs"),
+        )
+        .withColumn(
+            "dup_frac",
+            F.round(F.col("n_dup_paragraphs") / F.col("n_paragraphs"), 4),
+        )
+    )
+
+
 def decontaminate(
     df: DataFrame,
     id_col: str = "doc_id",

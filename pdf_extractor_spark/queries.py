@@ -3290,3 +3290,108 @@ def x_extract_pdf(spark: SparkSession, sf: str) -> DataFrame:
         F.col("_x.text").alias("extracted"),
         F.col("_x.ok").alias("ok"),
     )
+
+
+_SEG3_SQL = f"""
+    tok AS (SELECT doc_id, {_TOK_SQL} AS t FROM documents),
+    meta AS (SELECT doc_id, t, array_length(t) AS n FROM tok),
+    seg AS (
+      SELECT doc_id, cast(i - 1 AS INT) AS idx,
+             array_to_string(list_slice(t, (i-1)*3 + 1, (i-1)*3 + 3), ' ') AS seg_text
+      FROM (SELECT doc_id, t, n,
+                   unnest(range(1, cast(CASE WHEN n > 0 THEN ((n - 1) // 3) + 1
+                                        ELSE 0 END AS BIGINT) + 1)) AS i
+            FROM meta))
+"""
+
+
+@query(
+    "t_line_boilerplate_clean",
+    f"""
+    WITH {_SEG3_SQL},
+    dfreq AS (
+      SELECT md5(seg_text) AS h, count(DISTINCT doc_id) AS df
+      FROM seg GROUP BY 1),
+    flag AS (
+      SELECT s.doc_id, s.idx, s.seg_text, (d.df > 2) AS is_boiler
+      FROM seg s JOIN dfreq d ON md5(s.seg_text) = d.h),
+    agg AS (
+      SELECT doc_id, count(*) AS n_lines,
+             sum(CASE WHEN is_boiler THEN 1 ELSE 0 END) AS n_boilerplate_lines,
+             coalesce(string_agg(CASE WHEN NOT is_boiler THEN seg_text END,
+                                 ' ' ORDER BY idx), '') AS clean_text
+      FROM flag GROUP BY doc_id)
+    SELECT d.doc_id, cast(coalesce(a.n_lines, 0) AS BIGINT) AS n_lines,
+           cast(coalesce(a.n_boilerplate_lines, 0) AS BIGINT) AS n_boilerplate_lines,
+           coalesce(a.clean_text, '') AS clean_text
+    FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+    """,
+)
+def t_line_boiler(spark: SparkSession, sf: str) -> DataFrame:
+    """LINE-LEVEL boilerplate removal (FineWeb/CCNet line dedup): segments
+    whose distinct-document frequency exceeds df_max are dropped and the
+    document rebuilt from the kept segments in order. Real corpora scope
+    the frequency per host and split on newlines (operators/dedup.py
+    line_segments); this synthetic corpus has no newlines or shared-host
+    structure, so the contract instance uses corpus-wide scope over
+    3-token windows — same plan (frequency groupBy -> reused-exchange
+    join -> rebuild groupBy), non-trivial boilerplate at sf0.01."""
+    segs = D.token_segments(
+        _t(spark, sf, "documents"), seg_tokens=3, n_partitions=_par(spark)
+    )
+    out = D.line_boilerplate_clean(
+        segs, scope_cols=(), df_max=2, joiner=" "
+    ).withColumnRenamed("id", "doc_id")
+    d = _t(spark, sf, "documents").select("doc_id")
+    return d.join(out, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_lines", F.lit(0)).cast("bigint").alias("n_lines"),
+        F.coalesce("n_boilerplate_lines", F.lit(0))
+        .cast("bigint")
+        .alias("n_boilerplate_lines"),
+        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+    )
+
+
+@query(
+    "d_paragraph_dedup",
+    f"""
+    WITH {_SEG3_SQL},
+    rn AS (
+      SELECT doc_id, idx,
+             row_number() OVER (PARTITION BY md5(seg_text)
+                                ORDER BY doc_id, idx) AS rn
+      FROM seg),
+    agg AS (
+      SELECT doc_id, count(*) AS np,
+             sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS nd
+      FROM rn GROUP BY doc_id)
+    SELECT d.doc_id,
+           cast(coalesce(a.np, 0) AS BIGINT) AS n_paragraphs,
+           cast(coalesce(a.nd, 0) AS BIGINT) AS n_dup_paragraphs,
+           round(CASE WHEN coalesce(a.np, 0) > 0
+                      THEN coalesce(a.nd, 0) / a.np ELSE 0 END, 4) AS dup_frac
+    FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+    """,
+)
+def d_para_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """PARAGRAPH-LEVEL exact dedup accounting (Lee et al. ACL 2022): every
+    segment occurrence that is not the corpus-wide first occurrence of its
+    content counts as a duplicate; per-doc totals drive the
+    drop-or-rewrite curation decision. Ranking window partitioned by the
+    segment hash (uniform key, linear in the hot-segment count), one
+    groupBy per doc. Segments here are 3-token windows (see
+    t_line_boilerplate_clean's note on the synthetic corpus)."""
+    segs = D.token_segments(
+        _t(spark, sf, "documents"), seg_tokens=3, n_partitions=_par(spark)
+    )
+    out = D.paragraph_dedup_stats(segs).withColumnRenamed("id", "doc_id")
+    d = _t(spark, sf, "documents").select("doc_id")
+    return d.join(out, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_paragraphs", F.lit(0)).cast("bigint").alias("n_paragraphs"),
+        F.coalesce("n_dup_paragraphs", F.lit(0))
+        .cast("bigint")
+        .alias("n_dup_paragraphs"),
+        F.coalesce("dup_frac", F.lit(0.0)).alias("dup_frac"),
+    )

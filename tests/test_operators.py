@@ -575,3 +575,82 @@ def test_kmeans_seeds_with_noncontiguous_ids(spark):
 
     with _pytest.raises(ValueError, match="only 2 rows"):
         kmeans_iterations(df.limit(2), k=4, n_iter=1)
+
+
+# --- segment-level dedup (line boilerplate + paragraph dedup) ---
+
+
+def test_line_segments_splits_on_newlines(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha\nbeta\ngamma", "h1"), (2, "", "h2")],
+        ["doc_id", "text", "host"],
+    )
+    rows = D.line_segments(df, extra_cols=("host",)).collect()
+    got = {(r["id"], r["idx"]): (r["seg_text"], r["host"]) for r in rows}
+    assert got == {
+        (1, 0): ("alpha", "h1"),
+        (1, 1): ("beta", "h1"),
+        (1, 2): ("gamma", "h1"),
+        (2, 0): ("", "h2"),  # split("") -> [""] — one empty segment
+    }
+
+
+def test_token_segments_windows(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d e"), (2, ""), (3, "  ")], ["doc_id", "text"]
+    )
+    rows = D.token_segments(df, seg_tokens=2).collect()
+    got = {(r["id"], r["idx"]): r["seg_text"] for r in rows}
+    # trailing partial window kept; empty/whitespace docs -> no segments
+    assert got == {(1, 0): "a b", (1, 1): "c d", (1, 2): "e"}
+
+
+def test_line_boilerplate_clean_scoped_by_host(spark):
+    # "(c) acme" appears in 3 docs on h1 (boilerplate there with df_max=2)
+    # and in 1 doc on h2 (content there) — per-host scoping must only
+    # strip it on h1, and must preserve original line order in the rebuild.
+    rows = [
+        (1, "h1", "intro\n(c) acme\nbody one"),
+        (2, "h1", "(c) acme\nbody two"),
+        (3, "h1", "body three\n(c) acme"),
+        (4, "h2", "(c) acme\nother text"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "host", "text"])
+    segs = D.line_segments(df, extra_cols=("host",))
+    out = {
+        r["id"]: r
+        for r in D.line_boilerplate_clean(segs, scope_cols=("host",), df_max=2).collect()
+    }
+    assert out[1]["clean_text"] == "intro\nbody one"
+    assert out[2]["clean_text"] == "body two"
+    assert out[3]["clean_text"] == "body three"
+    assert out[4]["clean_text"] == "(c) acme\nother text"
+    assert (out[1]["n_lines"], out[1]["n_boilerplate_lines"]) == (3, 1)
+    assert out[4]["n_boilerplate_lines"] == 0
+
+
+def test_line_boilerplate_all_boiler_doc_empty(spark):
+    rows = [(i, "same line") for i in range(1, 5)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = D.line_boilerplate_clean(D.line_segments(df), df_max=2).collect()
+    assert all(r["clean_text"] == "" and r["n_boilerplate_lines"] == 1 for r in out)
+
+
+def test_paragraph_dedup_first_occurrence_is_not_dup(spark):
+    # shared paragraph "x y" first occurs at (doc 1, idx 1); later
+    # occurrences (doc 2 idx 0, doc 3 idx 0) are the duplicates.
+    rows = [
+        (1, "unique one\nx y"),
+        (2, "x y\nunique two"),
+        (3, "x y"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r["id"]: r
+        for r in D.paragraph_dedup_stats(D.line_segments(df)).collect()
+    }
+    assert (out[1]["n_paragraphs"], out[1]["n_dup_paragraphs"]) == (2, 0)
+    assert (out[2]["n_paragraphs"], out[2]["n_dup_paragraphs"]) == (2, 1)
+    assert (out[3]["n_paragraphs"], out[3]["n_dup_paragraphs"]) == (1, 1)
+    assert out[2]["dup_frac"] == 0.5
+    assert out[3]["dup_frac"] == 1.0
