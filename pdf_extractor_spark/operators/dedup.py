@@ -528,9 +528,10 @@ def line_boilerplate_clean(
     the kept segments rejoined in original order.
 
     Plan: one groupBy on (scope, md5(segment)) for the frequency table, an
-    equi-join back on the same key (the exchange is reused), one groupBy on
-    id to rebuild. The frequency side is one row per distinct segment, so a
-    hot boilerplate segment costs fan-out only on the probe side — no
+    equi-join back on the same key (Catalyst broadcasts the frequency side
+    when it is small — one row per distinct segment — and falls back to a
+    shuffle join on (scope, hash) otherwise), one groupBy on id to rebuild.
+    A hot boilerplate segment costs fan-out only on the probe side — no
     multiplicative join blow-up; map-side partial aggregation absorbs the
     groupBy skew."""
     keyed = segs.withColumn("_h", F.md5(F.encode(F.col("seg_text"), "UTF-8")))
