@@ -145,43 +145,67 @@ def _decode(payload: bytes) -> str:
     return payload.decode("utf-8", errors="replace")
 
 
-def tokenize(source: str):
-    """Yield (kind, tag, text, start, end) events.
+# Precompiled close-tag patterns for the raw-text skip (one per element —
+# compiling inside the lexer loop cost a cache lookup per <script>/<style>).
+_RAW_CLOSE = {
+    t: re.compile(rf"</\s*{t}\s*>", re.IGNORECASE) for t in _RAW_TEXT
+}
+
+
+def tokenize(source: str) -> list[tuple[str, str, str, int, int]]:
+    """Lex ``source`` into a list of (kind, tag, text, start, end) events.
 
     kind ∈ {"text", "open", "close"}. Raw-text element bodies are skipped.
+    Returns a list (not a generator): the event stream is consumed exactly
+    once and is small (~100s of events per page), and list-building avoids
+    one generator resume per event in the hot path.
+
+    Implementation note: drives ``finditer`` (C-level scan) instead of a
+    Python ``search`` loop; matches that fall inside an already-skipped
+    raw-text body (``m.start() < pos``) are dropped, which preserves the
+    event stream of the explicit-``pos`` loop this replaces, except for one
+    malformed-input corner: a tag match that starts inside a raw-text body
+    and swallows the raw close tag through an unterminated quoted attribute
+    resumes lexing after that match rather than at the close tag. Gap text
+    is unaffected (skipped matches do not advance ``pos``).
     """
     pos = 0
     n = len(source)
-    while pos < n:
-        m = _TAG_RE.search(source, pos)
-        if m is None:
-            if pos < n:
-                yield ("text", "", source[pos:n], pos, n)
-            return
-        if m.start() > pos:
-            yield ("text", "", source[pos : m.start()], pos, m.start())
-        close_tag, open_tag, _attrs, self_close = m.group(1), m.group(2), m.group(3), m.group(4)
+    events: list[tuple[str, str, str, int, int]] = []
+    emit = events.append
+    for m in _TAG_RE.finditer(source):
+        mstart = m.start()
+        if mstart < pos:
+            continue  # inside a skipped raw-text body
+        if mstart > pos:
+            emit(("text", "", source[pos:mstart], pos, mstart))
+        mend = m.end()
+        close_tag = m[1]
         if close_tag is not None:
-            yield ("close", close_tag.lower(), "", m.start(), m.end())
-            pos = m.end()
-        elif open_tag is not None:
+            emit(("close", close_tag.lower(), "", mstart, mend))
+            pos = mend
+            continue
+        open_tag = m[2]
+        if open_tag is not None:
             tag = open_tag.lower()
+            self_close = m[4]
             if tag in _RAW_TEXT and not self_close:
                 # skip to the matching close tag (case-insensitive)
-                cm = re.compile(rf"</\s*{re.escape(tag)}\s*>", re.IGNORECASE).search(
-                    source, m.end()
-                )
-                yield ("open", tag, "", m.start(), m.end())
+                cm = _RAW_CLOSE[tag].search(source, mend)
+                emit(("open", tag, "", mstart, mend))
                 end = cm.end() if cm else n
-                yield ("close", tag, "", end, end)
+                emit(("close", tag, "", end, end))
                 pos = end
             else:
-                yield ("open", tag, "", m.start(), m.end())
+                emit(("open", tag, "", mstart, mend))
                 if self_close and tag not in _VOID:
-                    yield ("close", tag, "", m.end(), m.end())
-                pos = m.end()
+                    emit(("close", tag, "", mend, mend))
+                pos = mend
         else:
-            pos = m.end()  # comment / doctype / PI
+            pos = mend  # comment / doctype / PI
+    if pos < n:
+        emit(("text", "", source[pos:n], pos, n))
+    return events
 
 
 def _normalize_ws(s: str) -> str:
@@ -208,31 +232,49 @@ def _assemble_blocks(source: str) -> list[_Block]:
     blocks: list[_Block] = []
     cur = _Block()
     stack: list[str] = []  # open element tags
+    # Parallel stack of just the block-level tags currently open, so the
+    # "nearest enclosing block tag" at block birth is an O(1) peek instead
+    # of a reversed() scan of the whole element stack per block.
+    block_stack: list[str] = []
     anchor_depth = 0
     boiler_depth = 0
 
     def flush() -> None:
+        # A cur with no parts is pristine (no field has been touched since
+        # construction), so it can be reused — most flushes fire on runs of
+        # adjacent block tags (</td></tr>...) with nothing accumulated.
         nonlocal cur
         if cur.parts:
             t = _normalize_ws("".join(cur.parts))
             if t:
                 cur.text = t  # normalize exactly once per block
                 blocks.append(cur)
-        cur = _Block()
+                cur = _Block()
+            else:
+                cur.parts.clear()
+                cur.anchor_chars = 0
+                cur.start = -1
+                cur.end = -1
+                cur.tag = ""
+                cur.path_flags = False
 
     for kind, tag, text, start, end in tokenize(source):
         if kind == "text":
-            unescaped = _htmllib.unescape(text)
-            if not unescaped.strip():
+            # fast path: pure-whitespace gaps between tags (the most common
+            # text event) need no unescape and no new string
+            if text.isspace():
+                if cur.parts:
+                    cur.parts.append(" ")
+                continue
+            unescaped = _htmllib.unescape(text) if "&" in text else text
+            if unescaped is not text and unescaped.isspace():
                 if cur.parts:
                     cur.parts.append(" ")
                 continue
             if cur.start < 0:
                 cur.start = start
                 # nearest enclosing block tag at block birth
-                cur.tag = next(
-                    (t for t in reversed(stack) if t in _BLOCK_TAGS), ""
-                )
+                cur.tag = block_stack[-1] if block_stack else ""
             cur.path_flags = cur.path_flags or boiler_depth > 0
             cur.end = end
             cur.parts.append(unescaped)
@@ -247,6 +289,8 @@ def _assemble_blocks(source: str) -> list[_Block]:
                 boiler_depth += 1
             if tag not in _VOID:
                 stack.append(tag)
+                if tag in _BLOCK_TAGS:
+                    block_stack.append(tag)
         else:  # close
             if tag in _BLOCK_TAGS:
                 flush()
@@ -257,6 +301,9 @@ def _assemble_blocks(source: str) -> list[_Block]:
             # pop the nearest matching open tag (forgiving of malformed HTML)
             for i in range(len(stack) - 1, -1, -1):
                 if stack[i] == tag:
+                    for t in stack[i:]:
+                        if t in _BLOCK_TAGS:
+                            block_stack.pop()
                     del stack[i:]
                     break
     flush()
