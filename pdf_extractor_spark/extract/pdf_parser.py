@@ -560,8 +560,16 @@ for _b in range(256):
         _SIMPLE_DECODE.append(chr(_b))
 
 
+# cp1252 and latin-1 agree everywhere except 0x80-0x9F, so simple-font
+# decoding is a C-level latin-1 decode plus a 32-entry translate (identical
+# output to joining _SIMPLE_DECODE per byte, ~10x faster)
+_CP1252_FIX = {
+    i: _SIMPLE_DECODE[i] for i in range(0x80, 0xA0) if _SIMPLE_DECODE[i] != chr(i)
+}
+
+
 def _decode_simple(raw: bytes) -> str:
-    return "".join(_SIMPLE_DECODE[b] for b in raw)
+    return raw.decode("latin-1").translate(_CP1252_FIX)
 
 
 def _decode_literal(data: bytes, pos: int) -> tuple[bytes, int]:
@@ -833,10 +841,17 @@ def _page_fonts(
     return fonts
 
 
-def _tokenize_content(data: bytes):
-    """Yield ('num', f) | ('str', s) | ('name', b) | ('op', b) | ('arr_open'/'arr_close', None)."""
+def _tokenize_content(data: bytes) -> list[tuple[str, object]]:
+    """Lex a content stream into a list of ('num', f) | ('str', s) |
+    ('name', b) | ('op', b) | ('arr_open'/'arr_close', None) tokens.
+
+    Returns a list (not a generator): the stream is consumed once per page
+    and list-building avoids one generator resume per token in the hot
+    path (same change as html_parser.tokenize)."""
     i = 0
     n = len(data)
+    toks: list[tuple[str, object]] = []
+    emit = toks.append
     while i < n:
         c = data[i]
         if c in b" \t\r\n\x00":
@@ -846,7 +861,7 @@ def _tokenize_content(data: bytes):
             i = n if j < 0 else j + 1
         elif c == 0x28:
             s, i = _decode_literal(data, i)
-            yield ("str", s)
+            emit(("str", s))
         elif c == 0x3C:
             if i + 1 < n and data[i + 1] == 0x3C:  # dict << — skip balanced
                 depth = 1
@@ -862,21 +877,21 @@ def _tokenize_content(data: bytes):
                         i += 1
             else:
                 s, i = _decode_hex(data, i)
-                yield ("str", s)
+                emit(("str", s))
         elif c == 0x5B:
-            yield ("arr_open", None)
+            emit(("arr_open", None))
             i += 1
         elif c == 0x5D:
-            yield ("arr_close", None)
+            emit(("arr_close", None))
             i += 1
         elif c == 0x2F:
             m = _NAME_RE.match(data, i)
-            yield ("name", m.group(0))
+            emit(("name", m.group(0)))
             i = m.end()
         else:
             m = _NUM_RE.match(data, i)
             if m and m.end() > i:
-                yield ("num", float(m.group(0)))
+                emit(("num", float(m.group(0))))
                 i = m.end()
                 continue
             m = _OP_RE.match(data, i)
@@ -887,10 +902,11 @@ def _tokenize_content(data: bytes):
                     # resume position (see _skip_inline_image)
                     i = _skip_inline_image(data, m.end(), n)
                     continue
-                yield ("op", op)
+                emit(("op", op))
                 i = m.end()
             else:
                 i += 1
+    return toks
 
 
 class _Run:
