@@ -229,6 +229,16 @@ def strip_tags_and_normalize(fragment: str) -> str:
 
 
 def _assemble_blocks(source: str) -> list[_Block]:
+    """Single-pass block assembly driving ``_TAG_RE.finditer`` directly.
+
+    Event-for-event equivalent to iterating ``tokenize(source)`` (the
+    property test in tests/test_html_extract.py pins the block stream to
+    the tokenizer-driven reference), but fused: no per-event 5-tuple is
+    allocated, no event list is built — the match object is consumed in
+    place. The two no-op event pairs the tokenizer emits (open+close
+    around a skipped raw-text body; open+close for a self-closed non-void
+    tag) are collapsed into their net effect on the assembly state.
+    """
     blocks: list[_Block] = []
     cur = _Block()
     stack: list[str] = []  # open element tags
@@ -243,70 +253,139 @@ def _assemble_blocks(source: str) -> list[_Block]:
         # A cur with no parts is pristine (no field has been touched since
         # construction), so it can be reused — most flushes fire on runs of
         # adjacent block tags (</td></tr>...) with nothing accumulated.
+        # Call sites guard on cur.parts so the common no-op costs no call.
         nonlocal cur
-        if cur.parts:
-            t = _normalize_ws("".join(cur.parts))
-            if t:
-                cur.text = t  # normalize exactly once per block
-                blocks.append(cur)
-                cur = _Block()
-            else:
-                cur.parts.clear()
-                cur.anchor_chars = 0
-                cur.start = -1
-                cur.end = -1
-                cur.tag = ""
-                cur.path_flags = False
+        t = _normalize_ws("".join(cur.parts))
+        if t:
+            cur.text = t  # normalize exactly once per block
+            blocks.append(cur)
+            cur = _Block()
+        else:
+            cur.parts.clear()
+            cur.anchor_chars = 0
+            cur.start = -1
+            cur.end = -1
+            cur.tag = ""
+            cur.path_flags = False
 
-    for kind, tag, text, start, end in tokenize(source):
-        if kind == "text":
-            # fast path: pure-whitespace gaps between tags (the most common
-            # text event) need no unescape and no new string
+    _block_tags, _void, _raw, _boiler = (
+        _BLOCK_TAGS,
+        _VOID,
+        _RAW_TEXT,
+        _BOILERPLATE_ANCESTORS,
+    )
+    _unescape = _htmllib.unescape
+    pos = 0
+    n = len(source)
+    for m in _TAG_RE.finditer(source):
+        mstart, mend = m.span()
+        if mstart < pos:
+            continue  # inside a skipped raw-text body
+        if mstart > pos:
+            # ---- text run [pos, mstart) ----
+            text = source[pos:mstart]
             if text.isspace():
+                # fast path: pure-whitespace gaps between tags (the most
+                # common text run) need no unescape and no new string
                 if cur.parts:
                     cur.parts.append(" ")
-                continue
-            unescaped = _htmllib.unescape(text) if "&" in text else text
-            if unescaped is not text and unescaped.isspace():
-                if cur.parts:
-                    cur.parts.append(" ")
-                continue
-            if cur.start < 0:
-                cur.start = start
-                # nearest enclosing block tag at block birth
-                cur.tag = block_stack[-1] if block_stack else ""
-            cur.path_flags = cur.path_flags or boiler_depth > 0
-            cur.end = end
-            cur.parts.append(unescaped)
-            if anchor_depth > 0:
-                cur.anchor_chars += len(_normalize_ws(unescaped))
-        elif kind == "open":
-            if tag in _BLOCK_TAGS:
-                flush()
-            if tag == "a":
-                anchor_depth += 1
-            if tag in _BOILERPLATE_ANCESTORS:
-                boiler_depth += 1
-            if tag not in _VOID:
-                stack.append(tag)
-                if tag in _BLOCK_TAGS:
-                    block_stack.append(tag)
-        else:  # close
-            if tag in _BLOCK_TAGS:
+            else:
+                unescaped = _unescape(text) if "&" in text else text
+                if unescaped is not text and unescaped.isspace():
+                    if cur.parts:
+                        cur.parts.append(" ")
+                else:
+                    if cur.start < 0:
+                        cur.start = pos
+                        # nearest enclosing block tag at block birth
+                        cur.tag = block_stack[-1] if block_stack else ""
+                    cur.path_flags = cur.path_flags or boiler_depth > 0
+                    cur.end = mstart
+                    cur.parts.append(unescaped)
+                    if anchor_depth > 0:
+                        # len(_normalize_ws(s)) without building the string:
+                        # words plus the single spaces between them
+                        w = unescaped.split()
+                        if w:
+                            cur.anchor_chars += sum(map(len, w)) + len(w) - 1
+        tag = m[1]
+        if tag is not None:
+            # ---- close tag ----
+            tag = tag.lower()
+            if tag in _block_tags and cur.parts:
                 flush()
             if tag == "a" and anchor_depth > 0:
                 anchor_depth -= 1
-            if tag in _BOILERPLATE_ANCESTORS and boiler_depth > 0:
+            if tag in _boiler and boiler_depth > 0:
                 boiler_depth -= 1
             # pop the nearest matching open tag (forgiving of malformed HTML)
             for i in range(len(stack) - 1, -1, -1):
                 if stack[i] == tag:
                     for t in stack[i:]:
-                        if t in _BLOCK_TAGS:
+                        if t in _block_tags:
                             block_stack.pop()
                     del stack[i:]
                     break
-    flush()
+            pos = mend
+            continue
+        tag = m[2]
+        if tag is None:
+            pos = mend  # comment / doctype / CDATA / PI
+            continue
+        # ---- open tag ----
+        tag = tag.lower()
+        self_close = m[4]
+        if tag in _raw and not self_close:
+            # The tokenizer emits open+close around the skipped body; no
+            # raw-text element is a block tag, "a", or a boilerplate
+            # ancestor, so push-then-pop is a no-op on every stack — just
+            # jump past the body.
+            cm = _RAW_CLOSE[tag].search(source, mend)
+            pos = cm.end() if cm else n
+            continue
+        if tag in _block_tags and cur.parts:
+            flush()
+        if tag == "a":
+            anchor_depth += 1
+        if tag in _boiler:
+            boiler_depth += 1
+        if tag not in _void:
+            if self_close:
+                # tokenizer emits open+close back-to-back: the close pops
+                # the tag just pushed, so only the depth counters net out
+                if tag == "a" and anchor_depth > 0:
+                    anchor_depth -= 1
+                if tag in _boiler and boiler_depth > 0:
+                    boiler_depth -= 1
+            else:
+                stack.append(tag)
+                if tag in _block_tags:
+                    block_stack.append(tag)
+        pos = mend
+    if pos < n:
+        # ---- trailing text run [pos, n) ----
+        text = source[pos:n]
+        if text.isspace():
+            if cur.parts:
+                cur.parts.append(" ")
+        else:
+            unescaped = _unescape(text) if "&" in text else text
+            if unescaped is not text and unescaped.isspace():
+                if cur.parts:
+                    cur.parts.append(" ")
+            else:
+                if cur.start < 0:
+                    cur.start = pos
+                    cur.tag = block_stack[-1] if block_stack else ""
+                cur.path_flags = cur.path_flags or boiler_depth > 0
+                cur.end = n
+                cur.parts.append(unescaped)
+                if anchor_depth > 0:
+                    w = unescaped.split()
+                    if w:
+                        cur.anchor_chars += sum(map(len, w)) + len(w) - 1
+    if cur.parts:
+        flush()
     return blocks
 
 
