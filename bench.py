@@ -146,25 +146,36 @@ def _burn(_: int) -> int:
     return x
 
 
-def time_queries(spark, sf_dir: str) -> dict[str, float]:
+def time_queries(sf_dir: str, session_span: int = 20) -> dict[str, float]:
     from pdf_extractor_spark.queries import all_queries
 
     timings: dict[str, float] = {}
-    for name, fn in all_queries().items():
-        # session hygiene: dozens of prior queries leave broadcast vars and
-        # plan state awaiting GC; without this an aged session runs the
-        # late queries up to 10x slower (measured: 23.5s -> 2.2s)
-        spark.catalog.clearCache()
-        spark._jvm.System.gc()
-        best = None
-        for _ in range(2):  # min of 2: first pass doubles as warmup,
-            t0 = time.perf_counter()  # and neighbor bursts get filtered
-            df = fn(spark, sf_dir)
-            df.write.format("noop").mode("overwrite").save()
-            dt = time.perf_counter() - t0
-            best = dt if best is None else min(best, dt)
-        timings[name] = round(best, 3)
-        _log(f"bench: {name}: {timings[name]}s")
+    names = list(all_queries())
+    # A fresh session every `session_span` queries: clearCache+System.gc
+    # recovers most aged-session drag, but iterative queries late in an
+    # 80-query session still ran ~2.7x their fresh-session wall (13.6s vs
+    # 5.0s for d_cluster_representatives, r3 measured) — accumulated
+    # broadcast/checkpoint state the async ContextCleaner hasn't drained.
+    # Bounding session age keeps every per-query figure a fresh-session
+    # figure, which is what a per-job cluster run would see.
+    for start in range(0, len(names), session_span):
+        spark = _session(CPUS)
+        try:
+            qs = all_queries()
+            for name in names[start : start + session_span]:
+                spark.catalog.clearCache()
+                spark._jvm.System.gc()
+                best = None
+                for _ in range(2):  # min of 2: first pass doubles as warmup,
+                    t0 = time.perf_counter()  # neighbor bursts get filtered
+                    df = qs[name](spark, sf_dir)
+                    df.write.format("noop").mode("overwrite").save()
+                    dt = time.perf_counter() - t0
+                    best = dt if best is None else min(best, dt)
+                timings[name] = round(best, 3)
+                _log(f"bench: {name}: {timings[name]}s")
+        finally:
+            spark.stop()
     return timings
 
 
@@ -244,11 +255,7 @@ def main() -> int:
     _log(f"bench: eff {lo}->{mid}: {eff_lo_mid:.3f}; {mid}->{hi}: {eff_mid_hi:.3f}")
 
     # --- per-query timings at the bench SF ---
-    spark = _session(CPUS)
-    try:
-        timings = time_queries(spark, SF_DIR)
-    finally:
-        spark.stop()
+    timings = time_queries(SF_DIR)
 
     # --- heaviest 5 queries at two parallelism levels ---
     heavy = sorted(timings, key=lambda k: timings[k], reverse=True)[:5]
