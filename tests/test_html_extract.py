@@ -160,3 +160,118 @@ def test_bom_detection_utf16_and_utf8():
         assert "naïve café" in text, enc
     text8, _, _ = extract_html_one(b"\xef\xbb\xbf" + body.encode("utf-8"))
     assert "naïve café" in text8 and not text8.startswith("﻿")
+
+
+# --- fused-lexer equivalence -------------------------------------------------
+# _assemble_blocks drives _TAG_RE.finditer directly (no per-event tuples).
+# This reference assembler consumes the public tokenize() event stream with
+# the original event-driven logic; the fused implementation must produce an
+# identical block stream on every input.
+
+
+def _assemble_blocks_reference(source):
+    from pdf_extractor_spark.extract import html_parser as hp
+
+    blocks = []
+    cur = hp._Block()
+    stack = []
+    block_stack = []
+    anchor_depth = 0
+    boiler_depth = 0
+
+    def flush():
+        nonlocal cur
+        if cur.parts:
+            t = hp._normalize_ws("".join(cur.parts))
+            if t:
+                cur.text = t
+                blocks.append(cur)
+                cur = hp._Block()
+            else:
+                cur.parts.clear()
+                cur.anchor_chars = 0
+                cur.start = -1
+                cur.end = -1
+                cur.tag = ""
+                cur.path_flags = False
+
+    for kind, tag, text, start, end in hp.tokenize(source):
+        if kind == "text":
+            if text.isspace():
+                if cur.parts:
+                    cur.parts.append(" ")
+                continue
+            unescaped = hp._htmllib.unescape(text) if "&" in text else text
+            if unescaped is not text and unescaped.isspace():
+                if cur.parts:
+                    cur.parts.append(" ")
+                continue
+            if cur.start < 0:
+                cur.start = start
+                cur.tag = block_stack[-1] if block_stack else ""
+            cur.path_flags = cur.path_flags or boiler_depth > 0
+            cur.end = end
+            cur.parts.append(unescaped)
+            if anchor_depth > 0:
+                cur.anchor_chars += len(hp._normalize_ws(unescaped))
+        elif kind == "open":
+            if tag in hp._BLOCK_TAGS:
+                flush()
+            if tag == "a":
+                anchor_depth += 1
+            if tag in hp._BOILERPLATE_ANCESTORS:
+                boiler_depth += 1
+            if tag not in hp._VOID:
+                stack.append(tag)
+                if tag in hp._BLOCK_TAGS:
+                    block_stack.append(tag)
+        else:
+            if tag in hp._BLOCK_TAGS:
+                flush()
+            if tag == "a" and anchor_depth > 0:
+                anchor_depth -= 1
+            if tag in hp._BOILERPLATE_ANCESTORS and boiler_depth > 0:
+                boiler_depth -= 1
+            for i in range(len(stack) - 1, -1, -1):
+                if stack[i] == tag:
+                    for t in stack[i:]:
+                        if t in hp._BLOCK_TAGS:
+                            block_stack.pop()
+                    del stack[i:]
+                    break
+    flush()
+    return blocks
+
+
+_ADVERSARIAL = [
+    "",
+    "plain text no tags at all",
+    "<div/><p/>text after self-closed blocks<br/>more",
+    "<a/>anchor self-closed<a>open anchor <b>bold</b> text</a>",
+    "<script>var x = '<p>not a block</p>';</script><p>real para text here ok</p>",
+    "<script src='x'/><p>after self-closed script</p>",
+    "<nav><div>deep <span>nested</span> nav text</div></nav><p>content</p>",
+    "<TABLE><TR><TD>a</TD><td>b</td></tr></table>trailing",
+    "<p>unclosed <div>nested unclosed <li>item",
+    "<!-- <p>commented out</p> --><p>kept &amp; unescaped</p>",
+    "<form><input value='x'><p>form para</p></form><p>outside</p>",
+    "<footer>short</footer><aside><a href='/'>x</a></aside>tail text",
+    "text<br>line two<br/>line three<hr>line four",
+    "<p>&nbsp;</p><p>ws-only entity gap</p>",
+    "<svg><rect/><text>svg text skipped</text></svg><p>after svg</p>",
+    "<a href='/x'>link one</a> and <a href='/y'>link two</a> amid prose",
+]
+
+
+def test_fused_assembler_matches_event_driven_reference():
+    from pdf_extractor_spark.extract.html_parser import _assemble_blocks, _decode
+
+    sources = [s for s in _ADVERSARIAL]
+    sources += [
+        _decode(make_html_page(i, scale=3)) for i in range(0, 40, 3)
+    ]
+    for src in sources:
+        got = _assemble_blocks(src)
+        want = _assemble_blocks_reference(src)
+        key = lambda b: (b.text, b.start, b.end, b.tag, b.path_flags, b.anchor_chars)
+        assert [key(b) for b in got] == [key(b) for b in want], src[:80]
