@@ -235,10 +235,12 @@ def main() -> int:
     rates: dict[int, float] = {}
     walls: dict[int, float] = {}
     n_docs = 0
-    # two full sweeps over the levels, min per level: a neighbor-tenant CPU
-    # burst (minutes-scale) now has to span BOTH sweeps to corrupt a
-    # cross-level ratio, instead of one level's single window
-    for sweep in range(2):
+    # three full sweeps over the levels, min per level: a neighbor-tenant
+    # CPU burst (minutes-scale) now has to span ALL sweeps to corrupt a
+    # cross-level ratio, instead of one level's single window (an r3 run
+    # measured sweep0 2.5x slower than sweep1 at every level — two sweeps
+    # was still one burst away from a corrupted ratio)
+    for sweep in range(int(os.environ.get("SPARK_GRAFT_BENCH_SWEEPS", "3"))):
         for cpus in levels:
             t, n_docs = time_extraction(cpus, corpus)
             walls[cpus] = min(walls.get(cpus, float("inf")), t)
