@@ -272,6 +272,81 @@ def repetition_stats(
     return uni.join(big, id_col)
 
 
+def char_trigrams_from_norm(txt: Column) -> Column:
+    """Overlapping character 3-grams of an ALREADY-MATERIALIZED normalized
+    text attribute column; empty array below 3 chars.
+
+    Stage the normalized text as an attribute (projection + exchange
+    barrier) before calling — a higher-order-function lambda re-evaluates
+    its input EXPRESSION per element, so handing it ``lower(text)`` inline
+    would re-lower the whole document once per trigram.
+    """
+    return F.when(
+        F.length(txt) >= 3,
+        F.transform(
+            F.sequence(F.lit(1), F.length(txt) - 2),
+            lambda i: F.substring(txt, i, 3),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def trigram_typicality_df(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """CCNet-class frequency-LM quality signal without the transcendentals:
+    per-document mean corpus-probability of its character trigrams.
+
+    ``typicality = sum(corpus_count(tri)) / n_tri / total_tri`` — higher
+    means the document's character distribution is typical of the corpus;
+    gibberish, wrong-charset mojibake and machine-generated noise score
+    low (the same screening role CCNet's wikipedia-LM perplexity plays,
+    Wenzek et al. LREC 2020 — public method, from scratch). All counts
+    are exact integer sums (order-independent), so the only floats are
+    two final IEEE divisions — deterministic across engines and
+    partitionings, unlike a sum of per-trigram log-probs.
+
+    Plan shape: one explode -> groupBy(tri) count (map-side partial agg),
+    trigram-count table re-joined BROADCAST (vocab is bounded by
+    charset^3 — ~100k for ASCII text, low millions for unicode web text,
+    i.e. MBs — it never grows with document count), then one
+    groupBy(id). The one-row total rides a broadcast cross join. At
+    100 TB every stage is a short-key shuffle or a broadcast; no window,
+    no driver collect.
+    """
+    staged = df.select(
+        F.col(id_col).alias("id"), F.lower(F.col(text_col)).alias("_txt")
+    )
+    if n_partitions:
+        staged = staged.repartition(n_partitions, "id")
+    tri = staged.select(
+        "id", char_trigrams_from_norm(F.col("_txt")).alias("_tri")
+    ).select("id", F.explode("_tri").alias("tri"))
+    cnt = tri.groupBy("tri").agg(F.count(F.lit(1)).alias("c"))
+    tot = cnt.agg(F.sum("c").alias("total"))
+    doc = (
+        tri.join(F.broadcast(cnt), "tri")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tri"),
+            F.sum("c").alias("familiarity"),
+        )
+    )
+    return doc.crossJoin(F.broadcast(tot)).select(
+        F.col("id").alias(id_col),
+        F.col("n_tri").cast("bigint").alias("n_tri"),
+        F.col("familiarity").cast("bigint").alias("familiarity"),
+        F.round(
+            F.col("familiarity")
+            / F.col("n_tri").cast("double")
+            / F.col("total").cast("double"),
+            12,
+        ).alias("typicality"),
+    )
+
+
 def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Attach the full stat bundle to a documents DataFrame."""
     c = F.col(text_col)

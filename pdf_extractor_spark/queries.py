@@ -3395,3 +3395,35 @@ def d_para_dedup(spark: SparkSession, sf: str) -> DataFrame:
         .alias("n_dup_paragraphs"),
         F.coalesce("dup_frac", F.lit(0.0)).alias("dup_frac"),
     )
+
+
+@query(
+    "t_trigram_typicality",
+    """
+    WITH t AS (
+      SELECT doc_id,
+             unnest(list_transform(
+               range(1, greatest(length(text) - 2, 0) + 1),
+               i -> substring(lower(text), i, 3))) AS tri
+      FROM documents),
+    c AS (SELECT tri, count(*) AS c FROM t GROUP BY tri),
+    tot AS (SELECT cast(sum(c) AS BIGINT) AS total FROM c),
+    agg AS (SELECT doc_id, count(*) AS n_tri,
+                   cast(sum(c.c) AS BIGINT) AS familiarity
+            FROM t JOIN c USING (tri) GROUP BY doc_id)
+    SELECT doc_id, cast(n_tri AS BIGINT) AS n_tri, familiarity,
+           round(familiarity / cast(n_tri AS DOUBLE) / cast(total AS DOUBLE),
+                 12) AS typicality
+    FROM agg CROSS JOIN tot
+    """,
+)
+def t_trigram_typicality(spark: SparkSession, sf: str) -> DataFrame:
+    """Frequency-LM quality screen (CCNet-class, no transcendentals): mean
+    corpus-probability of each document's character trigrams — the
+    perplexity-filter slot in a curation pipeline, exact-integer to the
+    last two divisions so it hashes identically across engines and
+    partitionings. See operators/textstats.py trigram_typicality_df for
+    the 100-TB plan-shape notes (broadcast vocab join, no window)."""
+    return T.trigram_typicality_df(
+        _t(spark, sf, "documents"), n_partitions=_par(spark)
+    )

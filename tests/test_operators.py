@@ -654,3 +654,29 @@ def test_paragraph_dedup_first_occurrence_is_not_dup(spark):
     assert (out[3]["n_paragraphs"], out[3]["n_dup_paragraphs"]) == (1, 1)
     assert out[2]["dup_frac"] == 0.5
     assert out[3]["dup_frac"] == 1.0
+
+
+def test_trigram_typicality_exact_and_short_docs(spark):
+    """Hand-computable corpus: counts are exact integers; docs under 3
+    chars are absent (no trigrams); a gibberish doc scores below a doc
+    made of the corpus's common trigrams."""
+    rows = [
+        (1, "aaaa"),       # trigrams: aaa, aaa
+        (2, "aaab"),       # trigrams: aaa, aab
+        (3, "zq"),         # too short -> absent
+        (4, "xqzj"),       # rare trigrams: xqz, qzj
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r.asDict() for r in T.trigram_typicality_df(df).collect()}
+    assert 3 not in got
+    # corpus counts: aaa=3, aab=1, xqz=1, qzj=1; total=6
+    assert got[1]["n_tri"] == 2 and got[1]["familiarity"] == 6
+    assert got[2]["n_tri"] == 2 and got[2]["familiarity"] == 4
+    assert got[4]["n_tri"] == 2 and got[4]["familiarity"] == 2
+    assert got[4]["typicality"] < got[2]["typicality"] < got[1]["typicality"]
+    assert got[1]["typicality"] == round(6 / 2.0 / 6.0, 12)
+    # case-insensitive: AAAA and aaaa share trigrams
+    up = spark.createDataFrame([(1, "AAAA"), (2, "aaaa")], ["doc_id", "text"])
+    g2 = {r["doc_id"]: r["familiarity"] for r in T.trigram_typicality_df(up).collect()}
+    # each doc: 2 trigrams, all "aaa"; corpus count(aaa)=4 -> familiarity 2*4
+    assert g2[1] == g2[2] == 8
