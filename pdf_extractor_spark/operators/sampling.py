@@ -96,3 +96,48 @@ def stratified_sample(
     for value, r in sorted(rates.items()):
         rate = F.when(F.col(strata_col) == value, F.lit(float(r))).otherwise(rate)
     return df.filter(_hash_frac(F.col(key_col), salt) < rate)
+
+
+def target_mix_sample(
+    df: DataFrame,
+    targets: dict[str, float],
+    strata_col: str,
+    key_col: str,
+    default_target: float = 0.0,
+    salt: str = "mix",
+) -> DataFrame:
+    """Resample toward TARGET mixture shares (the data-MIXING step of
+    curation: Pile/DoReMi-style domain weights, downsample-only).
+
+    Keep probability per stratum = min(1, target_share * N_total /
+    N_stratum): over-represented strata are thinned toward their target
+    share of the ORIGINAL corpus size; under-represented strata are kept
+    whole (no upsampling). Strata absent from ``targets`` get
+    ``default_target`` (0.0 = drop them).
+
+    Unlike ``stratified_sample`` the rates are COMPUTED from the data:
+    one tiny groupBy-count (n_strata rows) cross-joined with the one-row
+    total, broadcast back onto the scan, then the same md5-keyed uniform
+    filter — reproducible at any partitioning; the big side is scanned
+    once with no wide shuffle. Rates are exact-integer ratios times a
+    literal (two IEEE ops, same order both engines).
+    """
+    counts = df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("_n"))
+    total = counts.agg(F.sum("_n").alias("_tot"))
+    tgt = F.lit(float(default_target))
+    for value, t in sorted(targets.items()):
+        tgt = F.when(F.col(strata_col) == value, F.lit(float(t))).otherwise(tgt)
+    rates = counts.crossJoin(F.broadcast(total)).select(
+        F.col(strata_col),
+        F.least(
+            F.lit(1.0),
+            tgt
+            * F.col("_tot").cast("double")
+            / F.col("_n").cast("double"),
+        ).alias("_rate"),
+    )
+    return (
+        df.join(F.broadcast(rates), strata_col)
+        .filter(_hash_frac(F.col(key_col), salt) < F.col("_rate"))
+        .drop("_rate")
+    )

@@ -3427,3 +3427,35 @@ def t_trigram_typicality(spark: SparkSession, sf: str) -> DataFrame:
     return T.trigram_typicality_df(
         _t(spark, sf, "documents"), n_partitions=_par(spark)
     )
+
+
+@query(
+    "t_target_mix_sample",
+    f"""
+    WITH n AS (SELECT lang, count(*) AS ns FROM documents GROUP BY lang),
+    tot AS (SELECT count(*) AS t FROM documents),
+    r AS (SELECT lang,
+                 least(1.0,
+                       CASE lang WHEN 'en' THEN 0.25 WHEN 'zh' THEN 0.10
+                                 ELSE 0.2 END * t / ns) AS rate
+          FROM n CROSS JOIN tot),
+    h AS (SELECT doc_id, lang, md5(concat('mix:', doc_id)) AS hx
+          FROM documents)
+    SELECT doc_id, h.lang FROM h JOIN r USING (lang)
+    WHERE ({_HEX8.format(h="hx", p="1")}) / 4294967296.0 < rate
+    """,
+)
+def t_target_mix(spark: SparkSession, sf: str) -> DataFrame:
+    """Data MIXING toward target domain shares (operators/sampling.py
+    target_mix_sample): per-language keep rates are COMPUTED as
+    min(1, target_share * N_total / N_lang) — thin dominant English
+    toward 25%, cap zh at 10%, 20% targets elsewhere — then applied as
+    the md5-keyed scan-side filter. The rate table is n_strata rows,
+    broadcast; no wide shuffle touches the corpus."""
+    from pdf_extractor_spark.operators.sampling import target_mix_sample
+
+    d = _t(spark, sf, "documents").select("doc_id", "lang")
+    out = target_mix_sample(
+        d, {"en": 0.25, "zh": 0.10}, "lang", "doc_id", default_target=0.2
+    )
+    return out.select("doc_id", "lang")

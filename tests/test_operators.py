@@ -680,3 +680,24 @@ def test_trigram_typicality_exact_and_short_docs(spark):
     g2 = {r["doc_id"]: r["familiarity"] for r in T.trigram_typicality_df(up).collect()}
     # each doc: 2 trigrams, all "aaa"; corpus count(aaa)=4 -> familiarity 2*4
     assert g2[1] == g2[2] == 8
+
+
+def test_target_mix_sample_rates_and_defaults(spark):
+    from pdf_extractor_spark.operators.sampling import target_mix_sample
+
+    rows = [(i, "en" if i < 80 else ("de" if i < 90 else "xx")) for i in range(100)]
+    df = spark.createDataFrame(rows, ["doc_id", "lang"])
+    out = target_mix_sample(df, {"en": 0.2, "de": 0.5}, "lang", "doc_id").collect()
+    by_lang = {}
+    for r in out:
+        by_lang.setdefault(r["lang"], set()).add(r["doc_id"])
+    # en: rate = min(1, 0.2*100/80) = 0.25 -> a strict subset survives
+    assert 0 < len(by_lang.get("en", set())) < 80
+    # de: rate = min(1, 0.5*100/10) = 1.0 -> kept whole (no upsampling)
+    assert len(by_lang.get("de", set())) == 10
+    # xx: default target 0.0 -> dropped entirely
+    assert "xx" not in by_lang
+    # deterministic: same call, same rows
+    again = {(r["doc_id"], r["lang"]) for r in
+             target_mix_sample(df, {"en": 0.2, "de": 0.5}, "lang", "doc_id").collect()}
+    assert again == {(r["doc_id"], r["lang"]) for r in out}
