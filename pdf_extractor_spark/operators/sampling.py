@@ -98,6 +98,54 @@ def stratified_sample(
     return df.filter(_hash_frac(F.col(key_col), salt) < rate)
 
 
+def host_cap(
+    df: DataFrame,
+    cap: int,
+    host_col: str,
+    key_col: str,
+    score_col: str | None = None,
+    shards: int = 16,
+) -> DataFrame:
+    """Per-host document budget: keep at most ``cap`` rows per host, the
+    top-``cap`` by (score DESC, key ASC) — the anti-domain-dominance step
+    of web curation (a single link farm or mirror host must not own the
+    corpus; C4/RefinedWeb-style per-domain caps).
+
+    Scale shape: a naive ``row_number() OVER (PARTITION BY host)`` puts a
+    billion-page host in ONE task. This runs two levels:
+
+      1. pre-prune per (host, shard): shard = pmod(hash(key), shards);
+         top-``cap`` within each shard is a guaranteed SUPERSET of the
+         global per-host top-``cap`` (any globally-kept row is also in its
+         own shard's top-``cap``), so correctness never depends on the
+         shard function — only the pruning factor does. Each task sees
+         ~1/shards of the hot host.
+      2. exact top-``cap`` per host over the ≤ cap*shards survivors —
+         bounded input per host regardless of corpus size.
+
+    Output is identical to the single-window form (total order: score
+    DESC, key ASC; ties broken by key), independent of ``shards``.
+    ``score_col=None`` keeps the ``cap`` smallest keys per host.
+    """
+    order = (
+        [F.col(score_col).desc(), F.col(key_col).asc()]
+        if score_col
+        else [F.col(key_col).asc()]
+    )
+    shard = F.pmod(F.hash(F.col(key_col)), F.lit(shards))
+    w1 = Window.partitionBy(F.col(host_col), shard).orderBy(*order)
+    pruned = (
+        df.withColumn("_rn1", F.row_number().over(w1))
+        .filter(F.col("_rn1") <= cap)
+        .drop("_rn1")
+    )
+    w2 = Window.partitionBy(host_col).orderBy(*order)
+    return (
+        pruned.withColumn("host_rank", F.row_number().over(w2))
+        .filter(F.col("host_rank") <= cap)
+    )
+
+
 def target_mix_sample(
     df: DataFrame,
     targets: dict[str, float],

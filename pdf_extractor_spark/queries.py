@@ -3459,3 +3459,43 @@ def t_target_mix(spark: SparkSession, sf: str) -> DataFrame:
         d, {"en": 0.25, "zh": 0.10}, "lang", "doc_id", default_target=0.2
     )
     return out.select("doc_id", "lang")
+
+
+@query(
+    "u_host_cap",
+    f"""
+    WITH raw AS (SELECT doc_id, n_chars, {_MESSY_URL_SQL} AS url FROM documents),
+    h AS (
+      SELECT doc_id, n_chars,
+             regexp_replace(
+               lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)),
+               ':[0-9]+$', '') AS host
+      FROM raw),
+    r AS (
+      SELECT doc_id, host, n_chars,
+             row_number() OVER (PARTITION BY host
+                                ORDER BY n_chars DESC, doc_id) AS host_rank
+      FROM h)
+    SELECT doc_id, host, n_chars, host_rank FROM r WHERE host_rank <= 40
+    """,
+)
+def u_host_cap(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-host document budget (operators/sampling.py host_cap): keep the
+    top-40 docs per host by (n_chars DESC, doc_id) — the anti-domain-
+    dominance cap of C4/RefinedWeb-class curation. Two-level plan: a
+    (host, shard) pre-prune window bounds a hot host's rows per task at
+    cap, then the exact per-host window ranks <= cap*shards survivors —
+    no single-task billion-row host partition at corpus scale. Output is
+    shard-count-invariant (superset property of per-shard top-k)."""
+    from pdf_extractor_spark.functions.urls import HOSTPORT_RE
+    from pdf_extractor_spark.operators.sampling import host_cap
+
+    d = _t(spark, sf, "documents")
+    messy = _messy_url_col()
+    host = F.regexp_replace(
+        F.lower(F.regexp_extract(messy, HOSTPORT_RE, 1)), r":[0-9]+$", ""
+    )
+    docs = d.select("doc_id", host.alias("host"), "n_chars")
+    return host_cap(docs, 40, "host", "doc_id", "n_chars").select(
+        "doc_id", "host", "n_chars", "host_rank"
+    )

@@ -701,3 +701,64 @@ def test_target_mix_sample_rates_and_defaults(spark):
     again = {(r["doc_id"], r["lang"]) for r in
              target_mix_sample(df, {"en": 0.2, "de": 0.5}, "lang", "doc_id").collect()}
     assert again == {(r["doc_id"], r["lang"]) for r in out}
+
+
+def test_host_cap_matches_single_window_and_breaks_ties(spark):
+    from pdf_extractor_spark.operators.sampling import host_cap
+
+    # hot host "a" with 40 docs (scores collide in pairs -> tie-break by
+    # doc_id), cold host "b" under the cap
+    rows = [(i, "a", (i // 2) * 10) for i in range(40)]
+    rows += [(100 + i, "b", 5) for i in range(3)]
+    df = spark.createDataFrame(rows, ["doc_id", "host", "score"])
+
+    def naive(cap):
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("host").orderBy(
+            F.col("score").desc(), F.col("doc_id").asc()
+        )
+        return {
+            (r["doc_id"], r["host"], r["host_rank"])
+            for r in df.withColumn("host_rank", F.row_number().over(w))
+            .filter(F.col("host_rank") <= cap)
+            .collect()
+        }
+
+    for cap in (1, 5, 40):
+        got = {
+            (r["doc_id"], r["host"], r["host_rank"])
+            for r in host_cap(df, cap, "host", "doc_id", "score").collect()
+        }
+        assert got == naive(cap), f"cap={cap}"
+
+    # shard-count invariance: the pre-prune factor must not change output
+    base = {
+        tuple(r)
+        for r in host_cap(df, 7, "host", "doc_id", "score", shards=1).collect()
+    }
+    for shards in (2, 16, 64):
+        assert base == {
+            tuple(r)
+            for r in host_cap(
+                df, 7, "host", "doc_id", "score", shards=shards
+            ).collect()
+        }
+
+    # ties: equal scores keep the LOWER doc_id first
+    top2 = sorted(
+        r["doc_id"]
+        for r in host_cap(
+            df.filter(F.col("host") == "a"), 2, "host", "doc_id", "score"
+        ).collect()
+    )
+    assert top2 == [38, 39]
+
+    # score_col=None keeps the cap smallest keys
+    keys = sorted(
+        r["doc_id"]
+        for r in host_cap(
+            df.filter(F.col("host") == "a"), 3, "host", "doc_id"
+        ).collect()
+    )
+    assert keys == [0, 1, 2]
