@@ -318,6 +318,102 @@ def lsh_verified_pairs(
     )
 
 
+def incremental_near_dups(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = DEFAULT_MINHASH_K,
+    bands: int = DEFAULT_BANDS,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    n_partitions: int | None = None,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Dedupe a NEW crawl batch against an EXISTING corpus — the
+    production-incremental shape: at 100 TB you never re-pair the whole
+    corpus per ingest; the new batch's LSH band keys PROBE the corpus band
+    index (reference analogue: the uploader's already-processed skip,
+    /root/reference/src/pdf_uploader.py — extended from exact-key resume
+    to near-duplicate resume).
+
+    Plan shape: band rows for both sides (staged signature projections),
+    inner equi-join on (band, key) — new side is the small probe, so at
+    real scale the corpus side is the pre-bucketed/bucket-sorted table and
+    the join shuffles ONLY the batch; exact Jaccard verification runs on
+    candidates alone, shingles per side materialized once. ``max_bucket``
+    drops degenerate corpus buckets (boilerplate clusters) BEFORE pair
+    generation — same skew guard as ``minhash_lsh_pairs``.
+
+    Returns (new_id, corpus_id, jaccard >= threshold): every new doc that
+    near-duplicates an existing corpus doc, with the match.
+    """
+    banded_new = with_minhash_bands(
+        new_df, id_col, text_col, k, bands, shingle_n, n_partitions
+    )
+    banded_corpus = with_minhash_bands(
+        corpus_df, id_col, text_col, k, bands, shingle_n, n_partitions
+    )
+    if max_bucket is not None:
+        hot = (
+            banded_corpus.groupBy("band", "key")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") > max_bucket)
+            .select("band", "key")
+        )
+        banded_corpus = banded_corpus.join(
+            F.broadcast(hot), ["band", "key"], "left_anti"
+        )
+    pairs = (
+        banded_new.alias("n")
+        .join(
+            banded_corpus.alias("c"),
+            (F.col("n.band") == F.col("c.band"))
+            & (F.col("n.key") == F.col("c.key")),
+        )
+        .select(
+            F.col("n.id").alias("new_id"), F.col("c.id").alias("corpus_id")
+        )
+        .distinct()
+    )
+
+    def _shingle_side(df: DataFrame) -> DataFrame:
+        sh = df.select(
+            F.col(id_col).alias("id"), word_tokens(F.col(text_col)).alias("_t")
+        )
+        if n_partitions:
+            sh = sh.repartition(n_partitions, "id")
+        return sh.select(
+            "id",
+            F.array_distinct(
+                shingles_from_tokens(F.col("_t"), shingle_n)
+            ).alias("sh"),
+        ).select("id", "sh", F.size("sh").alias("n"))
+
+    sa = _shingle_side(new_df).alias("sa")
+    sb = _shingle_side(corpus_df).alias("sb")
+    paired = (
+        pairs.join(sa, pairs["new_id"] == F.col("sa.id"))
+        .join(sb, pairs["corpus_id"] == F.col("sb.id"))
+        .select(
+            "new_id",
+            "corpus_id",
+            F.size(F.array_intersect(F.col("sa.sh"), F.col("sb.sh"))).alias(
+                "inter"
+            ),
+            F.col("sa.n").alias("na"),
+            F.col("sb.n").alias("nb"),
+        )
+    )
+    union = paired["na"] + paired["nb"] - paired["inter"]
+    jac = F.when(union <= 0, F.lit(0.0)).otherwise(
+        F.round(paired["inter"].cast("double") / union, 6)
+    )
+    return paired.select("new_id", "corpus_id", jac.alias("jaccard")).filter(
+        F.col("jaccard") >= threshold
+    )
+
+
 def _hex_nibble(c: Column) -> Column:
     """hex char -> 0..15 via strpos (portable to any engine)."""
     return F.position(c, F.lit("0123456789abcdef")) - 1

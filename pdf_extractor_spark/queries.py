@@ -3499,3 +3499,62 @@ def u_host_cap(spark: SparkSession, sf: str) -> DataFrame:
     return host_cap(docs, 40, "host", "doc_id", "n_chars").select(
         "doc_id", "host", "n_chars", "host_rank"
     )
+
+
+def _sig_sql(table: str) -> str:
+    """band0/band1 MinHash-LSH signature CTE body over ``table`` (k=4,
+    2 bands of 2 rows — the same family as _LSH_PAIRS_SQL)."""
+    return f"""
+      SELECT doc_id,
+             md5(concat_ws('|',
+               list_min(list_transform({_SHINGLE_SQL}, s -> md5(concat('0:', s)))),
+               list_min(list_transform({_SHINGLE_SQL}, s -> md5(concat('1:', s)))))) AS band0,
+             md5(concat_ws('|',
+               list_min(list_transform({_SHINGLE_SQL}, s -> md5(concat('2:', s)))),
+               list_min(list_transform({_SHINGLE_SQL}, s -> md5(concat('3:', s)))))) AS band1
+      FROM {table}"""
+
+
+@query(
+    "d_incremental_near_dups",
+    f"""
+    WITH newd AS (SELECT * FROM documents WHERE doc_id % 10 = 7),
+    corp AS (SELECT * FROM documents WHERE doc_id % 10 <> 7),
+    sn AS ({_sig_sql("newd")}),
+    sc AS ({_sig_sql("corp")}),
+    bn AS (SELECT doc_id, 0 AS band, band0 AS key FROM sn
+           UNION ALL SELECT doc_id, 1, band1 FROM sn),
+    bc AS (SELECT doc_id, 0 AS band, band0 AS key FROM sc
+           UNION ALL SELECT doc_id, 1, band1 FROM sc),
+    cand AS (SELECT DISTINCT n.doc_id AS new_id, c.doc_id AS corpus_id
+             FROM bn n JOIN bc c ON n.band = c.band AND n.key = c.key),
+    a AS (SELECT doc_id, list_distinct({_SHINGLE_SQL}) AS sh FROM newd),
+    b AS (SELECT doc_id, list_distinct({_SHINGLE_SQL}) AS sh FROM corp)
+    SELECT cand.new_id, cand.corpus_id, {_JACCARD_CASE} AS jaccard
+    FROM cand
+    JOIN a ON a.doc_id = cand.new_id
+    JOIN b ON b.doc_id = cand.corpus_id
+    WHERE {_JACCARD_CASE} >= 0.3
+    """,
+)
+def d_incremental(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental ingest dedup (operators/dedup.py incremental_near_dups):
+    a NEW crawl batch (doc_id % 10 = 7) probes the EXISTING corpus's LSH
+    band index — new-side band keys inner-join the corpus band rows, exact
+    Jaccard verifies candidates only. The production shape at 100 TB: per
+    ingest you shuffle the BATCH, never re-pair the corpus (the corpus
+    band index is the pre-bucketed table the probe joins against).
+    Reference analogue: pdf_uploader.py's already-processed skip, extended
+    from exact-key resume to near-duplicate resume."""
+    d = _t(spark, sf, "documents")
+    new_df = d.filter(F.col("doc_id") % 10 == 7)
+    corpus = d.filter(F.col("doc_id") % 10 != 7)
+    return D.incremental_near_dups(
+        new_df,
+        corpus,
+        k=4,
+        bands=2,
+        shingle_n=2,
+        threshold=0.3,
+        n_partitions=_par(spark),
+    )

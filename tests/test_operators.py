@@ -762,3 +762,49 @@ def test_host_cap_matches_single_window_and_breaks_ties(spark):
         ).collect()
     )
     assert keys == [0, 1, 2]
+
+
+def test_incremental_near_dups_probe_vs_corpus(spark):
+    from pdf_extractor_spark.operators.dedup import incremental_near_dups
+
+    base = "the quick brown fox jumps over the lazy dog near the river bank"
+    corpus = spark.createDataFrame(
+        [
+            (1, base),
+            (2, "completely different content about spark physical plans"),
+            (3, base + " today"),
+        ],
+        ["doc_id", "text"],
+    )
+    new = spark.createDataFrame(
+        [
+            (101, base),  # near-identical to corpus docs 1 and 3
+            (102, "unrelated fresh page with novel words entirely"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        (r["new_id"], r["corpus_id"])
+        for r in incremental_near_dups(
+            new, corpus, k=4, bands=2, shingle_n=2, threshold=0.5
+        ).collect()
+    }
+    assert (101, 1) in got
+    assert all(n != 102 for n, _ in got)  # novel doc matches nothing
+    # jaccard of the exact copy is 1.0
+    row = (
+        incremental_near_dups(new, corpus, k=4, bands=2, shingle_n=2, threshold=0.5)
+        .filter("new_id = 101 and corpus_id = 1")
+        .collect()[0]
+    )
+    assert row["jaccard"] == 1.0
+
+    # max_bucket drops a degenerate corpus bucket BEFORE pairing: with every
+    # corpus doc identical, the bucket size 3 > cap 2 kills all candidates
+    boiler = spark.createDataFrame(
+        [(i, base) for i in range(1, 4)], ["doc_id", "text"]
+    )
+    capped = incremental_near_dups(
+        new, boiler, k=4, bands=2, shingle_n=2, threshold=0.5, max_bucket=2
+    )
+    assert capped.count() == 0
