@@ -133,3 +133,42 @@ def interval_join(
         F.col(f"iv.{c}") for c in intervals.columns if c != key
     ]
     return pt.join(iv, cond).select(*out_cols)
+
+
+def recrawl_stats(
+    df: DataFrame,
+    url_col: str,
+    ts_col: str,
+    content_col: str,
+) -> DataFrame:
+    """Per-URL crawl-history rollup — the incremental-crawl bookkeeping op:
+    how often was each page fetched, how many distinct content versions
+    exist, and how many fetches actually CHANGED the content vs the
+    previous crawl (the signal a recrawl scheduler budgets by, cf. crawl
+    freshness literature; the reference's analogue is its exact-key
+    already-processed skip, /root/reference/src/pdf_uploader.py).
+
+    changed-vs-previous needs crawl ORDER, so the plan is one window
+    partitioned by url ordered by ts (lag of the content fingerprint) —
+    bounded per key at any corpus size (a url's recrawl count is small and
+    does not grow with corpus width), then the per-url aggregate rides the
+    SAME hash partitioning (no second shuffle). Content compare uses md5
+    (engine-portable hash family).
+    """
+    h = F.md5(F.col(content_col).cast("string"))
+    w = Window.partitionBy(url_col).orderBy(ts_col)
+    seq = df.select(
+        F.col(url_col).alias("url"), F.col(ts_col).alias("ts"), h.alias("_h")
+    ).withColumn("_prev", F.lag("_h").over(w))
+    return seq.groupBy("url").agg(
+        F.count(F.lit(1)).alias("n_crawls"),
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+        F.countDistinct("_h").alias("n_versions"),
+        F.sum(
+            F.when(
+                F.col("_prev").isNotNull() & (F.col("_h") != F.col("_prev")),
+                1,
+            ).otherwise(0)
+        ).alias("n_changes"),
+    )

@@ -3558,3 +3558,44 @@ def d_incremental(spark: SparkSession, sf: str) -> DataFrame:
         threshold=0.3,
         n_partitions=_par(spark),
     )
+
+
+@query(
+    "u_recrawl_stats",
+    """
+    WITH c AS (
+      SELECT doc_id % 120 AS url,
+             1704067200 + doc_id * 3600 AS ts,
+             md5(cast(doc_id - (doc_id % 240) AS VARCHAR)) AS h
+      FROM documents),
+    s AS (SELECT url, ts, h,
+                 lag(h) OVER (PARTITION BY url ORDER BY ts) AS prev
+          FROM c)
+    SELECT url, count(*) AS n_crawls, min(ts) AS first_ts,
+           max(ts) AS last_ts, count(DISTINCT h) AS n_versions,
+           cast(sum(CASE WHEN prev IS NOT NULL AND h <> prev
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_changes
+    FROM s GROUP BY url
+    """,
+)
+def u_recrawl(spark: SparkSession, sf: str) -> DataFrame:
+    """Recrawl change detection (operators/temporal.py recrawl_stats): per
+    url — fetch count, first/last crawl time, distinct content versions,
+    and fetches that CHANGED content vs the previous crawl (the freshness
+    signal a recrawl scheduler budgets by). Crawl history is synthesized
+    deterministically: url = doc_id % 120 (~4 fetches/url), hourly epoch
+    timestamps, and a version key that repeats every second fetch so both
+    changed and unchanged recrawls occur. One window partitioned by url
+    (bounded per key: a url's recrawl count doesn't grow with corpus
+    width) + a per-url aggregate on the same partitioning."""
+    from pdf_extractor_spark.operators.temporal import recrawl_stats
+
+    d = _t(spark, sf, "documents")
+    crawls = d.select(
+        (F.col("doc_id") % 120).alias("url"),
+        (F.lit(1704067200) + F.col("doc_id") * 3600).alias("ts"),
+        (F.col("doc_id") - (F.col("doc_id") % 240))
+        .cast("string")
+        .alias("content"),
+    )
+    return recrawl_stats(crawls, "url", "ts", "content")

@@ -808,3 +808,28 @@ def test_incremental_near_dups_probe_vs_corpus(spark):
         new, boiler, k=4, bands=2, shingle_n=2, threshold=0.5, max_bucket=2
     )
     assert capped.count() == 0
+
+
+def test_recrawl_stats_versions_and_changes(spark):
+    from pdf_extractor_spark.operators.temporal import recrawl_stats
+
+    # url "a": v1, v1 (unchanged), v2 (changed), v1 (changed back)
+    # url "b": single fetch
+    rows = [
+        ("a", 1, "v1"),
+        ("a", 2, "v1"),
+        ("a", 3, "v2"),
+        ("a", 4, "v1"),
+        ("b", 9, "x"),
+    ]
+    df = spark.createDataFrame(rows, ["url", "ts", "content"])
+    got = {
+        r["url"]: r
+        for r in recrawl_stats(df, "url", "ts", "content").collect()
+    }
+    a = got["a"]
+    assert (a["n_crawls"], a["first_ts"], a["last_ts"]) == (4, 1, 4)
+    assert a["n_versions"] == 2
+    assert a["n_changes"] == 2  # v1->v2 and v2->v1; the v1->v1 repeat is not
+    b = got["b"]
+    assert (b["n_crawls"], b["n_versions"], b["n_changes"]) == (1, 1, 0)
