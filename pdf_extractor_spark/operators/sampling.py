@@ -98,6 +98,97 @@ def stratified_sample(
     return df.filter(_hash_frac(F.col(key_col), salt) < rate)
 
 
+def _md5_pos(col: Column, salt: str, m_bits: int) -> Column:
+    """md5-derived bit position in [0, m_bits): first 8 hex nibbles as an
+    int, mod m. Same engine-portable family as ``_hash_frac``."""
+    h = F.md5(F.concat(F.lit(salt + ":"), col.cast("string")))
+    out = F.lit(0).cast("long")
+    for i in range(8):
+        out = out * 16 + (F.position(F.substring(h, i + 1, 1), F.lit(HEX)) - 1)
+    return F.pmod(out, F.lit(m_bits))
+
+
+def bloom_build(
+    df: DataFrame,
+    key_col: str,
+    m_bits: int = 4096,
+    k_hashes: int = 3,
+) -> DataFrame:
+    """Distributed Bloom-filter build -> (word_idx, word) bit table, one
+    row per SET 32-bit word (m_bits/32 rows max — kilobytes even for
+    billion-key filters with appropriate m).
+
+    The membership sketch a crawl pipeline keeps for visited-URL sets and
+    cheap decontamination pre-screens. Build shape: each key contributes
+    ``k_hashes`` (word_idx, 1<<bit) pairs; one groupBy on word_idx with a
+    ``bit_or`` aggregate — map-side partial OR makes the shuffle at most
+    m/32 rows per mapper regardless of input size, and the result is
+    mergeable across corpus shards by the same bit_or. All positions are
+    md5-derived (engine-portable, deterministic).
+    """
+    pairs = df.select(
+        F.explode(
+            F.array(
+                *[
+                    _md5_pos(F.col(key_col), f"bloom{i}", m_bits)
+                    for i in range(k_hashes)
+                ]
+            )
+        ).alias("_pos")
+    ).select(
+        (F.col("_pos") / 32).cast("long").alias("word_idx"),
+        F.expr("shiftleft(cast(1 as bigint), cast(_pos % 32 as int))").alias(
+            "_mask"
+        ),
+    )
+    return pairs.groupBy("word_idx").agg(F.bit_or("_mask").alias("word"))
+
+
+def bloom_probe(
+    bloom: DataFrame,
+    df: DataFrame,
+    key_col: str,
+    m_bits: int = 4096,
+    k_hashes: int = 3,
+) -> DataFrame:
+    """Probe a Bloom bit table: adds ``might_contain`` per input row.
+
+    Guarantee: every key that was in the build set probes true (no false
+    negatives); a miss is definitive. Plan: k position rows per key, a
+    BROADCAST join onto the tiny bit table (left join — an unset word may
+    have no row at all), then an all-bits-set aggregate per key. The big
+    probe side is never shuffled by the join; the per-key aggregate is the
+    only exchange.
+    """
+    pos = df.select(
+        F.col(key_col).alias("key"),
+        F.posexplode(
+            F.array(
+                *[
+                    _md5_pos(F.col(key_col), f"bloom{i}", m_bits)
+                    for i in range(k_hashes)
+                ]
+            )
+        ).alias("_i", "_pos"),
+    ).select(
+        "key",
+        (F.col("_pos") / 32).cast("long").alias("word_idx"),
+        F.expr("shiftleft(cast(1 as bigint), cast(_pos % 32 as int))").alias(
+            "_mask"
+        ),
+    )
+    hit = (
+        F.coalesce(F.col("word"), F.lit(0).cast("long")).bitwiseAND(F.col("_mask"))
+        == F.col("_mask")
+    ).cast("int")
+    return (
+        pos.join(F.broadcast(bloom), "word_idx", "left")
+        .select("key", hit.alias("_hit"))
+        .groupBy("key")
+        .agg((F.sum("_hit") == k_hashes).alias("might_contain"))
+    )
+
+
 def host_cap(
     df: DataFrame,
     cap: int,

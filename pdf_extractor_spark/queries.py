@@ -3599,3 +3599,52 @@ def u_recrawl(spark: SparkSession, sf: str) -> DataFrame:
         .alias("content"),
     )
     return recrawl_stats(crawls, "url", "ts", "content")
+
+
+_BLOOM_POS_SQL = f"""
+      SELECT key, cast(({_HEX8.format(h="hx", p="1")}) % 4096 AS BIGINT) AS p
+      FROM (SELECT key, md5(concat('bloom{{i}}:', key)) AS hx FROM {{src}})"""
+
+
+@query(
+    "u_bloom_visited",
+    f"""
+    WITH corp AS (SELECT concat('url:', cast(doc_id AS VARCHAR)) AS key
+                  FROM documents WHERE doc_id % 10 <> 7),
+    probe AS (SELECT concat('url:', cast(doc_id AS VARCHAR)) AS key
+              FROM documents),
+    bpos AS ({_BLOOM_POS_SQL.format(i=0, src="corp")}
+             UNION ALL {_BLOOM_POS_SQL.format(i=1, src="corp")}
+             UNION ALL {_BLOOM_POS_SQL.format(i=2, src="corp")}),
+    words AS (SELECT p // 32 AS word_idx,
+                     bit_or(cast(1 AS BIGINT) << cast(p % 32 AS INT)) AS word
+              FROM bpos GROUP BY 1),
+    ppos AS (SELECT key, p // 32 AS word_idx,
+                    cast(1 AS BIGINT) << cast(p % 32 AS INT) AS mask
+             FROM ({_BLOOM_POS_SQL.format(i=0, src="probe")}
+                   UNION ALL {_BLOOM_POS_SQL.format(i=1, src="probe")}
+                   UNION ALL {_BLOOM_POS_SQL.format(i=2, src="probe")}))
+    SELECT key,
+           (sum(CASE WHEN (coalesce(word, 0) & mask) = mask
+                     THEN 1 ELSE 0 END) = 3) AS might_contain
+    FROM ppos LEFT JOIN words USING (word_idx)
+    GROUP BY key
+    """,
+)
+def u_bloom(spark: SparkSession, sf: str) -> DataFrame:
+    """Bloom-filter visited-set (operators/sampling.py bloom_build /
+    bloom_probe): the corpus's url keys (doc_id % 10 <> 7) build a 4096-bit
+    / 3-hash bit table via one bit_or groupBy (map-side partial OR — the
+    shuffle is at most m/32 rows per mapper at ANY corpus size, and shard
+    filters merge by the same bit_or); every url then probes it through a
+    broadcast left join (no false negatives; misses are definitive). The
+    membership pre-screen a crawler keeps so the 100-TB visited set never
+    becomes a full-width anti-join."""
+    from pdf_extractor_spark.operators.sampling import bloom_build, bloom_probe
+
+    d = _t(spark, sf, "documents")
+    key = F.concat(F.lit("url:"), F.col("doc_id").cast("string"))
+    corp = d.filter(F.col("doc_id") % 10 != 7).select(key.alias("key"))
+    probe = d.select(key.alias("key"))
+    bloom = bloom_build(corp, "key", m_bits=4096, k_hashes=3)
+    return bloom_probe(bloom, probe, "key", m_bits=4096, k_hashes=3)

@@ -833,3 +833,39 @@ def test_recrawl_stats_versions_and_changes(spark):
     assert a["n_changes"] == 2  # v1->v2 and v2->v1; the v1->v1 repeat is not
     b = got["b"]
     assert (b["n_crawls"], b["n_versions"], b["n_changes"]) == (1, 1, 0)
+
+
+def test_bloom_no_false_negatives_and_mergeable(spark):
+    from pdf_extractor_spark.operators.sampling import bloom_build, bloom_probe
+
+    members = [(f"url:{i}",) for i in range(200)]
+    df = spark.createDataFrame(members, ["key"])
+    bloom = bloom_build(df, "key", m_bits=4096, k_hashes=3)
+
+    # every built key probes true — the no-false-negative guarantee
+    got = {
+        r["key"]: r["might_contain"]
+        for r in bloom_probe(bloom, df, "key", m_bits=4096, k_hashes=3).collect()
+    }
+    assert all(got[k] for k, in members)
+
+    # absent keys: misses are definitive (and with m=4096/n=200 most miss)
+    absent = spark.createDataFrame(
+        [(f"other:{i}",) for i in range(100)], ["key"]
+    )
+    miss = {
+        r["key"]: r["might_contain"]
+        for r in bloom_probe(bloom, absent, "key", m_bits=4096, k_hashes=3).collect()
+    }
+    assert sum(1 for v in miss.values() if not v) >= 90  # fp rate ~ <2%
+
+    # shard mergeability: bit_or of two half-corpus blooms == full bloom
+    h1 = bloom_build(df.filter("substring(key, 5) < '1'"), "key", 4096, 3)
+    h2 = bloom_build(df.filter("substring(key, 5) >= '1'"), "key", 4096, 3)
+    merged = (
+        h1.unionAll(h2)
+        .groupBy("word_idx")
+        .agg(F.bit_or("word").alias("word"))
+    )
+    full = {(r["word_idx"], r["word"]) for r in bloom.collect()}
+    assert {(r["word_idx"], r["word"]) for r in merged.collect()} == full
