@@ -280,3 +280,98 @@ def target_mix_sample(
         .filter(_hash_frac(F.col(key_col), salt) < F.col("_rate"))
         .drop("_rate")
     )
+
+
+def dsir_importance(
+    df: DataFrame,
+    target_col: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 64,
+    scale_ppm: int = 1_000_000,
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """DSIR-style hashed-n-gram importance weights (Xie et al., NeurIPS
+    2023 "Data Selection for Language Models via Importance Resampling" —
+    public method, from scratch): score every document by how much its
+    token distribution looks like a small trusted TARGET subset
+    (``target_col`` boolean) relative to the raw corpus, then keep the
+    target-like docs.
+
+    Per hashed unigram bucket b the importance ratio is the add-one
+    smoothed  p_target(b) / p_raw(b)
+      = (tgt_b + 1)(raw_total + B) / ((raw_b + 1)(tgt_total + B)),
+    and a document's weight is the mean ratio over its token occurrences.
+    DSIR proper works in log space; here each bucket ratio is fixed to
+    integer PARTS-PER-MILLION (floor) and summed as exact integers, so
+    the result is bit-identical across engines, partitionings and
+    summation orders — no float accumulation anywhere. ``keep`` is
+    avg_ppm >= scale_ppm, i.e. "more target-like than target-neutral".
+
+    Plan shape: one explode -> two 64-key groupBy counts (map-side
+    partial agg collapses each mapper's output to <= B rows regardless of
+    corpus size), ratio table of B rows broadcast back onto the token
+    stream (broadcast hash join, no shuffle), one groupBy(id). At 100 TB:
+    two short-key aggregates + one per-doc aggregate; no window, no
+    driver collect, no skew (buckets are md5-uniform).
+
+    Returns (id_col, n_tokens, importance_ppm, avg_ppm, keep).
+    """
+    from pdf_extractor_spark.operators.dedup import word_tokens
+
+    staged = df.select(
+        F.col(id_col).alias("id"),
+        F.col(target_col).cast("boolean").alias("_tgt"),
+        word_tokens(F.col(text_col)).alias("_t"),
+    )
+    if n_partitions:
+        staged = staged.repartition(n_partitions, "id")
+    toks = staged.select("id", "_tgt", F.explode("_t").alias("tok")).select(
+        "id", "_tgt", _md5_pos(F.col("tok"), "dsir", n_buckets).alias("bucket")
+    )
+    counts = toks.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("raw_c"),
+        F.sum(F.when(F.col("_tgt"), 1).otherwise(0)).alias("tgt_c"),
+    )
+    totals = counts.agg(
+        F.sum("raw_c").alias("raw_tot"), F.sum("tgt_c").alias("tgt_tot")
+    )
+    b = F.lit(n_buckets).cast("bigint")
+    ratios = (
+        counts.crossJoin(F.broadcast(totals))
+        .select(
+            "bucket",
+            (
+                (F.col("tgt_c").cast("bigint") + 1)
+                * (F.col("raw_tot").cast("bigint") + b)
+                * F.lit(scale_ppm).cast("bigint")
+            )
+            .cast("bigint")
+            .alias("_num"),
+            (
+                (F.col("raw_c").cast("bigint") + 1)
+                * (F.col("tgt_tot").cast("bigint") + b)
+            )
+            .cast("bigint")
+            .alias("_den"),
+        )
+        .select(
+            "bucket", F.expr("_num DIV _den").cast("bigint").alias("ratio_ppm")
+        )
+    )
+    doc = (
+        toks.join(F.broadcast(ratios), "bucket")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.sum("ratio_ppm").cast("bigint").alias("importance_ppm"),
+        )
+    )
+    avg = F.expr("importance_ppm DIV n_tokens").cast("bigint")
+    return doc.select(
+        F.col("id").alias(id_col),
+        "n_tokens",
+        "importance_ppm",
+        avg.alias("avg_ppm"),
+        (avg >= F.lit(scale_ppm)).alias("keep"),
+    )

@@ -308,3 +308,66 @@ def cosine_near_dup_pairs(
         )
         .filter(F.col("cosine_sim") >= threshold)
     )
+
+
+def semdedup(
+    df: DataFrame,
+    k: int = 4,
+    n_iter: int = 2,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup semantic deduplication (Abbas et al. 2023, arXiv:2303.09540
+    — public method, from scratch): k-means-cluster the embedding space,
+    then WITHIN each cluster drop every vector that has a lower-id
+    neighbor with cosine >= ``threshold``, keeping exactly one
+    representative (the lowest id) per semantic-duplicate chain.
+
+    The clustering is the repo's deterministic spherical k-means
+    (``kmeans_iterations``: lowest-k-id seeds, rounded sims,
+    struct-greatest tie-break), so assignments — and therefore the
+    keep/drop set — are bit-stable across engines and partitionings.
+
+    Plan shape: the k-means rounds (one codegen scoring projection + one
+    groupBy-avg per round), one join to re-attach vectors, then a
+    cluster-key self-equi-join with exact cosine on co-clustered pairs
+    only — the same candidates-only discipline as minhash_lsh_pairs /
+    cosine_near_dup_pairs, with ``cluster`` as the blocking key. The
+    pairwise step is quadratic PER CLUSTER; the published design holds
+    per-cluster size bounded by scaling k with N (SemDeDup uses ~50k
+    clusters for LAION-440M), and a degenerate hot cluster can be capped
+    with the same broadcast anti-join guard as dedup.minhash_lsh_pairs'
+    ``max_bucket``. No window, no driver-side pair loop.
+
+    Returns (id_col, cluster, keep) for every input row.
+    """
+    clusters = kmeans_iterations(
+        df, k=k, n_iter=n_iter, id_col=id_col, vec_col=vec_col
+    )
+    vecs = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("_v"))
+    cl = clusters.join(vecs, "id")
+    a = cl.select(
+        F.col("id").alias("id_a"), F.col("cluster"), F.col("_v").alias("_va")
+    )
+    b = cl.select(
+        F.col("id").alias("id_b"),
+        F.col("cluster").alias("_cb"),
+        F.col("_v").alias("_vb"),
+    )
+    dropped = (
+        a.join(
+            b,
+            (F.col("cluster") == F.col("_cb"))
+            & (F.col("id_a") > F.col("id_b")),
+        )
+        .filter(F.round(cosine(F.col("_va"), F.col("_vb")), 6) >= threshold)
+        .select(F.col("id_a").alias("id"))
+        .distinct()
+        .withColumn("_dup", F.lit(True))
+    )
+    return cl.join(dropped, "id", "left").select(
+        F.col("id").alias(id_col),
+        F.col("cluster").cast("bigint").alias("cluster"),
+        F.coalesce(~F.col("_dup"), F.lit(True)).alias("keep"),
+    )

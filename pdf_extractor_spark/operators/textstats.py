@@ -360,3 +360,92 @@ def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
         .withColumn("quality", quality_score(c))
         .withColumn("fingerprint", content_fingerprint(c))
     )
+
+
+def c4_clean(
+    lines: DataFrame,
+    min_words: int = 3,
+    min_kept_lines: int = 3,
+    joiner: str = " ",
+) -> DataFrame:
+    """C4-style page cleanup (Raffel et al., JMLR 2020 §2.2 — the public
+    heuristics behind the C4 corpus, from scratch) over a generic line
+    frame ``(id, idx, line)``:
+
+    line rules — a line is KEPT iff it ends in a terminal punctuation
+    mark (``. ! ?``), has at least ``min_words`` words, and contains
+    neither "lorem ipsum", nor a curly brace, nor the word "javascript";
+    page rules — a page is KEPT iff it retains at least
+    ``min_kept_lines`` lines AND contains no "lorem ipsum" or brace line
+    anywhere (C4 drops such pages outright). ``clean_text`` is the kept
+    lines re-joined in original order.
+
+    All signals are integer/boolean/string — bit-exact in any engine.
+    Plan shape: one groupBy(id) with map-side partial aggregation; the
+    ordered rebuild is a collect_list of (idx, line) structs sorted
+    in-group (bounded by page size, not corpus size). No window, no
+    second shuffle.
+
+    Returns (id, n_lines, n_kept_lines, n_sentences, has_lorem_ipsum,
+    has_brace, keep, clean_text).
+    """
+    line = F.col("line")
+    n_words = F.size(F.split(line, " "))
+    bad_lorem = line.contains("lorem ipsum")
+    bad_brace = line.contains("{") | line.contains("}")
+    bad_js = line.contains("javascript")
+    kept = (
+        line.rlike(r"[.!?]$")
+        & (n_words >= min_words)
+        & ~bad_lorem
+        & ~bad_brace
+        & ~bad_js
+    )
+    flagged = lines.select(
+        "id",
+        "idx",
+        line,
+        kept.alias("_keep_line"),
+        bad_lorem.alias("_lorem"),
+        bad_brace.alias("_brace"),
+        (kept & line.endswith(".")).alias("_sentence"),
+    )
+    agg = flagged.groupBy("id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        F.sum(F.when(F.col("_keep_line"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_kept_lines"),
+        F.sum(F.when(F.col("_sentence"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_sentences"),
+        (F.sum(F.when(F.col("_lorem"), 1).otherwise(0)) > 0).alias(
+            "has_lorem_ipsum"
+        ),
+        (F.sum(F.when(F.col("_brace"), 1).otherwise(0)) > 0).alias(
+            "has_brace"
+        ),
+        F.array_sort(
+            F.collect_list(
+                F.when(
+                    F.col("_keep_line"),
+                    F.struct(F.col("idx"), F.col("line")),
+                )
+            )
+        ).alias("_kept"),
+    )
+    return agg.select(
+        "id",
+        "n_lines",
+        "n_kept_lines",
+        "n_sentences",
+        "has_lorem_ipsum",
+        "has_brace",
+        (
+            (F.col("n_kept_lines") >= min_kept_lines)
+            & ~F.col("has_lorem_ipsum")
+            & ~F.col("has_brace")
+        ).alias("keep"),
+        F.concat_ws(
+            joiner, F.transform(F.col("_kept"), lambda s: s.getField("line"))
+        ).alias("clean_text"),
+    )

@@ -3648,3 +3648,222 @@ def u_bloom(spark: SparkSession, sf: str) -> DataFrame:
     probe = d.select(key.alias("key"))
     bloom = bloom_build(corp, "key", m_bits=4096, k_hashes=3)
     return bloom_probe(bloom, probe, "key", m_bits=4096, k_hashes=3)
+
+
+_C4_LINES_SQL = f"""
+    tok AS (SELECT doc_id, {_TOK_SQL} AS t FROM documents),
+    meta AS (SELECT doc_id, t, array_length(t) AS n FROM tok),
+    seg AS (
+      SELECT doc_id, cast(i - 1 AS INT) AS idx,
+             array_to_string(list_slice(t, (i-1)*5 + 1, (i-1)*5 + 5), ' ')
+               AS seg_text
+      FROM (SELECT doc_id, t, n,
+                   unnest(range(1, cast(CASE WHEN n > 0 THEN ((n - 1) // 5) + 1
+                                        ELSE 0 END AS BIGINT) + 1)) AS i
+            FROM meta)),
+    lines AS (
+      SELECT doc_id, idx,
+             seg_text || CASE cast((doc_id + idx) % 3 AS INT)
+                           WHEN 0 THEN '.' WHEN 1 THEN '!' ELSE '' END AS line
+      FROM seg
+      UNION ALL
+      SELECT doc_id, 100000, 'lorem ipsum dolor sit amet.'
+      FROM documents WHERE doc_id % 7 = 0
+      UNION ALL
+      SELECT doc_id, 100001, 'function() {{ var x = 1; }}'
+      FROM documents WHERE doc_id % 11 = 0)
+"""
+
+
+@query(
+    "t_c4_filter",
+    f"""
+    WITH {_C4_LINES_SQL},
+    flag AS (
+      SELECT doc_id, idx, line,
+             (regexp_matches(line, '[.!?]$')
+              AND array_length(string_split(line, ' ')) >= 3
+              AND NOT contains(line, 'lorem ipsum')
+              AND NOT contains(line, '{{') AND NOT contains(line, '}}')
+              AND NOT contains(line, 'javascript')) AS k,
+             contains(line, 'lorem ipsum') AS lor,
+             (contains(line, '{{') OR contains(line, '}}')) AS br
+      FROM lines),
+    agg AS (
+      SELECT doc_id, count(*) AS n_lines,
+             sum(CASE WHEN k THEN 1 ELSE 0 END) AS n_kept,
+             sum(CASE WHEN k AND line LIKE '%.' THEN 1 ELSE 0 END) AS n_sent,
+             bool_or(lor) AS has_lor, bool_or(br) AS has_br,
+             coalesce(string_agg(CASE WHEN k THEN line END, ' '
+                                 ORDER BY idx), '') AS clean_text
+      FROM flag GROUP BY doc_id)
+    SELECT d.doc_id,
+           cast(coalesce(a.n_lines, 0) AS BIGINT) AS n_lines,
+           cast(coalesce(a.n_kept, 0) AS BIGINT) AS n_kept_lines,
+           cast(coalesce(a.n_sent, 0) AS BIGINT) AS n_sentences,
+           coalesce(a.has_lor, false) AS has_lorem_ipsum,
+           coalesce(a.has_br, false) AS has_brace,
+           (coalesce(a.n_kept, 0) >= 3 AND NOT coalesce(a.has_lor, false)
+            AND NOT coalesce(a.has_br, false)) AS keep,
+           coalesce(a.clean_text, '') AS clean_text
+    FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+    """,
+)
+def t_c4(spark: SparkSession, sf: str) -> DataFrame:
+    """C4-style page cleanup (Raffel et al., JMLR 2020 §2.2:
+    terminal-punctuation / min-words line rules, lorem-ipsum & curly-brace
+    & javascript drops, min-kept-lines page rule) via
+    textstats.c4_clean. The synthetic corpus has no newlines or
+    punctuation, so the contract instance builds deterministic "pages":
+    5-token segments with injected terminal punctuation keyed on
+    (doc_id + idx) % 3, plus a lorem-ipsum line on doc_id % 7 == 0 and a
+    code line on doc_id % 11 == 0 — both engines construct identical
+    pages (same pattern as t_clean_text's injected dirt). One
+    groupBy(doc_id); every rule is a scan-side expression."""
+    d = _t(spark, sf, "documents")
+    segs = D.token_segments(d, seg_tokens=5, n_partitions=_par(spark))
+    w = (F.col("id") + F.col("idx")) % 3
+    base = segs.select(
+        "id",
+        "idx",
+        F.concat(
+            F.col("seg_text"),
+            F.when(w == 0, F.lit("."))
+            .when(w == 1, F.lit("!"))
+            .otherwise(F.lit("")),
+        ).alias("line"),
+    )
+    ids = d.select(F.col("doc_id").alias("id"))
+    lorem = ids.filter(F.col("id") % 7 == 0).select(
+        "id",
+        F.lit(100000).cast("int").alias("idx"),
+        F.lit("lorem ipsum dolor sit amet.").alias("line"),
+    )
+    js = ids.filter(F.col("id") % 11 == 0).select(
+        "id",
+        F.lit(100001).cast("int").alias("idx"),
+        F.lit("function() { var x = 1; }").alias("line"),
+    )
+    out = T.c4_clean(
+        base.unionByName(lorem).unionByName(js), min_words=3, min_kept_lines=3
+    ).withColumnRenamed("id", "doc_id")
+    return d.select("doc_id").join(out, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_lines", F.lit(0)).cast("bigint").alias("n_lines"),
+        F.coalesce("n_kept_lines", F.lit(0)).cast("bigint").alias("n_kept_lines"),
+        F.coalesce("n_sentences", F.lit(0)).cast("bigint").alias("n_sentences"),
+        F.coalesce("has_lorem_ipsum", F.lit(False)).alias("has_lorem_ipsum"),
+        F.coalesce("has_brace", F.lit(False)).alias("has_brace"),
+        F.coalesce("keep", F.lit(False)).alias("keep"),
+        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+    )
+
+
+@query(
+    "t_dsir_importance",
+    f"""
+    WITH tok AS (SELECT doc_id, (lang = 'fr') AS tgt, unnest({_TOK_SQL}) AS tok
+                 FROM documents),
+    bk AS (SELECT doc_id, tgt,
+                  ({_HEX8.format(h="md5(concat('dsir:', tok))", p="1")}) % 64
+                    AS bucket
+           FROM tok),
+    c AS (SELECT bucket, cast(count(*) AS BIGINT) AS raw_c,
+                 cast(sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS BIGINT) AS tgt_c
+          FROM bk GROUP BY bucket),
+    tot AS (SELECT cast(sum(raw_c) AS BIGINT) AS raw_tot,
+                   cast(sum(tgt_c) AS BIGINT) AS tgt_tot FROM c),
+    r AS (SELECT bucket,
+                 cast((tgt_c + 1) * (raw_tot + 64) * 1000000
+                      // ((raw_c + 1) * (tgt_tot + 64)) AS BIGINT) AS ratio_ppm
+          FROM c CROSS JOIN tot),
+    d AS (SELECT doc_id, count(*) AS n_tokens, sum(ratio_ppm) AS importance_ppm
+          FROM bk JOIN r USING (bucket) GROUP BY doc_id)
+    SELECT doc_id, cast(n_tokens AS BIGINT) AS n_tokens,
+           cast(importance_ppm AS BIGINT) AS importance_ppm,
+           cast(importance_ppm // n_tokens AS BIGINT) AS avg_ppm,
+           (importance_ppm // n_tokens >= 1000000) AS keep
+    FROM d
+    """,
+)
+def t_dsir(spark: SparkSession, sf: str) -> DataFrame:
+    """DSIR importance resampling (Xie et al. NeurIPS 2023,
+    sampling.dsir_importance): hashed-unigram bucket ratios of a trusted
+    target sample (here lang='fr') vs the raw corpus, per-doc mean ratio
+    in exact integer parts-per-million (no float accumulation — the
+    oracle rule), keep = more-target-like-than-neutral. Plan: explode ->
+    two 64-key counts (map-side partial agg) -> B-row ratio table
+    broadcast onto the token stream -> one groupBy(doc)."""
+    from pdf_extractor_spark.operators.sampling import dsir_importance
+
+    d = _t(spark, sf, "documents")
+    return dsir_importance(
+        d.withColumn("_is_tgt", F.col("lang") == "fr"),
+        target_col="_is_tgt",
+        id_col="doc_id",
+        text_col="text",
+        n_buckets=64,
+        n_partitions=_par(spark),
+    )
+
+
+@query(
+    "d_semdedup",
+    """
+    WITH e2 AS (
+      SELECT vec_id, unnest(embedding)::DOUBLE AS v,
+             generate_subscripts(embedding, 1) AS d
+      FROM embeddings),
+    c0 AS (SELECT vec_id AS cluster, d, v AS cv FROM e2 WHERE vec_id < 4),
+    s1 AS (
+      SELECT e2.vec_id, c0.cluster,
+             round(sum(e2.v * c0.cv)
+                   / (sqrt(sum(e2.v * e2.v)) * sqrt(sum(c0.cv * c0.cv))), 6) AS sim
+      FROM e2 JOIN c0 USING (d) GROUP BY e2.vec_id, c0.cluster),
+    a1 AS (
+      SELECT vec_id,
+             -(max(struct_pack(s := sim, nc := -cluster)).nc) AS cluster
+      FROM s1 GROUP BY vec_id),
+    c1 AS (
+      SELECT a1.cluster, e2.d, avg(e2.v) AS cv
+      FROM a1 JOIN e2 ON a1.vec_id = e2.vec_id GROUP BY a1.cluster, e2.d),
+    c1f AS (
+      SELECT * FROM c1
+      UNION ALL
+      SELECT c0.cluster, c0.d, c0.cv FROM c0
+      WHERE c0.cluster NOT IN (SELECT DISTINCT cluster FROM c1)),
+    s2 AS (
+      SELECT e2.vec_id, c1f.cluster,
+             round(sum(e2.v * c1f.cv)
+                   / (sqrt(sum(e2.v * e2.v)) * sqrt(sum(c1f.cv * c1f.cv))), 6) AS sim
+      FROM e2 JOIN c1f USING (d) GROUP BY e2.vec_id, c1f.cluster),
+    a2 AS (
+      SELECT vec_id,
+             -(max(struct_pack(s := sim, nc := -cluster)).nc) AS cluster
+      FROM s2 GROUP BY vec_id),
+    cl AS (
+      SELECT a2.vec_id, cast(a2.cluster AS BIGINT) AS cluster,
+             e.embedding::DOUBLE[] AS v
+      FROM a2 JOIN embeddings e USING (vec_id)),
+    dropped AS (
+      SELECT DISTINCT x.vec_id
+      FROM cl x JOIN cl y ON x.cluster = y.cluster AND x.vec_id > y.vec_id
+      WHERE round(list_dot_product(x.v, y.v)
+                  / (sqrt(list_dot_product(x.v, x.v))
+                     * sqrt(list_dot_product(y.v, y.v))), 6) >= 0.35)
+    SELECT cl.vec_id, cl.cluster,
+           (cl.vec_id NOT IN (SELECT vec_id FROM dropped)) AS keep
+    FROM cl
+    """,
+)
+def d_semdedup_q(spark: SparkSession, sf: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, similarity.semdedup): deterministic
+    spherical k-means (k=4, 2 rounds — the oracle replays every
+    assign+mean step in SQL, same CTEs as e_kmeans_clusters), then within
+    each cluster drop every vector with a lower-id cosine neighbor at
+    >= tau, keeping one representative per semantic-duplicate chain.
+    tau=0.35 sits at the fixture corpus's observed cosine tail (random
+    synthetic vectors top out ~0.47; production embeddings use ~0.95).
+    Candidates-only pairwise: the cluster id is the blocking key."""
+    e = _t(spark, sf, "embeddings")
+    return S.semdedup(e, k=4, n_iter=2, threshold=0.35)

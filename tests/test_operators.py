@@ -869,3 +869,99 @@ def test_bloom_no_false_negatives_and_mergeable(spark):
     )
     full = {(r["word_idx"], r["word"]) for r in bloom.collect()}
     assert {(r["word_idx"], r["word"]) for r in merged.collect()} == full
+
+
+def test_c4_clean_line_and_page_rules(spark):
+    from pdf_extractor_spark.operators.textstats import c4_clean
+
+    rows = [
+        # doc 1: three good sentences -> kept page
+        (1, 0, "this is a good line."),
+        (1, 1, "another quite good line!"),
+        (1, 2, "a third proper sentence."),
+        (1, 3, "no terminal punctuation here"),   # dropped: no punct
+        (1, 4, "too short."),                      # dropped: < 3 words
+        # doc 2: lorem ipsum anywhere kills the page
+        (2, 0, "this is a good line."),
+        (2, 1, "second fine sentence here."),
+        (2, 2, "third fine sentence here."),
+        (2, 3, "lorem ipsum dolor sit amet."),
+        # doc 3: a brace line kills the page
+        (3, 0, "function() { var x = 1; }"),
+        (3, 1, "an otherwise fine sentence."),
+        # doc 4: only two kept lines -> below min_kept_lines
+        (4, 0, "one fine sentence right here."),
+        (4, 1, "two fine sentences right here."),
+    ]
+    out = {
+        r["id"]: r
+        for r in c4_clean(
+            spark.createDataFrame(rows, ["id", "idx", "line"]),
+            min_words=3,
+            min_kept_lines=3,
+        ).collect()
+    }
+    assert out[1]["keep"] and out[1]["n_kept_lines"] == 3
+    assert out[1]["n_lines"] == 5 and out[1]["n_sentences"] == 2
+    assert out[1]["clean_text"] == (
+        "this is a good line. another quite good line! "
+        "a third proper sentence."
+    )
+    assert not out[2]["keep"] and out[2]["has_lorem_ipsum"]
+    assert out[2]["n_kept_lines"] == 3  # line rules alone kept 3
+    assert not out[3]["keep"] and out[3]["has_brace"]
+    assert not out[4]["keep"] and out[4]["n_kept_lines"] == 2
+
+
+def test_dsir_importance_prefers_target_like_docs(spark):
+    from pdf_extractor_spark.operators.sampling import dsir_importance
+
+    # target docs speak pure "alpha"; half the raw corpus speaks "zeta".
+    # Texts are repeated 20x: the add-one smoothing over B=64 buckets
+    # swamps the signal when per-bucket counts are single digits.
+    rows = (
+        [(i, "alpha beta alpha beta alpha " * 20, True) for i in range(4)]
+        + [(10 + i, "alpha beta alpha beta gamma " * 20, False) for i in range(4)]
+        + [(20 + i, "zeta eta theta zeta eta " * 20, False) for i in range(4)]
+    )
+    df = spark.createDataFrame(rows, ["doc_id", "text", "is_tgt"])
+    out = {
+        r["doc_id"]: r
+        for r in dsir_importance(df, "is_tgt", n_partitions=4).collect()
+    }
+    assert all(out[i]["keep"] for i in range(4))          # the target itself
+    assert all(out[10 + i]["keep"] for i in range(4))     # target-like
+    assert not any(out[20 + i]["keep"] for i in range(4))  # off-target
+    assert all(out[i]["n_tokens"] == 100 for i in out)
+    # weights are exact integers: repartitioning cannot change them
+    out2 = {
+        r["doc_id"]: r["importance_ppm"]
+        for r in dsir_importance(
+            df.repartition(7), "is_tgt", n_partitions=1
+        ).collect()
+    }
+    assert out2 == {k: v["importance_ppm"] for k, v in out.items()}
+
+
+def test_semdedup_drops_higher_id_near_duplicates(spark):
+    from pdf_extractor_spark.operators.similarity import semdedup
+
+    base = [1.0, 0.0, 0.0, 0.0]
+    near = [0.99, 0.01, 0.0, 0.0]      # cosine ~0.9999 with base
+    ortho = [0.0, 1.0, 0.0, 0.0]
+    far = [0.0, 0.0, 1.0, 0.0]
+    rows = [
+        (0, base), (1, near), (2, [x * 2 for x in near]),  # dup chain
+        (3, ortho), (4, far), (5, [0.0, 0.0, 0.0, 1.0]),
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = {
+        r["vec_id"]: r
+        for r in semdedup(df, k=4, n_iter=2, threshold=0.95).collect()
+    }
+    assert len(out) == 6                       # every row comes back
+    assert out[0]["keep"]                      # lowest id of the chain
+    assert not out[1]["keep"] and not out[2]["keep"]
+    assert out[3]["keep"] and out[4]["keep"] and out[5]["keep"]
+    # co-clustered duplicates share the cluster id (blocking key is real)
+    assert out[0]["cluster"] == out[1]["cluster"] == out[2]["cluster"]
