@@ -3867,3 +3867,100 @@ def d_semdedup_q(spark: SparkSession, sf: str) -> DataFrame:
     Candidates-only pairwise: the cluster id is the blocking key."""
     e = _t(spark, sf, "embeddings")
     return S.semdedup(e, k=4, n_iter=2, threshold=0.35)
+
+
+@query(
+    "w_warc_codec",
+    r"""
+    WITH rec AS (
+      SELECT doc_id,
+             concat('https://docs.example/', cast(doc_id AS VARCHAR)) AS url,
+             strftime(TIMESTAMP '2024-01-01 00:00:00' + to_seconds(doc_id),
+                      '%Y-%m-%dT%H:%M:%SZ') AS wdate,
+             text,
+             strlen(text) AS plen
+      FROM documents),
+    http AS (
+      SELECT *,
+             concat('HTTP/1.1 200 OK', chr(13), chr(10),
+                    'Content-Type: text/plain', chr(13), chr(10),
+                    'Content-Length: ', cast(plen AS VARCHAR), chr(13), chr(10),
+                    chr(13), chr(10), text) AS http_part
+      FROM rec),
+    full_rec AS (
+      SELECT doc_id, url, plen,
+             concat('WARC/1.0', chr(13), chr(10),
+                    'WARC-Type: response', chr(13), chr(10),
+                    'WARC-Target-URI: ', url, chr(13), chr(10),
+                    'WARC-Date: ', wdate, chr(13), chr(10),
+                    'WARC-Record-ID: <urn:md5:',
+                    md5(concat(url, '|', wdate)), '>', chr(13), chr(10),
+                    'Content-Type: application/http; msgtype=response',
+                    chr(13), chr(10),
+                    'Content-Length: ', cast(strlen(http_part) AS VARCHAR),
+                    chr(13), chr(10), chr(13), chr(10),
+                    http_part, chr(13), chr(10), chr(13), chr(10)) AS record
+      FROM http)
+    SELECT doc_id, url, md5(record) AS record_md5,
+           cast(strlen(record) AS BIGINT) AS n_bytes,
+           true AS roundtrip_ok
+    FROM full_rec
+    """,
+)
+def w_warc_codec(spark: SparkSession, sf: str) -> DataFrame:
+    """WARC codec contract (sources/warc.py): every document's text is
+    serialized as a WARC/1.0 response record by the REAL python writer
+    (build_warc_response) and parsed back by the REAL parser (warc_rows)
+    inside mapInPandas; the query emits the record's md5 and the
+    roundtrip verdict, while the oracle reconstructs the exact record
+    bytes in SQL (CRLF framing, HTTP headers, Content-Length arithmetic,
+    md5 record id) and hashes them — a cross-engine, driver-gradeable
+    check that the codec's bytes are exactly the public WARC framing,
+    not just self-consistent."""
+    import hashlib as _hl
+    import pandas as _pd
+    from pdf_extractor_spark.sources import warc as W
+
+    base = __import__("datetime").datetime(2024, 1, 1)
+
+    def gen(batches):
+        for pdf in batches:
+            out = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                url = f"https://docs.example/{doc_id}"
+                date = base + __import__("datetime").timedelta(
+                    seconds=int(doc_id)
+                )
+                rec = W.build_warc_response(
+                    url, date, text.encode("utf-8"), "text/plain"
+                )
+                rows = list(W.warc_rows(rec))
+                ok = (
+                    len(rows) == 1
+                    and rows[0]["url"] == url
+                    and rows[0]["warc_ts"] == date
+                    and bytes(rows[0]["html"]) == text.encode("utf-8")
+                )
+                out.append(
+                    {
+                        "doc_id": int(doc_id),
+                        "url": url,
+                        "record_md5": _hl.md5(rec).hexdigest(),
+                        "n_bytes": len(rec),
+                        "roundtrip_ok": bool(ok),
+                    }
+                )
+            yield _pd.DataFrame(
+                out,
+                columns=[
+                    "doc_id", "url", "record_md5", "n_bytes", "roundtrip_ok",
+                ],
+            )
+
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    d = d.repartition(_par(spark), "doc_id")
+    return d.mapInPandas(
+        gen,
+        schema="doc_id bigint, url string, record_md5 string, "
+        "n_bytes bigint, roundtrip_ok boolean",
+    )

@@ -1,0 +1,93 @@
+"""WARC source: codec round-trips, robustness, Spark reader, e2e parity."""
+
+from __future__ import annotations
+
+import datetime
+
+from pdf_extractor_spark.sources import warc as W
+
+
+def _recs(n=5):
+    base = datetime.datetime(2024, 1, 1, 0, 0, 0)
+    return [
+        (
+            f"https://host{i}.example/page/{i}",
+            base + datetime.timedelta(seconds=i),
+            f"<html><body>payload {i}</body></html>".encode(),
+            "text/html",
+        )
+        for i in range(n)
+    ]
+
+
+def test_warc_roundtrip_plain_and_gzip():
+    recs = _recs()
+    for gz in (False, True):
+        data = W.build_warc(recs, gzip_members=gz, warcinfo_filename="t.warc")
+        rows = list(W.warc_rows(data))
+        assert [r["url"] for r in rows] == [r[0] for r in recs]
+        assert [r["warc_ts"] for r in rows] == [r[1] for r in recs]
+        assert [bytes(r["html"]) for r in rows] == [r[2] for r in recs]
+    # warcinfo record is present but skipped (response records only)
+    headers = [h for h, _ in W.iter_warc_records(data)]
+    assert headers[0]["warc-type"] == "warcinfo"
+    assert len(headers) == len(recs) + 1
+
+
+def test_warc_build_is_deterministic():
+    recs = _recs(3)
+    assert W.build_warc(recs) == W.build_warc(recs)
+
+
+def test_warc_payload_may_contain_crlf_and_binary():
+    payload = b"%PDF-1.4\r\n\r\nWARC/1.0\r\nbinary\x00bytes" + bytes(range(256))
+    date = datetime.datetime(2024, 6, 1)
+    data = W.build_warc(
+        [("https://x.example/a.pdf", date, payload, "application/pdf")]
+    )
+    rows = list(W.warc_rows(data))
+    assert len(rows) == 1 and bytes(rows[0]["html"]) == payload
+
+
+def test_warc_skips_garbage_and_truncation():
+    recs = _recs(4)
+    plain = W.build_warc(recs, gzip_members=False)
+    # garbage between records: everything still parses
+    noisy = plain.replace(b"WARC/1.0\r\nWARC-Type", b"junk\r\nWARC/1.0\r\nWARC-Type")
+    assert len(list(W.warc_rows(noisy))) == 4
+    # truncated final record: the complete prefix survives
+    assert len(list(W.warc_rows(plain[: len(plain) - 40]))) == 3
+    # corrupt gzip member ends iteration without raising
+    gz = W.build_warc(recs, gzip_members=True)
+    cut = gz[: len(gz) // 2] + b"\x00garbage"
+    rows = list(W.warc_rows(cut))
+    assert 0 <= len(rows) < 4
+
+
+def test_read_warc_spark_reader_and_extract_parity(spark, tmp_path):
+    from pdf_extractor_spark.extract.udfs import extract_one
+    from pdf_extractor_spark.fixtures.synth import make_document_row
+    from pdf_extractor_spark.pipeline import extract_documents
+
+    ids = list(range(24))  # includes doc 7 and 17: the PDF slots
+    d = tmp_path / "warcs"
+    d.mkdir()
+    (d / "part-0.warc.gz").write_bytes(W.synth_warc_archive(ids[:12]))
+    (d / "part-1.warc.gz").write_bytes(W.synth_warc_archive(ids[12:]))
+
+    df = W.read_warc(spark, str(d), glob="*.warc.gz", n_partitions=4)
+    rows = {r["url"]: r for r in df.collect()}
+    assert len(rows) == 24
+
+    extracted = {
+        r["url"]: r for r in extract_documents(df, n_partitions=4).collect()
+    }
+    for i in ids:
+        fixture = make_document_row(i)
+        got = rows[fixture["url"]]
+        assert bytes(got["html"]) == fixture["html"]  # byte-identical payload
+        assert got["warc_ts"] == fixture["warc_ts"].replace(tzinfo=None)
+        # end-to-end: extraction through the WARC path == the pure function
+        want_text, *_ = extract_one(fixture["html"])
+        assert extracted[fixture["url"]]["text"] == want_text
+        assert extracted[fixture["url"]]["ok"]
