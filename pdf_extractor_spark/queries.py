@@ -3964,3 +3964,75 @@ def w_warc_codec(spark: SparkSession, sf: str) -> DataFrame:
         schema="doc_id bigint, url string, record_md5 string, "
         "n_bytes bigint, roundtrip_ok boolean",
     )
+
+
+@query(
+    "u_robots_filter",
+    f"""
+    WITH raw AS (SELECT doc_id, {_MESSY_URL_SQL} AS url FROM documents),
+    up AS (
+      SELECT doc_id,
+             regexp_replace(
+               lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)),
+               ':[0-9]+$', '') AS host,
+             coalesce(nullif(regexp_extract(
+               url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1), ''), '/')
+               AS path
+      FROM raw),
+    rules AS (
+      SELECT concat('www.example', cast(k AS VARCHAR), '.com') AS host,
+             rule_type, pattern, anchored, body,
+             cast(strlen(body) AS INT) AS match_len
+      FROM (SELECT unnest(range(7)) AS k) hosts
+      CROSS JOIN (VALUES
+        ('disallow', '/Articles/1', false, '/Articles/1'),
+        ('allow',    '/Articles/13', false, '/Articles/13'),
+        ('disallow', '/Articles/4$', true, '/Articles/4'))
+        t(rule_type, pattern, anchored, body)
+      UNION ALL
+      SELECT 'www.example3.com', 'disallow', '/', false, '/', 1),
+    m AS (
+      SELECT up.doc_id, up.host, up.path, r.rule_type, r.pattern, r.match_len
+      FROM up LEFT JOIN rules r ON up.host = r.host
+        AND (CASE WHEN r.anchored THEN up.path = r.body
+                  ELSE starts_with(up.path, r.body) END)),
+    best AS (
+      SELECT doc_id, host, path,
+             max(CASE WHEN pattern IS NOT NULL THEN struct_pack(
+                   l := match_len,
+                   a := CASE WHEN rule_type = 'allow' THEN 1 ELSE 0 END,
+                   p := pattern) END) AS b
+      FROM m GROUP BY doc_id, host, path)
+    SELECT doc_id, host, path,
+           coalesce(b.a = 1, true) AS allowed,
+           b.p AS rule_pattern
+    FROM best
+    """,
+)
+def u_robots(spark: SparkSession, sf: str) -> DataFrame:
+    """robots.txt fetch-permission gate (RFC 9309, operators/robots.py):
+    longest-match precedence with allow-wins ties and $-anchored rules
+    over the messy-url corpus — rule 'disallow /Articles/1' prefix-blocks
+    1 and 10-19, 'allow /Articles/13' out-specifies it, the host-wide
+    'disallow /' on example3 is out-specified by any longer allow, and
+    '/Articles/4$' blocks exactly 4 but not 40-49. Rule side broadcasts;
+    the url side is scanned once (extract host/path -> broadcast join ->
+    per-id max-struct). The operator also supports '*' wildcards
+    (unit-tested); the contract rules stay wildcard-free so the oracle
+    is pure prefix SQL."""
+    from pdf_extractor_spark.operators.robots import robots_decisions
+
+    rules_rows = [
+        (f"www.example{k}.com", rt, pat)
+        for k in range(7)
+        for rt, pat in [
+            ("disallow", "/Articles/1"),
+            ("allow", "/Articles/13"),
+            ("disallow", "/Articles/4$"),
+        ]
+    ] + [("www.example3.com", "disallow", "/")]
+    rules = spark.createDataFrame(rules_rows, ["host", "rule_type", "pattern"])
+    pages = _t(spark, sf, "documents").select(
+        "doc_id", _messy_url_col().alias("url")
+    )
+    return robots_decisions(pages, rules)

@@ -965,3 +965,73 @@ def test_semdedup_drops_higher_id_near_duplicates(spark):
     assert out[3]["keep"] and out[4]["keep"] and out[5]["keep"]
     # co-clustered duplicates share the cluster id (blocking key is real)
     assert out[0]["cluster"] == out[1]["cluster"] == out[2]["cluster"]
+
+
+def test_robots_decisions_rfc9309_precedence(spark):
+    from pdf_extractor_spark.operators.robots import robots_decisions
+
+    rules = spark.createDataFrame(
+        [
+            ("a.example", "disallow", "/private"),
+            ("a.example", "allow", "/private/pub"),       # longer allow wins
+            ("a.example", "disallow", "/tmp$"),           # anchored
+            ("a.example", "disallow", "/dl/*.zip$"),      # wildcard + anchor
+            ("a.example", "allow", "/dup"),               # equal length:
+            ("a.example", "disallow", "/dup"),            #   allow wins tie
+            ("b.example", "disallow", "/"),               # block whole host
+        ],
+        ["host", "rule_type", "pattern"],
+    )
+    pages = spark.createDataFrame(
+        [
+            (0, "https://a.example/private/x"),        # disallow /private
+            (1, "https://a.example/private/pub/x"),    # allow (longest)
+            (2, "https://a.example/tmp"),              # anchored hit
+            (3, "https://a.example/tmp/file"),         # anchor misses
+            (4, "https://a.example/dl/big.zip"),       # wildcard hit
+            (5, "https://a.example/dl/big.zip.txt"),   # anchor misses
+            (6, "https://a.example/dup"),              # tie -> allow
+            (7, "https://a.example/other"),            # no rule -> allow
+            (8, "https://b.example/anything"),         # host-wide block
+            (9, "https://c.example/x"),                # unknown host -> allow
+            (10, "HTTPS://A.Example:443/private/y"),   # host normalization
+        ],
+        ["doc_id", "url"],
+    )
+    got = {
+        r["doc_id"]: r
+        for r in robots_decisions(pages, rules).collect()
+    }
+    want_allowed = {
+        0: False, 1: True, 2: False, 3: True, 4: False,
+        5: True, 6: True, 7: True, 8: False, 9: True, 10: False,
+    }
+    assert {k: v["allowed"] for k, v in got.items()} == want_allowed
+    assert got[1]["rule_pattern"] == "/private/pub"
+    assert got[4]["rule_pattern"] == "/dl/*.zip$"
+    assert got[7]["rule_pattern"] is None
+
+
+def test_parse_robots_txt_groups_and_fallback():
+    from pdf_extractor_spark.operators.robots import parse_robots_txt
+
+    body = """
+# comment
+User-agent: fancybot
+Disallow: /fancy
+
+User-agent: *
+User-agent: otherbot
+Disallow: /private
+Allow: /private/pub
+Disallow:
+
+User-agent: latebot
+Disallow: /late
+"""
+    assert parse_robots_txt(body, "fancybot") == [("disallow", "/fancy")]
+    star = parse_robots_txt(body, "nobody-special")
+    assert star == [("disallow", "/private"), ("allow", "/private/pub")]
+    assert parse_robots_txt(body, "otherbot") == star
+    assert parse_robots_txt(body, "latebot") == [("disallow", "/late")]
+    assert parse_robots_txt("", "x") == []
