@@ -687,6 +687,47 @@ def paragraph_dedup_stats(segs: DataFrame) -> DataFrame:
     )
 
 
+def paragraph_dedup_rewrite(segs: DataFrame, joiner: str = " ") -> DataFrame:
+    """Paragraph-level exact dedup REMOVAL (Lee et al. ACL 2022 applied,
+    not just counted): every segment occurrence that is not the
+    corpus-wide first occurrence of its content is CUT, and each document
+    is rebuilt from its surviving segments in original order — the
+    rewrite that shrinks a crawl corpus without dropping whole documents.
+
+    Returns (id, n_paragraphs, n_kept, clean_text). Plan: the same
+    md5-partitioned ranking window as ``paragraph_dedup_stats`` (uniform
+    key, linear in the hot-segment count), then one groupBy(id) whose
+    ordered rebuild collects only kept (idx, seg) structs — bounded by
+    document size, not corpus size."""
+    from pyspark.sql import Window
+
+    keyed = segs.withColumn("_h", F.md5(F.encode(F.col("seg_text"), "UTF-8")))
+    w = Window.partitionBy("_h").orderBy("id", "idx")
+    flag = keyed.withColumn("_rn", F.row_number().over(w))
+    agg = flag.groupBy("id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_paragraphs"),
+        F.sum(F.when(F.col("_rn") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_kept"),
+        F.array_sort(
+            F.collect_list(
+                F.when(
+                    F.col("_rn") == 1,
+                    F.struct(F.col("idx"), F.col("seg_text")),
+                )
+            )
+        ).alias("_kept"),
+    )
+    return agg.select(
+        "id",
+        "n_paragraphs",
+        "n_kept",
+        F.concat_ws(
+            joiner, F.transform(F.col("_kept"), lambda s: s.getField("seg_text"))
+        ).alias("clean_text"),
+    )
+
+
 def decontaminate(
     df: DataFrame,
     id_col: str = "doc_id",

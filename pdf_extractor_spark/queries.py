@@ -4036,3 +4036,177 @@ def u_robots(spark: SparkSession, sf: str) -> DataFrame:
         "doc_id", _messy_url_col().alias("url")
     )
     return robots_decisions(pages, rules)
+
+
+def _pr_iter_sql(i: int) -> str:
+    p = i - 1
+    return f"""
+    d{i} AS (SELECT coalesce(sum(CASE WHEN outdeg = 0 THEN rank END), 0)
+                    AS dang FROM r{p}),
+    c{i} AS (SELECT e.dst, sum(r.rank // r.outdeg) AS in_sum
+             FROM e JOIN r{p} r ON e.src = r.node GROUP BY e.dst),
+    r{i} AS (SELECT deg.node, deg.outdeg,
+                    (15 * (1000000000 // nn.n) // 100)
+                    + (85 * (coalesce(c{i}.in_sum, 0) + (d{i}.dang // nn.n)))
+                      // 100 AS rank
+             FROM deg LEFT JOIN c{i} ON deg.node = c{i}.dst
+             CROSS JOIN nn CROSS JOIN d{i})"""
+
+
+@query(
+    "g_host_pagerank",
+    f"""
+    WITH e0 AS (
+      SELECT doc_id % 20 AS src, (doc_id * 7 + 3) % 20 AS dst FROM documents
+      UNION ALL
+      SELECT doc_id % 20, (doc_id * 13 + 5) % 20 FROM documents),
+    e AS (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst),
+    nodes AS (SELECT DISTINCT node FROM
+              (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+    nn AS (SELECT count(*) AS n FROM nodes),
+    deg AS (SELECT node, coalesce(o.c, 0) AS outdeg
+            FROM nodes LEFT JOIN
+                 (SELECT src, count(*) AS c FROM e GROUP BY src) o
+                 ON node = o.src),
+    r0 AS (SELECT node, outdeg, (1000000000 // nn.n) AS rank
+           FROM deg CROSS JOIN nn),
+    {_pr_iter_sql(1)},
+    {_pr_iter_sql(2)},
+    {_pr_iter_sql(3)}
+    SELECT node AS host, cast(rank AS BIGINT) AS rank FROM r3
+    """,
+)
+def g_pagerank(spark: SparkSession, sf: str) -> DataFrame:
+    """Host-graph PageRank for crawl prioritization (operators/graph.py
+    pagerank_integer — Page et al. 1999; Common Crawl ships exactly such
+    host-rank files): 3 fixed-point iterations in integer rank units, so
+    dangling redistribution, damping and contributions are all exact
+    integer division — bit-identical at any partitioning, and the oracle
+    replays every iteration in SQL. Link edges are synthesized
+    deterministically from doc_ids (host h -> (7h+3)%20, (13h+5)%20
+    patterns). Per-iteration plan: edge-rank equi-join on src +
+    groupBy(dst) partial-agg sum + left join onto the node list; only the
+    one-row dangling scalar touches the driver."""
+    from pdf_extractor_spark.operators.graph import pagerank_integer
+
+    d = _t(spark, sf, "documents")
+    e = (
+        d.select(
+            (F.col("doc_id") % 20).alias("src"),
+            ((F.col("doc_id") * 7 + 3) % 20).alias("dst"),
+        )
+        .unionByName(
+            d.select(
+                (F.col("doc_id") % 20).alias("src"),
+                ((F.col("doc_id") * 13 + 5) % 20).alias("dst"),
+            )
+        )
+    )
+    return pagerank_integer(e, n_iter=3).select(
+        F.col("node").alias("host"), "rank"
+    )
+
+
+@query(
+    "t_ccnet_buckets",
+    """
+    WITH t AS (
+      SELECT doc_id,
+             unnest(list_transform(
+               range(1, greatest(length(text) - 2, 0) + 1),
+               i -> substring(lower(text), i, 3))) AS tri
+      FROM documents),
+    c AS (SELECT tri, count(*) AS c FROM t GROUP BY tri),
+    tot AS (SELECT cast(sum(c) AS BIGINT) AS total FROM c),
+    agg AS (SELECT doc_id, count(*) AS n_tri,
+                   cast(sum(c.c) AS BIGINT) AS familiarity
+            FROM t JOIN c USING (tri) GROUP BY doc_id),
+    typ AS (SELECT doc_id,
+                   round(familiarity / cast(n_tri AS DOUBLE)
+                         / cast(total AS DOUBLE), 12) AS typicality
+            FROM agg CROSS JOIN tot),
+    j AS (SELECT d.doc_id, d.lang, typ.typicality
+          FROM documents d JOIN typ USING (doc_id)),
+    th AS (SELECT lang,
+                  round(quantile_cont(typicality, 2.0/3), 12) AS t_hi,
+                  round(quantile_cont(typicality, 1.0/3), 12) AS t_lo
+           FROM j GROUP BY lang)
+    SELECT j.doc_id, j.lang, j.typicality,
+           CASE WHEN j.typicality >= th.t_hi THEN 'head'
+                WHEN j.typicality >= th.t_lo THEN 'middle'
+                ELSE 'tail' END AS bucket
+    FROM j JOIN th USING (lang)
+    """,
+)
+def t_ccnet(spark: SparkSession, sf: str) -> DataFrame:
+    """CCNet-style per-language head/middle/tail quality bucketing
+    (Wenzek et al. LREC 2020 §4.3: language-model score tertiles per
+    language decide which third of the corpus a doc sits in; training
+    recipes then keep head+middle). LM score = the repo's trigram
+    typicality (exact integer counts, two final IEEE divisions).
+    Thresholds are per-language exact tertiles computed in one tiny
+    groupBy (|langs| rows) and broadcast back onto the scan — bucketing
+    is a scan-side CASE, NOT an ntile window (a per-language window
+    serializes each language's stream; the threshold join is the
+    100-TB shape, and production swaps exact percentiles for
+    approx_percentile on a sample)."""
+    d = _t(spark, sf, "documents")
+    typ = T.trigram_typicality_df(d, n_partitions=_par(spark)).select(
+        "doc_id", "typicality"
+    )
+    j = d.select("doc_id", "lang").join(typ, "doc_id")
+    th = j.groupBy("lang").agg(
+        F.round(F.percentile("typicality", F.lit(2 / 3)), 12).alias("t_hi"),
+        F.round(F.percentile("typicality", F.lit(1 / 3)), 12).alias("t_lo"),
+    )
+    return j.join(F.broadcast(th), "lang").select(
+        "doc_id",
+        "lang",
+        "typicality",
+        F.when(F.col("typicality") >= F.col("t_hi"), F.lit("head"))
+        .when(F.col("typicality") >= F.col("t_lo"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("bucket"),
+    )
+
+
+@query(
+    "d_paragraph_dedup_rewrite",
+    f"""
+    WITH {_SEG3_SQL},
+    rn AS (
+      SELECT doc_id, idx, seg_text,
+             row_number() OVER (PARTITION BY md5(seg_text)
+                                ORDER BY doc_id, idx) AS rn
+      FROM seg),
+    agg AS (
+      SELECT doc_id, count(*) AS np,
+             sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS nk,
+             coalesce(string_agg(CASE WHEN rn = 1 THEN seg_text END, ' '
+                                 ORDER BY idx), '') AS clean_text
+      FROM rn GROUP BY doc_id)
+    SELECT d.doc_id,
+           cast(coalesce(a.np, 0) AS BIGINT) AS n_paragraphs,
+           cast(coalesce(a.nk, 0) AS BIGINT) AS n_kept,
+           coalesce(a.clean_text, '') AS clean_text
+    FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+    """,
+)
+def d_para_rewrite(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact-substring dedup applied as a REWRITE (dedup.py
+    paragraph_dedup_rewrite — Lee et al. ACL 2022): non-first occurrences
+    of every 3-token window are cut and documents rebuilt from the kept
+    segments in order; the removal counterpart of d_paragraph_dedup's
+    accounting. Same md5-partitioned ranking window + one groupBy(doc)
+    rebuild."""
+    segs = D.token_segments(
+        _t(spark, sf, "documents"), seg_tokens=3, n_partitions=_par(spark)
+    )
+    out = D.paragraph_dedup_rewrite(segs).withColumnRenamed("id", "doc_id")
+    d = _t(spark, sf, "documents").select("doc_id")
+    return d.join(out, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_paragraphs", F.lit(0)).cast("bigint").alias("n_paragraphs"),
+        F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
+        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+    )

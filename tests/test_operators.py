@@ -1035,3 +1035,83 @@ Disallow: /late
     assert parse_robots_txt(body, "otherbot") == star
     assert parse_robots_txt(body, "latebot") == [("disallow", "/late")]
     assert parse_robots_txt("", "x") == []
+
+
+def _pagerank_ref(edges, n_iter=3, scale=10**9, d=85):
+    src_out = {}
+    nodes = set()
+    e = sorted({(a, b) for a, b in edges if a != b})
+    for a, b in e:
+        nodes.add(a); nodes.add(b)
+        src_out[a] = src_out.get(a, 0) + 1
+    n = len(nodes)
+    init = scale // n
+    base = (100 - d) * init // 100
+    rank = {v: init for v in nodes}
+    for _ in range(n_iter):
+        dangling = sum(rank[v] for v in nodes if src_out.get(v, 0) == 0)
+        share = dangling // n
+        in_sum = {v: 0 for v in nodes}
+        for a, b in e:
+            in_sum[b] += rank[a] // src_out[a]
+        rank = {v: base + (d * (in_sum[v] + share)) // 100 for v in nodes}
+    return rank
+
+
+def test_pagerank_integer_matches_reference(spark):
+    from pdf_extractor_spark.operators.graph import pagerank_integer
+
+    edges = [
+        (1, 2), (2, 3), (3, 1),          # cycle
+        (4, 1), (4, 2), (4, 3),          # hub pointing in
+        (5, 4),                          # chain into the hub
+        (1, 6),                          # 6 is dangling (no out-edges)
+        (2, 3), (3, 3),                  # duplicate + self loop: dropped
+    ]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {
+        r["node"]: r["rank"]
+        for r in pagerank_integer(df, n_iter=3).collect()
+    }
+    want = _pagerank_ref(edges, n_iter=3)
+    assert got == want
+    # in-cycle nodes fed by the hub outrank the feeders
+    assert got[1] > got[5] and got[3] > got[4]
+    # partitioning cannot change integer arithmetic
+    got2 = {
+        r["node"]: r["rank"]
+        for r in pagerank_integer(df.repartition(7), n_iter=3).collect()
+    }
+    assert got2 == got
+
+
+def test_pagerank_integer_empty_graph(spark):
+    from pdf_extractor_spark.operators.graph import pagerank_integer
+
+    df = spark.createDataFrame([], "src long, dst long")
+    assert pagerank_integer(df).collect() == []
+
+
+def test_paragraph_dedup_rewrite_cuts_non_first_occurrences(spark):
+    segs = spark.createDataFrame(
+        [
+            (1, 0, "alpha beta gamma"),
+            (1, 1, "shared boiler plate"),
+            (1, 2, "delta epsilon zeta"),
+            (2, 0, "shared boiler plate"),   # dup of (1,1) -> cut
+            (2, 1, "unique second body"),
+            (2, 2, "shared boiler plate"),   # dup again -> cut
+            (3, 0, "shared boiler plate"),   # dup -> doc becomes empty
+        ],
+        ["id", "idx", "seg_text"],
+    )
+    out = {
+        r["id"]: r for r in D.paragraph_dedup_rewrite(segs).collect()
+    }
+    assert out[1]["clean_text"] == (
+        "alpha beta gamma shared boiler plate delta epsilon zeta"
+    )
+    assert out[1]["n_kept"] == 3
+    assert out[2]["clean_text"] == "unique second body"
+    assert out[2]["n_paragraphs"] == 3 and out[2]["n_kept"] == 1
+    assert out[3]["clean_text"] == "" and out[3]["n_kept"] == 0
