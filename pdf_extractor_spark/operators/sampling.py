@@ -375,3 +375,51 @@ def dsir_importance(
         avg.alias("avg_ppm"),
         (avg >= F.lit(scale_ppm)).alias("keep"),
     )
+
+
+def temperature_mix_sample(
+    df: DataFrame,
+    strata_col: str,
+    key_col: str,
+    alpha: float = 0.3,
+    salt: str = "tmix",
+) -> DataFrame:
+    """Temperature-based multilingual mixing (the alpha-sampling of
+    multilingual LM training — Lample & Conneau 2019 §3.1, mBERT/mT5
+    recipes; public method): target share q_l ∝ p_l^alpha flattens the
+    language distribution, and each stratum is DOWNSAMPLED toward its
+    target with the md5-keyed uniform (rates capped at 1 — no
+    upsampling; alpha=1 is a no-op, alpha→0 approaches uniform).
+
+    keep_rate_l = min(1, q_l · N / n_l),  q_l = p_l^alpha / Σ_m p_m^alpha
+
+    Rates are computed from exact counts and rounded to 6 dp before the
+    hash comparison so an external engine reproduces every keep decision.
+    Plan: one |strata|-row groupBy + broadcast rate join + scan-side
+    filter — same shape as ``target_mix_sample`` with the targets
+    computed instead of given.
+    """
+    counts = df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("_n"))
+    tot = counts.agg(
+        F.sum("_n").alias("_tot"),
+        F.sum(F.pow(F.col("_n").cast("double"), F.lit(alpha))).alias("_ps"),
+    )
+    # p_l^alpha / Σ p_m^alpha == n_l^alpha / Σ n_m^alpha (N^alpha cancels)
+    rates = counts.crossJoin(F.broadcast(tot)).select(
+        F.col(strata_col),
+        F.least(
+            F.lit(1.0),
+            F.round(
+                F.pow(F.col("_n").cast("double"), F.lit(alpha))
+                / F.col("_ps")
+                * F.col("_tot").cast("double")
+                / F.col("_n").cast("double"),
+                6,
+            ),
+        ).alias("_rate"),
+    )
+    return (
+        df.join(F.broadcast(rates), strata_col)
+        .filter(_hash_frac(F.col(key_col), salt) < F.col("_rate"))
+        .drop("_rate")
+    )

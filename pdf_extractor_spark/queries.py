@@ -4210,3 +4210,55 @@ def d_para_rewrite(spark: SparkSession, sf: str) -> DataFrame:
         F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
         F.coalesce("clean_text", F.lit("")).alias("clean_text"),
     )
+
+
+@query(
+    "t_temperature_mix",
+    f"""
+    WITH c AS (SELECT lang, cast(count(*) AS BIGINT) AS n
+               FROM documents GROUP BY lang),
+    t AS (SELECT cast(sum(n) AS BIGINT) AS tot, sum(power(n, 0.3)) AS ps
+          FROM c),
+    r AS (SELECT lang,
+                 least(1.0, round(power(c.n, 0.3) / t.ps * t.tot / c.n, 6))
+                   AS rate
+          FROM c CROSS JOIN t),
+    k AS (SELECT d.doc_id, d.lang, r.rate,
+                 md5(concat('tmix:', cast(d.doc_id AS VARCHAR))) AS hx
+          FROM documents d JOIN r USING (lang))
+    SELECT doc_id, lang, rate AS keep_rate FROM k
+    WHERE ({_HEX8.format(h="hx", p="1")}) / 4294967296.0 < rate
+    """,
+)
+def t_tmix(spark: SparkSession, sf: str) -> DataFrame:
+    """Temperature-based multilingual mixing (Lample & Conneau 2019 §3.1
+    alpha-sampling, sampling.temperature_mix_sample): keep rates
+    flatten the language distribution toward p^alpha (alpha=0.3,
+    downsample-only), realized with the md5-keyed uniform so every keep
+    decision is engine- and partitioning-reproducible. One |langs|-row
+    aggregate + broadcast rate join + scan-side filter."""
+    from pdf_extractor_spark.operators.sampling import temperature_mix_sample
+
+    d = _t(spark, sf, "documents").select("doc_id", "lang")
+    counts = d.groupBy("lang").agg(F.count(F.lit(1)).alias("_n"))
+    tot = counts.agg(
+        F.sum("_n").alias("_tot"),
+        F.sum(F.pow(F.col("_n").cast("double"), F.lit(0.3))).alias("_ps"),
+    )
+    rates = counts.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        F.least(
+            F.lit(1.0),
+            F.round(
+                F.pow(F.col("_n").cast("double"), F.lit(0.3))
+                / F.col("_ps")
+                * F.col("_tot").cast("double")
+                / F.col("_n").cast("double"),
+                6,
+            ),
+        ).alias("keep_rate"),
+    )
+    kept = temperature_mix_sample(d, "lang", "doc_id", alpha=0.3)
+    return kept.join(F.broadcast(rates), "lang").select(
+        "doc_id", "lang", "keep_rate"
+    )

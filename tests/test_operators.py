@@ -1115,3 +1115,23 @@ def test_paragraph_dedup_rewrite_cuts_non_first_occurrences(spark):
     assert out[2]["clean_text"] == "unique second body"
     assert out[2]["n_paragraphs"] == 3 and out[2]["n_kept"] == 1
     assert out[3]["clean_text"] == "" and out[3]["n_kept"] == 0
+
+
+def test_temperature_mix_flattens_and_alpha1_noop(spark):
+    from pdf_extractor_spark.operators.sampling import temperature_mix_sample
+
+    rows = [(i, "en" if i < 800 else ("fr" if i < 950 else "zh"))
+            for i in range(1000)]
+    df = spark.createDataFrame(rows, ["doc_id", "lang"])
+    # alpha=1 keeps everything (rates are exactly 1)
+    assert temperature_mix_sample(df, "lang", "doc_id", alpha=1.0).count() == 1000
+    kept = temperature_mix_sample(df, "lang", "doc_id", alpha=0.3)
+    by_lang = {r["lang"]: r["n"] for r in
+               kept.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    # low-resource strata are kept whole (rate capped at 1)
+    assert by_lang["zh"] == 50 and by_lang["fr"] == 150
+    # the dominant stratum is downsampled toward its flattened share
+    assert by_lang["en"] < 800
+    # flattening: en's kept share shrinks vs its raw share
+    total = sum(by_lang.values())
+    assert by_lang["en"] / total < 0.8
