@@ -4262,3 +4262,63 @@ def t_tmix(spark: SparkSession, sf: str) -> DataFrame:
     return kept.join(F.broadcast(rates), "lang").select(
         "doc_id", "lang", "keep_rate"
     )
+
+
+def _bpe_round_sql(i: int) -> str:
+    p = i - 1
+    return f"""
+    sy{i} AS (SELECT freq, string_split(trim(syms, '|'), '||') AS L
+              FROM w{p}),
+    pr{i} AS (SELECT freq, L[j] AS a, L[j + 1] AS b
+              FROM sy{i}, unnest(range(1, array_length(L))) AS t(j)
+              WHERE array_length(L) >= 2),
+    top{i} AS (SELECT a, b FROM
+               (SELECT a, b, sum(freq) AS cnt FROM pr{i} GROUP BY a, b)
+               ORDER BY cnt DESC, a, b LIMIT 1),
+    w{i} AS (SELECT word, freq,
+                    replace(syms, '|' || t.a || '||' || t.b || '|',
+                            '|' || t.a || t.b || '|') AS syms
+             FROM w{p} CROSS JOIN top{i} t)"""
+
+
+@query(
+    "m_bpe_train",
+    f"""
+    WITH wf AS (
+      SELECT tok AS word, cast(count(*) AS BIGINT) AS freq
+      FROM (SELECT unnest({_TOK_SQL}) AS tok FROM documents)
+      GROUP BY tok),
+    w0 AS (
+      SELECT word, freq,
+             '||' || array_to_string(
+               list_concat(
+                 list_transform(range(1, length(word) + 1),
+                                i -> substring(word, i, 1)),
+                 ['_']), '||') || '||' AS syms
+      FROM wf),
+    {_bpe_round_sql(1)},
+    {_bpe_round_sql(2)},
+    {_bpe_round_sql(3)}
+    SELECT word, freq, syms,
+           cast(array_length(string_split(trim(syms, '|'), '||')) AS INT)
+             AS n_syms
+    FROM w3
+    """,
+)
+def m_bpe(spark: SparkSession, sf: str) -> DataFrame:
+    """Distributed BPE merge training (Sennrich et al. ACL 2016,
+    operators/bpe.py): 3 merge rounds over the corpus word-frequency
+    table. Symbol strings are ||-delimited so greedy left-to-right merge
+    application is a plain string replace — replayed VERBATIM by the
+    oracle, which re-learns every round's argmax pair in SQL (ties on
+    freq DESC, pair ASC). Per round: one explode + pair-count groupBy
+    (map-side partial agg) + a 1-row argmax (the kmeans-centroid scalar
+    class) + a scan-side replace; the word table stays distributed
+    (millions of rows at web scale)."""
+    from pdf_extractor_spark.operators.bpe import bpe_train, word_frequencies
+
+    wf = word_frequencies(
+        _t(spark, sf, "documents"), n_partitions=_par(spark)
+    )
+    out, _merges = bpe_train(wf, n_merges=3)
+    return out

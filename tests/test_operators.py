@@ -1135,3 +1135,66 @@ def test_temperature_mix_flattens_and_alpha1_noop(spark):
     # flattening: en's kept share shrinks vs its raw share
     total = sum(by_lang.values())
     assert by_lang["en"] / total < 0.8
+
+
+def _bpe_ref(word_freq, n_merges):
+    """Greedy BPE (Sennrich 2016) reference: dict word->freq in, the merge
+    list and final symbol tuples out."""
+    vocab = {tuple(w) + ("_",): f for w, f in word_freq.items()}
+    merges = []
+    for _ in range(n_merges):
+        counts = {}
+        for syms, f in vocab.items():
+            for i in range(len(syms) - 1):
+                counts[(syms[i], syms[i + 1])] = counts.get(
+                    (syms[i], syms[i + 1]), 0) + f
+        if not counts:
+            break
+        best = max(counts.items(), key=lambda kv: (kv[1], [-ord(c) for c in kv[0][0]], [-ord(c) for c in kv[0][1]]))
+        # tie-break: max count, then lexicographically SMALLEST (a, b)
+        top_cnt = max(counts.values())
+        best = min(p for p, c in counts.items() if c == top_cnt)
+        merges.append(best)
+        a, b = best
+        new_vocab = {}
+        for syms, f in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b); i += 2
+                else:
+                    out.append(syms[i]); i += 1
+            new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + f
+        vocab = new_vocab
+    return merges, vocab
+
+
+def test_bpe_train_matches_reference(spark):
+    from pdf_extractor_spark.operators.bpe import bpe_train
+
+    wf = {"lower": 5, "lowest": 2, "newer": 6, "wider": 3, "low": 7}
+    df = spark.createDataFrame(list(wf.items()), ["word", "freq"])
+    out, merges = bpe_train(df, n_merges=5)
+    want_merges, want_vocab = _bpe_ref(wf, 5)
+    assert merges == want_merges
+    got = {r["word"]: tuple(r["syms"].strip("|").split("||"))
+           for r in out.collect()}
+    # rebuild the reference per-word symbolization for comparison
+    ref_words = {}
+    for w, f in wf.items():
+        syms = tuple(w) + ("_",)
+        for a, b in want_merges:
+            o, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    o.append(a + b); i += 2
+                else:
+                    o.append(syms[i]); i += 1
+            syms = tuple(o)
+        ref_words[w] = syms
+    assert got == ref_words
+    # greedy left-to-right on repeats: 'aaaa' under merge (a,a) -> aa|aa
+    df2 = spark.createDataFrame([("aaaa", 10)], ["word", "freq"])
+    out2, merges2 = bpe_train(df2, n_merges=1)
+    assert merges2 == [("a", "a")]
+    assert out2.first()["syms"] == "||aa||aa||_||"
