@@ -4322,3 +4322,67 @@ def m_bpe(spark: SparkSession, sf: str) -> DataFrame:
     )
     out, _merges = bpe_train(wf, n_merges=3)
     return out
+
+
+@query(
+    "t_quality_classifier",
+    f"""
+    WITH q AS (
+      SELECT doc_id, length(text) AS n_chars,
+             round(cast(length(text) AS DOUBLE)
+                   / greatest(CASE WHEN length(trim(text)) = 0 THEN 0
+                        ELSE array_length(regexp_split_to_array(trim(text), '\\s+')) END, 1), 4)
+               AS mean_word_len
+      FROM documents),
+    tok AS (SELECT doc_id, unnest({_TOK_SQL}) AS tok FROM documents),
+    c AS (SELECT doc_id, tok, count(*) AS c FROM tok GROUP BY doc_id, tok),
+    rep AS (
+      SELECT doc_id,
+             round(count(*) / sum(c), 6) AS distinct_token_frac,
+             round(max(c) / sum(c), 6) AS top_token_frac
+      FROM c GROUP BY doc_id),
+    f AS (SELECT q.doc_id,
+                 least(q.n_chars, 2000) / 2000.0 AS f_len,
+                 rep.distinct_token_frac AS f_dis,
+                 rep.top_token_frac AS f_top,
+                 q.mean_word_len AS f_wl
+          FROM q JOIN rep ON q.doc_id = rep.doc_id)
+    SELECT doc_id,
+           round(-1.2 + 0.8 * f_len + 2.0 * f_dis - 3.0 * f_top
+                 + 0.05 * f_wl, 6) AS margin,
+           (round(-1.2 + 0.8 * f_len + 2.0 * f_dis - 3.0 * f_top
+                  + 0.05 * f_wl, 6) > 0) AS keep
+    FROM f
+    """,
+)
+def t_qclf(spark: SparkSession, sf: str) -> DataFrame:
+    """Classifier-based quality filtering (the GPT-3/WebText recipe —
+    Brown et al. 2020 Appendix A: score every page with a trained quality
+    classifier, keep high-margin docs): linear-model INFERENCE as a
+    scan-side expression over the engine's feature columns (length
+    saturation, distinct/top token fractions, mean word length). Weights
+    here are fixed documented stand-ins for trained coefficients — the
+    pipeline shape (features -> margin -> keep, no UDF, no shuffle
+    beyond the feature aggregate) is what carries to 100 TB. The margin
+    expression is written in the same left-associated order in both
+    engines, so the rounded outputs are bit-equal."""
+    d = _t(spark, sf, "documents")
+    feats = T.quality_features(F.col("text"))
+    proj = d.select(
+        "doc_id",
+        feats["n_chars"].alias("n_chars"),
+        feats["mean_word_len"].alias("mean_word_len"),
+    )
+    rep = T.repetition_stats(
+        d, "doc_id", "text", n_partitions=_par(spark)
+    ).select("doc_id", "distinct_token_frac", "top_token_frac")
+    f = proj.join(rep, "doc_id")
+    margin = F.round(
+        F.lit(-1.2)
+        + F.lit(0.8) * (F.least(F.col("n_chars"), F.lit(2000)) / F.lit(2000.0))
+        + F.lit(2.0) * F.col("distinct_token_frac")
+        - F.lit(3.0) * F.col("top_token_frac")
+        + F.lit(0.05) * F.col("mean_word_len"),
+        6,
+    )
+    return f.select("doc_id", margin.alias("margin"), (margin > 0).alias("keep"))
