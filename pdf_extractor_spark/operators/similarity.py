@@ -330,11 +330,23 @@ def semdedup(
     keep/drop set — are bit-stable across engines and partitionings.
 
     Plan shape: the k-means rounds (one codegen scoring projection + one
-    groupBy-avg per round), one join to re-attach vectors, then a
-    cluster-key self-equi-join with exact cosine on co-clustered pairs
-    only — the same candidates-only discipline as minhash_lsh_pairs /
-    cosine_near_dup_pairs, with ``cluster`` as the blocking key. The
-    pairwise step is quadratic PER CLUSTER; the published design holds
+    groupBy-avg per round), a ``localCheckpoint`` of the tiny (id, cluster)
+    assignment (it is consumed three times — without the barrier the whole
+    k-means plan re-executes per use), one join to re-attach vectors, then
+    a SALTED cluster-key self-equi-join with exact cosine on co-clustered
+    pairs only — the same candidates-only discipline as minhash_lsh_pairs /
+    cosine_near_dup_pairs, with ``cluster`` as the blocking key. The salt
+    matters because ``cluster`` has only k distinct values: an unsalted join
+    caps post-shuffle parallelism at k tasks. Side A takes
+    ``shard = pmod(hash(id), S)``, side B replicates S ways, the join key
+    becomes (cluster, shard) → k·S-way parallelism for the quadratic
+    scoring stage, identical pair set. The S× replication of B is dwarfed
+    by the m²/2 pair output whenever cluster size m ≫ S. Per-row norms are
+    computed ONCE and carried through the join (norm(a)·norm(b) per pair
+    would triple the interpreted higher-order-function work — HOF lambdas
+    are CodegenFallback).
+
+    The pairwise step is quadratic PER CLUSTER; the published design holds
     per-cluster size bounded by scaling k with N (SemDeDup uses ~50k
     clusters for LAION-440M), and a degenerate hot cluster can be capped
     with the same broadcast anti-join guard as dedup.minhash_lsh_pairs'
@@ -342,31 +354,48 @@ def semdedup(
 
     Returns (id_col, cluster, keep) for every input row.
     """
-    clusters = kmeans_iterations(
+    asg = kmeans_iterations(
         df, k=k, n_iter=n_iter, id_col=id_col, vec_col=vec_col
+    ).localCheckpoint()
+    shards = max(2, df.sparkSession.sparkContext.defaultParallelism)
+    vecs = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("_v"),
+        norm(F.col(vec_col)).alias("_n"),
     )
-    vecs = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("_v"))
-    cl = clusters.join(vecs, "id")
+    cl = asg.join(vecs, "id")
     a = cl.select(
-        F.col("id").alias("id_a"), F.col("cluster"), F.col("_v").alias("_va")
+        F.col("id").alias("id_a"),
+        F.col("cluster"),
+        F.col("_v").alias("_va"),
+        F.col("_n").alias("_na"),
+        F.pmod(F.xxhash64(F.col("id")), F.lit(shards)).alias("_shard"),
     )
     b = cl.select(
         F.col("id").alias("id_b"),
         F.col("cluster").alias("_cb"),
         F.col("_v").alias("_vb"),
+        F.col("_n").alias("_nb"),
+    ).withColumn(
+        "_shardb", F.explode(F.sequence(F.lit(0), F.lit(shards - 1)))
+    )
+    denom = F.col("_na") * F.col("_nb")
+    pair_cos = F.when(denom == 0, F.lit(0.0)).otherwise(
+        dot(F.col("_va"), F.col("_vb")) / denom
     )
     dropped = (
         a.join(
             b,
             (F.col("cluster") == F.col("_cb"))
+            & (F.col("_shard") == F.col("_shardb"))
             & (F.col("id_a") > F.col("id_b")),
         )
-        .filter(F.round(cosine(F.col("_va"), F.col("_vb")), 6) >= threshold)
+        .filter(F.round(pair_cos, 6) >= threshold)
         .select(F.col("id_a").alias("id"))
         .distinct()
         .withColumn("_dup", F.lit(True))
     )
-    return cl.join(dropped, "id", "left").select(
+    return asg.join(dropped, "id", "left").select(
         F.col("id").alias(id_col),
         F.col("cluster").cast("bigint").alias("cluster"),
         F.coalesce(~F.col("_dup"), F.lit(True)).alias("keep"),
