@@ -39,17 +39,30 @@ def word_tokens(col: Column) -> Column:
 
 
 def shingles_from_tokens(toks: Column, n: int = 3) -> Column:
-    """n-gram shingles from an ALREADY-MATERIALIZED token array column.
+    """n-gram shingles from a token array column.
 
-    Pass an attribute here in staged pipelines: if ``toks`` is a full
-    expression tree, the slice lambda re-evaluates it per element — O(n²)
-    in document length.
+    Inlining-proof form: ``zip_with`` over ``n`` shifted ``slice``s — each
+    slice evaluates ``toks`` once per ROW, then element iteration runs on
+    the materialized arrays. The previous index-lambda form
+    (``transform(sequence, i -> concat_ws(' ', slice(toks, i, n)))``)
+    re-evaluated ``toks`` per ELEMENT whenever Catalyst inlined it — and
+    Catalyst always does for the ``size(...) > 0`` filter that
+    InferFiltersFromGenerate plants under every explode and predicate
+    pushdown drags through the staging exchange into the scan stage —
+    making that filter O(len²) per document on the scan's single-split
+    parallelism (see textstats.char_trigrams_from_chars for the measured
+    trigram case).
     """
-    return F.when(F.size(toks) < n, F.array().cast("array<string>")).otherwise(
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
-            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    m = F.size(toks) - (n - 1)
+    acc = F.slice(toks, 1, m)
+    for j in range(1, n):
+        acc = F.zip_with(
+            acc,
+            F.slice(toks, 1 + j, m),
+            lambda a, b: F.concat(a, F.lit(" "), b),
         )
+    return F.when(F.size(toks) < n, F.array().cast("array<string>")).otherwise(
+        acc
     )
 
 
