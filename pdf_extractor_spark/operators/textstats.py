@@ -360,9 +360,15 @@ def trigram_typicality_df(
     )
     if n_partitions:
         staged = staged.repartition(n_partitions, "id")
+    # explode the expression INLINE (one select): exploding a separately
+    # projected attribute lets InferFiltersFromGenerate plant a size()>0
+    # filter on the attribute that predicate pushdown then re-inlines below
+    # the exchange — a duplicate evaluation of the whole trigram build in
+    # the scan stage (the rule skips non-attribute generator children)
     tri = staged.select(
-        "id", char_trigrams_from_chars(F.col("_ch")).alias("_tri")
-    ).select("id", F.explode("_tri").alias("tri"))
+        "id",
+        F.explode(char_trigrams_from_chars(F.col("_ch"))).alias("tri"),
+    )
     pairs = tri.groupBy("tri", "id").agg(F.count(F.lit(1)).alias("no"))
     cnt = pairs.groupBy("tri").agg(F.sum("no").alias("c"))
     # total trigram occurrences == sum over docs of max(len-2, 0): a pure
