@@ -1000,8 +1000,19 @@ def connected_components_star(
         # LAZY checkpoint: _sig is the round's single action and it
         # materializes the checkpoint as a side effect — one scheduled job
         # per round instead of two (the r2 profile showed per-round job
-        # scheduling, not compute, dominating CC wall time at sf0.1)
-        e = _small_star(_large_star(e)).localCheckpoint(eager=False)
+        # scheduling, not compute, dominating CC wall time at sf0.1).
+        # The edge set only shrinks, and _sig hands us its exact count for
+        # free — size the checkpointed RDD to the data (~50k edges per
+        # partition, floor 1) so late rounds don't relaunch
+        # defaultParallelism near-empty tasks per stage. At 100 TB counts
+        # stay large and the coalesce is a no-op; coalesce never
+        # increases partition count and never shuffles.
+        parts = max(1, int(prev[0]) // 50_000 + 1)
+        e = (
+            _small_star(_large_star(e))
+            .coalesce(parts)
+            .localCheckpoint(eager=False)
+        )
         cur = _sig(e)
         if cur == prev:
             break
