@@ -293,18 +293,27 @@ def cosine_near_dup_pairs(
     """
     dim_row = df.select(F.size(F.col(vec_col)).alias("d")).first()
     planes = hyperplanes(n_planes, dim_row["d"])
+    # norm computed ONCE per row and carried through the join — norm(a) *
+    # norm(b) per candidate pair would triple the interpreted
+    # higher-order-function work (HOF lambdas are CodegenFallback); same
+    # arithmetic, bit-identical quotient
     keyed = df.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
+        norm(F.col(vec_col)).alias("n"),
         srp_bucket(F.col(vec_col), planes).alias("bucket"),
     )
     a, b = keyed.alias("a"), keyed.alias("b")
+    denom = F.col("a.n") * F.col("b.n")
+    pair_cos = F.when(denom == 0, F.lit(0.0)).otherwise(
+        dot(F.col("a.v"), F.col("b.v")) / denom
+    )
     return (
         a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id")))
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            F.round(cosine(F.col("a.v"), F.col("b.v")), 6).alias("cosine_sim"),
+            F.round(pair_cos, 6).alias("cosine_sim"),
         )
         .filter(F.col("cosine_sim") >= threshold)
     )
