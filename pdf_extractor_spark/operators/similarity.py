@@ -326,6 +326,7 @@ def semdedup(
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    shards: int | None = None,
 ) -> DataFrame:
     """SemDeDup semantic deduplication (Abbas et al. 2023, arXiv:2303.09540
     — public method, from scratch): k-means-cluster the embedding space,
@@ -366,7 +367,10 @@ def semdedup(
     asg = kmeans_iterations(
         df, k=k, n_iter=n_iter, id_col=id_col, vec_col=vec_col
     ).localCheckpoint()
-    shards = max(2, df.sparkSession.sparkContext.defaultParallelism)
+    # the salt spreads work only — the pair set, and therefore the output,
+    # is invariant to the shard count (tested at shards=2 vs 7)
+    if shards is None:
+        shards = max(2, df.sparkSession.sparkContext.defaultParallelism)
     vecs = df.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("_v"),

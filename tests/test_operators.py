@@ -967,6 +967,23 @@ def test_semdedup_drops_higher_id_near_duplicates(spark):
     assert out[0]["cluster"] == out[1]["cluster"] == out[2]["cluster"]
 
 
+def test_semdedup_invariant_to_shard_count(spark):
+    """The salted pair join spreads work only: the keep/drop set must be
+    identical at any shard count (the driver's session and bench sessions
+    run different defaultParallelism)."""
+    from pdf_extractor_spark.operators.similarity import semdedup
+
+    df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    a = sorted(
+        map(tuple, semdedup(df, k=4, n_iter=2, threshold=0.35, shards=2).collect())
+    )
+    b = sorted(
+        map(tuple, semdedup(df, k=4, n_iter=2, threshold=0.35, shards=7).collect())
+    )
+    assert a == b
+    assert len(a) == df.count()
+
+
 def test_robots_decisions_rfc9309_precedence(spark):
     from pdf_extractor_spark.operators.robots import robots_decisions
 
