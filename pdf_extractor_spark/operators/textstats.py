@@ -189,16 +189,15 @@ def winnow_fingerprints_df(
     )
     if n_partitions is None:
         n_partitions = df.sparkSession.sparkContext.defaultParallelism
-    staged = df.select(F.col(id_col), norm.alias("_n")).repartition(
-        n_partitions, id_col
-    )
-    n = F.length("_n")
-    # guard against the descending sequence(1, 0): short/empty docs emit NO
-    # k-grams (matches the oracle's end-exclusive range semantics)
-    gram_idx = F.when(
-        n >= k, F.sequence(F.lit(1), n - (k - 1))
-    ).otherwise(F.array().cast("array<int>"))
-    grams = F.transform(gram_idx, lambda i: F.substring(F.col("_n"), i, F.lit(k)))
+    staged = df.select(
+        F.col(id_col), F.split(norm, "").alias("_ch")
+    ).repartition(n_partitions, id_col)
+    # k-grams from the staged char array: substring(_n, i, k) per element
+    # would byte-scan the UTF8String to char offset i — O(len²) per doc —
+    # and sequence(1, 0) on short docs is DESCENDING; char_ngrams_from_chars
+    # is linear and emits the empty array below k chars (matching the
+    # oracle's end-exclusive range semantics)
+    grams = char_ngrams_from_chars(F.col("_ch"), k)
     md4 = F.transform(grams, lambda g: F.substring(F.md5(g), 1, 4))
     hex_pos = "0123456789abcdef"
     hashes = F.transform(
@@ -312,14 +311,22 @@ def char_trigrams_from_chars(ch: Column) -> Column:
     per input split); this form stays O(n). Measured on the sf0.1
     corpus: 9.1s -> 0.7s for the trigram-count pipeline.
     """
+    return char_ngrams_from_chars(ch, 3)
+
+
+def char_ngrams_from_chars(ch: Column, k: int) -> Column:
+    """Overlapping character k-grams from a per-character array — the
+    general form of ``char_trigrams_from_chars`` (same linearity argument:
+    ``zip_with`` over k shifted ``slice``s, no index lambda, no O(i)
+    ``substring`` seek). Empty array below k chars."""
     n = F.size(ch)
-    pair = F.zip_with(
-        F.slice(ch, 1, n - 2), F.slice(ch, 2, n - 2), lambda a, b: F.concat(a, b)
-    )
-    tri = F.zip_with(
-        pair, F.slice(ch, 3, n - 2), lambda a, b: F.concat(a, b)
-    )
-    return F.when(n >= 3, tri).otherwise(F.array().cast("array<string>"))
+    m = n - (k - 1)
+    acc = F.slice(ch, 1, m)
+    for j in range(1, k):
+        acc = F.zip_with(
+            acc, F.slice(ch, 1 + j, m), lambda a, b: F.concat(a, b)
+        )
+    return F.when(n >= k, acc).otherwise(F.array().cast("array<string>"))
 
 
 def trigram_typicality_df(
