@@ -4386,3 +4386,82 @@ def t_qclf(spark: SparkSession, sf: str) -> DataFrame:
         6,
     )
     return f.select("doc_id", margin.alias("margin"), (margin > 0).alias("keep"))
+
+
+@query(
+    "m_bpe_encode",
+    f"""
+    WITH wf AS (
+      SELECT tok AS word, cast(count(*) AS BIGINT) AS freq
+      FROM (SELECT unnest({_TOK_SQL}) AS tok FROM documents)
+      GROUP BY tok),
+    w0 AS (
+      SELECT word, freq,
+             '||' || array_to_string(
+               list_concat(
+                 list_transform(range(1, length(word) + 1),
+                                i -> substring(word, i, 1)),
+                 ['_']), '||') || '||' AS syms
+      FROM wf),
+    {_bpe_round_sql(1)},
+    {_bpe_round_sql(2)},
+    {_bpe_round_sql(3)},
+    v AS (SELECT word,
+                 cast(array_length(string_split(trim(syms, '|'), '||'))
+                      AS BIGINT) AS n_syms
+          FROM w3),
+    tok AS (SELECT doc_id, unnest({_TOK_SQL}) AS tok FROM documents),
+    agg AS (SELECT tok.doc_id,
+                   cast(count(*) AS BIGINT) AS n_words,
+                   cast(sum(v.n_syms) AS BIGINT) AS n_bpe_tokens
+            FROM tok JOIN v ON tok.tok = v.word
+            GROUP BY tok.doc_id)
+    SELECT d.doc_id,
+           cast(coalesce(a.n_words, 0) AS BIGINT) AS n_words,
+           cast(coalesce(a.n_bpe_tokens, 0) AS BIGINT) AS n_bpe_tokens
+    FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+    """,
+)
+def m_bpe_encode(spark: SparkSession, sf: str) -> DataFrame:
+    """Tokenizer APPLICATION — the other half of m_bpe_train's story and
+    the number a mixture planner actually budgets with: per-document
+    token counts under the corpus-trained BPE (Sennrich et al. ACL 2016).
+    Scale shape: merges are learned on (and applied to) the DISTINCT WORD
+    table — vocab-bounded, it never grows with corpus size — then the
+    per-word symbol count joins back to the token stream BROADCAST, one
+    groupBy(doc) with map-side partial agg. The corpus is never re-parsed
+    per merge round; no UDF anywhere. The oracle re-learns the merges and
+    re-encodes in SQL (same CTEs as m_bpe_train), so the per-doc counts
+    are cross-engine exact."""
+    from pdf_extractor_spark.operators.bpe import bpe_train, word_frequencies
+
+    d = _t(spark, sf, "documents")
+    wf = word_frequencies(d, n_partitions=_par(spark))
+    trained, _merges = bpe_train(wf, n_merges=3)
+    vocab = trained.select(
+        "word", F.col("n_syms").cast("long").alias("n_syms")
+    )
+    toks = (
+        d.select("doc_id", D.word_tokens(F.col("text")).alias("_t"))
+        .repartition(_par(spark), "doc_id")
+        .select("doc_id", F.explode("_t").alias("word"))
+    )
+    agg = (
+        toks.join(F.broadcast(vocab), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum("n_syms").cast("long").alias("n_bpe_tokens"),
+        )
+    )
+    return (
+        d.select("doc_id")
+        .join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_words", F.lit(0)).cast("long").alias("n_words"),
+            F.coalesce("n_bpe_tokens", F.lit(0))
+            .cast("long")
+            .alias("n_bpe_tokens"),
+        )
+    )
