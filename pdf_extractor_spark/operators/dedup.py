@@ -1033,3 +1033,86 @@ def connected_components_star(
         "node", F.col("node").alias("comp")
     )
     return labels.union(roots)
+
+
+def duplicate_token_spans(
+    df: DataFrame,
+    min_tokens: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """ExactSubstr-style duplicate span detection (Lee et al., ACL 2022,
+    "Deduplicating Training Data Makes Language Models Better" — public
+    method, from scratch): every maximal token span covered by
+    ``min_tokens``-token windows whose content appears MORE THAN ONCE in
+    the corpus (cross- or within-document). The reference method suffix-
+    arrays the whole corpus; the Spark-native equivalent is window-hash
+    blocking — identical guarantees at window granularity: any duplicated
+    substring of >= min_tokens tokens is covered by at least one
+    duplicated window, and the emitted span is the union of its
+    overlapping/adjacent duplicated windows.
+
+    Plan shape: inlining-proof shingle build behind a repartition barrier
+    -> posexplode -> groupBy(md5) dup filter (map-side partial agg; the
+    dup-key table is duplicate-density-sized) -> equi-join back ->
+    per-DOC gaps-and-islands interval merge (two window functions
+    partitioned by doc id — bounded by document length, never by corpus
+    size) -> one groupBy(doc, island). All integer/md5 arithmetic —
+    bit-stable across engines and partitionings.
+
+    Returns (id_col, span_start, span_end, span_tokens, n_windows), one
+    row per maximal duplicated span; token positions are 0-based and
+    end-inclusive.
+    """
+    from pyspark.sql import Window
+
+    staged = df.select(
+        F.col(id_col).alias("id"), word_tokens(F.col(text_col)).alias("_t")
+    )
+    if n_partitions:
+        staged = staged.repartition(n_partitions, "id")
+    win = staged.select(
+        "id",
+        F.posexplode(shingles_from_tokens(F.col("_t"), min_tokens)).alias(
+            "pos", "sh"
+        ),
+    ).select("id", "pos", F.md5(F.col("sh")).alias("h"))
+    dup_h = (
+        win.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= 2)
+        .select("h")
+    )
+    marked = win.join(dup_h, "h").select("id", "pos")
+    w_order = Window.partitionBy("id").orderBy("pos")
+    prev_max_end = F.max(F.col("pos") + F.lit(min_tokens - 1)).over(
+        w_order.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    # a window starts a new island unless it overlaps or is adjacent to
+    # the covered region so far (pos <= prev_end + 1)
+    island_start = F.when(
+        F.col("pos") > F.coalesce(prev_max_end, F.lit(-2)) + 1, 1
+    ).otherwise(0)
+    islands = marked.select(
+        "id", "pos", F.sum(island_start).over(w_order).alias("island")
+    )
+    return (
+        islands.groupBy("id", "island")
+        .agg(
+            F.min("pos").cast("long").alias("span_start"),
+            (F.max("pos") + F.lit(min_tokens - 1))
+            .cast("long")
+            .alias("span_end"),
+            F.count(F.lit(1)).cast("long").alias("n_windows"),
+        )
+        .select(
+            F.col("id").alias(id_col),
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start") + 1).alias(
+                "span_tokens"
+            ),
+            "n_windows",
+        )
+    )

@@ -4465,3 +4465,54 @@ def m_bpe_encode(spark: SparkSession, sf: str) -> DataFrame:
             .alias("n_bpe_tokens"),
         )
     )
+
+
+@query(
+    "d_exact_substr_spans",
+    f"""
+    WITH tok AS (SELECT doc_id, {_TOK_SQL} AS t FROM documents),
+    meta AS (SELECT doc_id, t, array_length(t) AS n FROM tok),
+    win AS (
+      SELECT doc_id, cast(i - 1 AS BIGINT) AS pos,
+             md5(array_to_string(list_slice(t, i, i + 4), ' ')) AS h
+      FROM (SELECT doc_id, t, n,
+                   unnest(range(1, greatest(n - 4, 0) + 1)) AS i
+            FROM meta)),
+    dup AS (SELECT h FROM win GROUP BY h HAVING count(*) >= 2),
+    m AS (SELECT doc_id, pos FROM win JOIN dup USING (h)),
+    isl AS (
+      SELECT doc_id, pos,
+             CASE WHEN pos > coalesce(
+                    max(pos + 4) OVER (PARTITION BY doc_id ORDER BY pos
+                                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND 1 PRECEDING),
+                    -2) + 1
+                  THEN 1 ELSE 0 END AS st
+      FROM m),
+    g AS (SELECT doc_id, pos,
+                 sum(st) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+          FROM isl)
+    SELECT doc_id,
+           cast(min(pos) AS BIGINT) AS span_start,
+           cast(max(pos) + 4 AS BIGINT) AS span_end,
+           cast(max(pos) + 4 - min(pos) + 1 AS BIGINT) AS span_tokens,
+           cast(count(*) AS BIGINT) AS n_windows
+    FROM g GROUP BY doc_id, island
+    """,
+)
+def d_exact_substr(spark: SparkSession, sf: str) -> DataFrame:
+    """ExactSubstr-style duplicate token spans (Lee et al. ACL 2022,
+    dedup.duplicate_token_spans): maximal spans covered by 5-token
+    windows whose content repeats anywhere in the corpus — the
+    span-granular counterpart of d_paragraph_dedup (fixed segments) and
+    d_winnow_shared_pairs (sampled fingerprints). Window-hash blocking
+    replaces the paper's suffix array: any duplicated run of >= 5 tokens
+    is covered by a duplicated window, and overlapping/adjacent windows
+    merge into one span via a per-document gaps-and-islands interval
+    merge (two doc-partitioned window functions, bounded by document
+    length — never corpus size)."""
+    from pdf_extractor_spark.operators.dedup import duplicate_token_spans
+
+    return duplicate_token_spans(
+        _t(spark, sf, "documents"), min_tokens=5, n_partitions=_par(spark)
+    )

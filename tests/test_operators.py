@@ -984,6 +984,40 @@ def test_semdedup_invariant_to_shard_count(spark):
     assert len(a) == df.count()
 
 
+def test_duplicate_token_spans_exact_substr(spark):
+    """Two docs sharing a 7-token run (W=5) must each report ONE maximal
+    span of exactly those 7 tokens; unique text reports nothing; a
+    within-doc repeat also counts as duplicated."""
+    from pdf_extractor_spark.operators.dedup import duplicate_token_spans
+
+    shared = "alpha bravo charlie delta echo foxtrot golf"  # 7 tokens
+    rows = [
+        (1, "unique one text here nothing repeats at all " + shared),
+        (2, shared + " tail words differ completely here my friend"),
+        (3, "totally unrelated content with no duplicated runs inside it"),
+        # within-doc: the same 5-token run twice, separated by a unique word
+        (4, "red green blue cyan magenta STOP red green blue cyan magenta"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = duplicate_token_spans(df, min_tokens=5).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # doc 1: shared run is tokens 8..14 (8 lead tokens); one span, 7 tokens
+    (s1,) = by_doc[1]
+    assert (s1["span_start"], s1["span_end"], s1["span_tokens"]) == (8, 14, 7)
+    # doc 2: shared run at the front, tokens 0..6
+    (s2,) = by_doc[2]
+    assert (s2["span_start"], s2["span_end"], s2["span_tokens"]) == (0, 6, 7)
+    assert 3 not in by_doc
+    # doc 4: both copies of the 5-token run are duplicated windows;
+    # lowercase run is 'red green blue cyan magenta' at 0..4 and 6..10 —
+    # adjacent-merge rule (gap of one unique token 'stop' at 5) keeps them
+    # separate only if pos 6 > prev_end+1 = 5... pos 6 > 5 so two spans
+    spans4 = sorted((r["span_start"], r["span_end"]) for r in by_doc[4])
+    assert spans4 == [(0, 4), (6, 10)]
+
+
 def test_robots_decisions_rfc9309_precedence(spark):
     from pdf_extractor_spark.operators.robots import robots_decisions
 
