@@ -1116,3 +1116,106 @@ def duplicate_token_spans(
             "n_windows",
         )
     )
+
+
+def exact_substr_rewrite(
+    df: DataFrame,
+    min_tokens: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """ExactSubstr dedup as a REWRITE (Lee et al., ACL 2022): the tokens
+    covered by NON-FIRST occurrences of duplicated ``min_tokens``-token
+    windows are cut and each document is rebuilt from its kept tokens in
+    order. The first occurrence corpus-wide — min (doc_id, pos) as a
+    struct minimum, the deterministic tie rule — keeps its text, so the
+    corpus retains exactly one copy of every duplicated run.
+
+    Plan shape: the window-hash stage of ``duplicate_token_spans``, a
+    first-occurrence struct-min per hash (one groupBy on md5 keys), the
+    same per-doc gaps-and-islands merge over CUT windows only, removal
+    positions exploded per span (bounded by document length), and one
+    anti-join + ordered rebuild per doc (sort_array of (pos, token)
+    structs in-group — bounded by page size, the paragraph-rewrite
+    pattern). All integer/md5/struct-min arithmetic, bit-stable across
+    engines.
+
+    Returns (id_col, n_tokens, n_removed, clean_text) for every input row.
+    """
+    from pyspark.sql import Window
+
+    staged = df.select(
+        F.col(id_col).alias("id"), word_tokens(F.col(text_col)).alias("_t")
+    )
+    if n_partitions:
+        staged = staged.repartition(n_partitions, "id")
+    win = staged.select(
+        "id",
+        F.posexplode(shingles_from_tokens(F.col("_t"), min_tokens)).alias(
+            "pos", "sh"
+        ),
+    ).select("id", "pos", F.md5(F.col("sh")).alias("h"))
+    firsts = win.groupBy("h").agg(
+        F.count(F.lit(1)).alias("c"),
+        F.min(F.struct(F.col("id"), F.col("pos"))).alias("first"),
+    )
+    cut = (
+        win.join(firsts, "h")
+        .filter(
+            (F.col("c") >= 2)
+            & ~(
+                (F.col("id") == F.col("first.id"))
+                & (F.col("pos") == F.col("first.pos"))
+            )
+        )
+        .select("id", "pos")
+    )
+    w_order = Window.partitionBy("id").orderBy("pos")
+    prev_max_end = F.max(F.col("pos") + F.lit(min_tokens - 1)).over(
+        w_order.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    island_start = F.when(
+        F.col("pos") > F.coalesce(prev_max_end, F.lit(-2)) + 1, 1
+    ).otherwise(0)
+    spans = (
+        cut.select(
+            "id", "pos", F.sum(island_start).over(w_order).alias("island")
+        )
+        .groupBy("id", "island")
+        .agg(
+            F.min("pos").alias("s"),
+            (F.max("pos") + F.lit(min_tokens - 1)).alias("e"),
+        )
+    )
+    removed = spans.select(
+        "id", F.explode(F.sequence(F.col("s"), F.col("e"))).alias("pos")
+    )
+    toks = staged.select(
+        "id", F.posexplode(F.col("_t")).alias("pos", "tok")
+    )
+    kept = toks.join(removed, ["id", "pos"], "left_anti")
+    agg = kept.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("pos"), F.col("tok")))
+                ),
+                lambda st: st.getField("tok"),
+            ),
+        ).alias("clean_text"),
+    )
+    return (
+        staged.select("id", F.size("_t").cast("long").alias("n_tokens"))
+        .join(agg, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            "n_tokens",
+            (F.col("n_tokens") - F.coalesce(F.col("n_kept"), F.lit(0)))
+            .cast("long")
+            .alias("n_removed"),
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+        )
+    )

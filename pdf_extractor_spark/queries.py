@@ -4516,3 +4516,72 @@ def d_exact_substr(spark: SparkSession, sf: str) -> DataFrame:
     return duplicate_token_spans(
         _t(spark, sf, "documents"), min_tokens=5, n_partitions=_par(spark)
     )
+
+
+@query(
+    "d_exact_substr_rewrite",
+    f"""
+    WITH tok AS (SELECT doc_id, {_TOK_SQL} AS t FROM documents),
+    meta AS (SELECT doc_id, t, array_length(t) AS n FROM tok),
+    win AS (
+      SELECT doc_id, cast(i - 1 AS BIGINT) AS pos,
+             md5(array_to_string(list_slice(t, i, i + 4), ' ')) AS h
+      FROM (SELECT doc_id, t, n,
+                   unnest(range(1, greatest(n - 4, 0) + 1)) AS i
+            FROM meta)),
+    f AS (SELECT h, count(*) AS c,
+                 min(struct_pack(d := doc_id, p := pos)) AS first
+          FROM win GROUP BY h),
+    cut AS (
+      SELECT w.doc_id, w.pos
+      FROM win w JOIN f USING (h)
+      WHERE f.c >= 2
+        AND NOT (w.doc_id = f.first.d AND w.pos = f.first.p)),
+    isl AS (
+      SELECT doc_id, pos,
+             CASE WHEN pos > coalesce(
+                    max(pos + 4) OVER (PARTITION BY doc_id ORDER BY pos
+                                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND 1 PRECEDING),
+                    -2) + 1
+                  THEN 1 ELSE 0 END AS st
+      FROM cut),
+    g AS (SELECT doc_id, pos,
+                 sum(st) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+          FROM isl),
+    spans AS (SELECT doc_id, min(pos) AS s, max(pos) + 4 AS e
+              FROM g GROUP BY doc_id, island),
+    rem AS (SELECT doc_id, unnest(range(s, e + 1)) AS pos FROM spans),
+    toks AS (SELECT doc_id, cast(i - 1 AS BIGINT) AS pos, t[i] AS tokn
+             FROM (SELECT doc_id, t,
+                          unnest(range(1, array_length(t) + 1)) AS i
+                   FROM tok)),
+    kept AS (
+      SELECT toks.doc_id, toks.pos, toks.tokn
+      FROM toks
+      WHERE NOT EXISTS (SELECT 1 FROM rem
+                        WHERE rem.doc_id = toks.doc_id
+                          AND rem.pos = toks.pos)),
+    agg AS (SELECT doc_id, count(*) AS n_kept,
+                   string_agg(tokn, ' ' ORDER BY pos) AS clean_text
+            FROM kept GROUP BY doc_id)
+    SELECT m.doc_id,
+           cast(m.n AS BIGINT) AS n_tokens,
+           cast(m.n - coalesce(a.n_kept, 0) AS BIGINT) AS n_removed,
+           coalesce(a.clean_text, '') AS clean_text
+    FROM meta m LEFT JOIN agg a ON m.doc_id = a.doc_id
+    """,
+)
+def d_exact_substr_rw(spark: SparkSession, sf: str) -> DataFrame:
+    """ExactSubstr dedup applied as a rewrite (Lee et al. ACL 2022,
+    dedup.exact_substr_rewrite): non-first occurrences of every
+    duplicated 5-token window are cut (first = corpus-wide struct-min of
+    (doc_id, pos) — the deterministic tie rule) and documents are rebuilt
+    from their kept tokens in order; the removal counterpart of
+    d_exact_substr_spans, exactly as d_paragraph_dedup_rewrite is to
+    d_paragraph_dedup."""
+    from pdf_extractor_spark.operators.dedup import exact_substr_rewrite
+
+    return exact_substr_rewrite(
+        _t(spark, sf, "documents"), min_tokens=5, n_partitions=_par(spark)
+    )

@@ -1018,6 +1018,28 @@ def test_duplicate_token_spans_exact_substr(spark):
     assert spans4 == [(0, 4), (6, 10)]
 
 
+def test_exact_substr_rewrite_keeps_first_occurrence(spark):
+    from pdf_extractor_spark.operators.dedup import exact_substr_rewrite
+
+    shared = "alpha bravo charlie delta echo foxtrot golf"  # 7 tokens
+    rows = [
+        (1, "unique one text here nothing repeats at all " + shared),
+        (2, shared + " tail words differ completely here my friend"),
+        (4, "red green blue cyan magenta stop red green blue cyan magenta"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in exact_substr_rewrite(df, min_tokens=5).collect()}
+    # doc 1 holds the corpus-wide first occurrence (min (doc_id, pos)) -> intact
+    assert out[1]["n_removed"] == 0
+    assert out[1]["clean_text"].endswith(shared)
+    # doc 2 loses exactly the 7 shared tokens, keeps its tail in order
+    assert out[2]["n_removed"] == 7
+    assert out[2]["clean_text"] == "tail words differ completely here my friend"
+    # doc 4: second copy of the 5-token run cut, first copy + separator kept
+    assert out[4]["n_removed"] == 5
+    assert out[4]["clean_text"] == "red green blue cyan magenta stop"
+
+
 def test_robots_decisions_rfc9309_precedence(spark):
     from pdf_extractor_spark.operators.robots import robots_decisions
 
