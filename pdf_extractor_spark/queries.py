@@ -4585,3 +4585,37 @@ def d_exact_substr_rw(spark: SparkSession, sf: str) -> DataFrame:
     return exact_substr_rewrite(
         _t(spark, sf, "documents"), min_tokens=5, n_partitions=_par(spark)
     )
+
+
+@query(
+    "s_first_event_per_key",
+    """
+    SELECT user_id, event_type,
+           (min(struct_pack(t := ts, e := event_id, v := value)).e)
+             AS first_event_id,
+           strftime((min(struct_pack(t := ts, e := event_id, v := value)).t),
+                    '%Y-%m-%d %H:%M:%S') AS first_ts,
+           round((min(struct_pack(t := ts, e := event_id, v := value)).v), 2)
+             AS first_value,
+           count(*) AS n_events
+    FROM events GROUP BY user_id, event_type
+    """,
+)
+def s_first_event(spark: SparkSession, sf: str) -> DataFrame:
+    """First event per (user, type) — the batch twin of the streaming
+    dedup operator (streaming/dedup.py dedup_stream): one groupBy with a
+    struct-min over (ts, event_id, value), the deterministic tie rule
+    (min_by tie order is undefined; the struct minimum is total). The
+    streaming equivalence — dropDuplicatesWithinWatermark keeping the
+    same key set across micro-batch boundaries — is asserted in
+    tests/test_streaming.py."""
+    e = _t(spark, sf, "events")
+    first = F.min(F.struct(F.col("ts"), F.col("event_id"), F.col("value")))
+    return e.groupBy("user_id", "event_type").agg(
+        first.getField("event_id").alias("first_event_id"),
+        F.date_format(first.getField("ts"), "yyyy-MM-dd HH:mm:ss").alias(
+            "first_ts"
+        ),
+        F.round(first.getField("value"), 2).alias("first_value"),
+        F.count(F.lit(1)).alias("n_events"),
+    )

@@ -226,3 +226,49 @@ def test_stream_extract_exactly_once_per_url(spark, tmp_path):
     goldens = {r["url"]: extract_one(r["html"])[0] for r in corpus}
     got = {r["url"]: r["text"] for r in done2.select("url", "text").collect()}
     assert got == goldens
+
+
+def test_stream_dedup_within_watermark_matches_batch(spark, tmp_path):
+    """At-least-once re-deliveries (identical rows re-sent in a later
+    micro-batch) are dropped by dedup_stream; the kept row set equals the
+    batch dropDuplicates result. maxFilesPerTrigger=1 forces the overlap
+    into a DIFFERENT micro-batch, so the state store (not batch-local
+    dedup) must do the work."""
+    from pdf_extractor_spark.streaming.dedup import dedup_stream
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    events = _events(spark)
+    first = events.filter(F.col("event_id") < 100)
+    redelivered = events.filter(
+        (F.col("event_id") >= 50) & (F.col("event_id") < 150)
+    )
+    first.coalesce(1).write.mode("overwrite").parquet(src)
+    redelivered.coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = (
+        dedup_stream(stream, key_cols=("event_id",), watermark_delay="1 hour")
+        .writeStream.format("memory")
+        .queryName("dedup_sink")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        map(tuple, spark.sql("select * from dedup_sink").collect())
+    )
+    want = sorted(
+        map(
+            tuple,
+            first.unionByName(redelivered).dropDuplicates(["event_id"]).collect(),
+        )
+    )
+    assert got == want
+    assert len(got) == 150  # 0..149 exactly once
