@@ -33,7 +33,9 @@ Supported PDF subset (documented per SURVEY.md §7 "hard parts"):
     by the gutter in line x-starts.
 
 Out of scope (returns best-effort text): font programs (glyph outlines),
-rotated text matrices, encrypted files.
+rotated text matrices. Encrypted files (/Encrypt in the trailer) raise
+``EncryptedPdfError`` instead of emitting ciphertext-garbage "text" — the
+extraction UDF maps that to an ok=false error row.
 
 Pure function: output depends only on input bytes — byte-identical across
 partitionings.
@@ -1091,6 +1093,17 @@ def _split_blocks(
     return blocks
 
 
+class EncryptedPdfError(ValueError):
+    """Raised for PDFs whose trailer declares /Encrypt: their content
+    streams are RC4/AES ciphertext, and "best-effort" extraction would
+    silently emit garbage text into a training corpus. The extraction UDF
+    turns this into an ok=false error row (extract/udfs.py extract_one),
+    the honest crawl-pipeline behavior when no decryption keys exist."""
+
+
+_ENCRYPT_RE = re.compile(rb"/Encrypt\s+(?:\d+\s+\d+\s+R|<<)")
+
+
 def extract_pdf_one(payload: bytes) -> tuple[str, list[tuple[int, int]], int]:
     """bytes -> (main text, spans into the decoded run sequence, n_blocks).
 
@@ -1098,6 +1111,8 @@ def extract_pdf_one(payload: bytes) -> tuple[str, list[tuple[int, int]], int]:
     texts in content-stream order; each output block maps to the (merged)
     source segments of its runs in reading order.
     """
+    if _ENCRYPT_RE.search(payload):
+        raise EncryptedPdfError("encrypted PDF (/Encrypt in trailer)")
     objects = _resolve_objects(payload)
 
     # page objects in document order; fall back to "any stream containing BT"

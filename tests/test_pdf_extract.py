@@ -722,3 +722,30 @@ def test_xref_stream_corrupt_chain_falls_back_to_scan():
     )
     text, spans, n = extract_pdf_one(broken)
     assert "text body" in text  # still extracts (stale generation is fine)
+
+
+def test_encrypted_pdf_raises_and_maps_to_error_row():
+    """A PDF declaring /Encrypt must not emit ciphertext garbage as text:
+    the parser raises EncryptedPdfError and the dispatch UDF converts it
+    to an ok=false error row (the M2 path)."""
+    from pdf_extractor_spark.extract.pdf_parser import (
+        EncryptedPdfError,
+        extract_pdf_one,
+    )
+    from pdf_extractor_spark.extract.udfs import extract_one
+
+    plain = make_pdf([[(72, 700, "hello world")]])
+    # splice an /Encrypt reference into the trailer dictionary
+    assert b"trailer" in plain
+    enc = plain.replace(b"trailer\n<<", b"trailer\n<< /Encrypt 9 0 R ", 1)
+    assert enc != plain
+
+    import pytest as _pytest
+
+    with _pytest.raises(EncryptedPdfError):
+        extract_pdf_one(enc)
+    text, spans, n, kind, ok, err = extract_one(enc)
+    assert not ok and kind == "error" and "EncryptedPdfError" in err
+    assert text == "" and spans == [] and n == 0
+    # the unmodified file still parses
+    assert extract_pdf_one(plain)[0] == "hello world"
