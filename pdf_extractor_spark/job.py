@@ -6,7 +6,8 @@ Replaces the reference CLI (reference main.py:160-904 ``extract``/``batch``):
     spark-submit --py-files pdf_extractor_spark.zip pdf_extractor_spark/job.py \
         --input /path/to/documents_parquet --output /path/to/extracted_table \
         [--partitions 64] [--no-resume] [--synth N] [--repair ROUNDS] \
-        [--min-content-chars N] [--max-link-density F]
+        [--min-content-chars N] [--max-link-density F] \
+        [--curate [--rates '{"en": 0.5}']]
 
 ``--synth N`` generates the deterministic fixture corpus in-flight instead of
 reading an input table (for smoke runs and benchmarks; FIXTURES.md §1).
@@ -34,6 +35,16 @@ def main(argv: list[str] | None = None) -> int:
         "--repair", type=int, default=None, metavar="ROUNDS",
         help="repair mode (V7): re-extract committed ok=false rows for up to "
         "ROUNDS rounds instead of running a fresh extraction pass",
+    )
+    ap.add_argument(
+        "--curate", action="store_true",
+        help="curation mode: gopher filter -> exact-dup keep-first -> "
+        "deterministic sampling -> partitioned corpus write (input must "
+        "be documents-shaped: doc_id, text, lang)",
+    )
+    ap.add_argument(
+        "--rates", default=None, metavar="JSON",
+        help="curation per-stratum keep rates, e.g. '{\"en\": 0.5}'",
     )
     ap.add_argument(
         "--min-content-chars", type=int, default=None,
@@ -71,6 +82,31 @@ def main(argv: list[str] | None = None) -> int:
 
     spark = build_session(app_name="extract-job", master=args.master)
     try:
+        if args.curate:
+            from pdf_extractor_spark.curate import run_curation_job
+
+            if args.synth:
+                from pdf_extractor_spark.fixtures.synth import synth_corpus
+
+                doc_rows = [
+                    (i, r["text"], r["lang"])
+                    for i, r in enumerate(synth_corpus(args.synth))
+                ]
+                cdf = spark.createDataFrame(
+                    doc_rows, "doc_id long, text string, lang string"
+                )
+            else:
+                cdf = spark.read.parquet(args.input)
+            rates = json.loads(args.rates) if args.rates else None
+            metrics = run_curation_job(
+                spark,
+                cdf,
+                args.output,
+                rates=rates,
+                n_partitions=args.partitions,
+            )
+            print(json.dumps(metrics))
+            return 0
         if args.synth:
             from pdf_extractor_spark.fixtures.synth import synth_corpus
 

@@ -252,3 +252,53 @@ def test_curated_sink_keeps_exactly_the_contract_query_rows(spark, tmp_path):
     import os
 
     assert any(d.startswith("lang=") for d in os.listdir(path))
+
+
+def test_curation_job_stage_accounting_and_keep_set(spark, tmp_path):
+    """The --curate job surface: written rows must equal the independent
+    composition of the oracle-checked contract operators (gopher keep ∩
+    first-copy-per-exact-hash among survivors ∩ sampling keep), and the
+    single-aggregation stage metrics must count exactly those sets."""
+    import hashlib
+
+    from pdf_extractor_spark.curate import run_curation_job
+    from pdf_extractor_spark.queries import all_queries
+    from pdf_extractor_spark.sources.sinks import curate_corpus
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    qs = all_queries()
+    gopher = {
+        r["doc_id"]
+        for r in qs["t_gopher_filter"](spark, sf).collect()
+        if r["keep"]
+    }
+    by_doc = {
+        r["doc_id"]: r["text"] for r in docs.select("doc_id", "text").collect()
+    }
+    firsts = {}
+    for doc_id in sorted(gopher):
+        h = hashlib.md5(by_doc[doc_id].encode()).hexdigest()
+        firsts.setdefault(h, doc_id)
+    first_ids = set(firsts.values())
+    sampled = {
+        r["doc_id"]
+        for r in curate_corpus(
+            docs, rates={"en": 0.1, "de": 0.4}, default_rate=0.8
+        ).select("doc_id").collect()
+    }
+    expected = gopher & first_ids & sampled
+    assert expected  # non-trivial
+
+    out = str(tmp_path / "curated_job")
+    metrics = run_curation_job(
+        spark, docs, out, rates={"en": 0.1, "de": 0.4}, default_rate=0.8
+    )
+    written = {
+        r["doc_id"] for r in spark.read.parquet(out).select("doc_id").collect()
+    }
+    assert written == expected
+    assert metrics["rows_in"] == docs.count()
+    assert metrics["after_filter"] == len(gopher)
+    assert metrics["after_dedup"] == len(gopher & first_ids)
+    assert metrics["written"] == len(expected)
