@@ -4619,3 +4619,99 @@ def s_first_event(spark: SparkSession, sf: str) -> DataFrame:
         F.round(first.getField("value"), 2).alias("first_value"),
         F.count(F.lit(1)).alias("n_events"),
     )
+
+
+@query(
+    "w_cdx_index",
+    r"""
+    WITH rec AS (
+      SELECT doc_id,
+             concat('https://WWW.Docs.Example/', cast(doc_id AS VARCHAR))
+               AS url,
+             strftime(TIMESTAMP '2024-01-01 00:00:00' + to_seconds(doc_id),
+                      '%Y%m%d%H%M%S') AS ts14,
+             md5(text) AS digest,
+             strlen(text) AS len
+      FROM documents),
+    surt AS (
+      SELECT doc_id, url, ts14, digest, len,
+             regexp_replace(lower(url), '^[a-z][a-z0-9+.-]*://', '') AS ns
+      FROM rec),
+    key AS (
+      SELECT doc_id, url, ts14, digest, len,
+             concat(
+               array_to_string(
+                 list_reverse(string_split(
+                   regexp_replace(regexp_extract(ns, '^([^/]+)', 1),
+                                  '^www\.', ''), '.')), ','),
+               ')',
+               CASE WHEN regexp_replace(ns, '^[^/]+', '') = '' THEN '/'
+                    ELSE regexp_replace(ns, '^[^/]+', '') END) AS urlkey
+      FROM surt),
+    line AS (
+      SELECT doc_id,
+             concat(urlkey, ' ', ts14, ' ',
+                    '{"url": "', url, '", "mime": "text/plain", ',
+                    '"status": "200", "digest": "', digest,
+                    '", "length": "', cast(len AS VARCHAR), '"}') AS l
+      FROM key)
+    SELECT doc_id,
+           md5(l) AS line_md5,
+           split_part(l, ' ', 1) AS urlkey,
+           strftime(strptime(split_part(l, ' ', 2), '%Y%m%d%H%M%S'),
+                    '%Y-%m-%d %H:%M:%S') AS warc_ts_str,
+           json_extract_string(substring(l, strpos(l, '{')), '$.url') AS url,
+           json_extract_string(substring(l, strpos(l, '{')), '$.mime') AS mime,
+           json_extract_string(substring(l, strpos(l, '{')), '$.status')
+             AS status,
+           json_extract_string(substring(l, strpos(l, '{')), '$.digest')
+             AS digest,
+           cast(json_extract_string(substring(l, strpos(l, '{')), '$.length')
+                AS BIGINT) AS length
+    FROM line
+    """,
+)
+def w_cdx(spark: SparkSession, sf: str) -> DataFrame:
+    """CDX(J) crawl-index codec contract (sources/cdx.py): every document
+    becomes a capture line — SURT urlkey (lowercase, scheme/www dropped,
+    host labels reversed), 14-digit timestamp, fixed-key-order JSON — all
+    built with native expressions, md5'd byte-exactly, then re-parsed with
+    the REAL reader (parse_cdx_lines: one split + get_json_object). The
+    oracle reconstructs the identical bytes and parses them with DuckDB's
+    own JSON/split functions — a cross-engine check of both the SURT
+    canonicalization and the parse, the same discipline as w_warc_codec."""
+    from pdf_extractor_spark.sources.cdx import parse_cdx_lines, surt_urlkey
+
+    d = _t(spark, sf, "documents")
+    url = F.concat(F.lit("https://WWW.Docs.Example/"), F.col("doc_id"))
+    ts14 = F.date_format(
+        F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+        + F.make_interval(secs=F.col("doc_id").cast("double")),
+        "yyyyMMddHHmmss",
+    )
+    js = F.concat(
+        F.lit('{"url": "'), url,
+        F.lit('", "mime": "text/plain", "status": "200", "digest": "'),
+        F.md5(F.encode(F.col("text"), "UTF-8")),
+        F.lit('", "length": "'), F.length("text").cast("string"),
+        F.lit('"}'),
+    )
+    lines = d.select(
+        "doc_id",
+        F.concat_ws(" ", surt_urlkey(url), ts14, js).alias("value"),
+    )
+    parsed = parse_cdx_lines(
+        lines.select("doc_id", "value", F.md5("value").alias("line_md5")),
+        "value",
+    )
+    return parsed.select(
+        "doc_id",
+        "line_md5",
+        "urlkey",
+        F.date_format("warc_ts", "yyyy-MM-dd HH:mm:ss").alias("warc_ts_str"),
+        "url",
+        "mime",
+        "status",
+        "digest",
+        "length",
+    )

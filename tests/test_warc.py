@@ -91,3 +91,51 @@ def test_read_warc_spark_reader_and_extract_parity(spark, tmp_path):
         want_text, *_ = extract_one(fixture["html"])
         assert extracted[fixture["url"]]["text"] == want_text
         assert extracted[fixture["url"]]["ok"]
+
+
+def test_cdx_reader_roundtrip_and_surt(spark, tmp_path):
+    """CDX source: lines written by build_cdx_line parse back exactly via
+    read_cdx; SURT canonicalization handles scheme/www/case/no-path."""
+    from pdf_extractor_spark.sources.cdx import (
+        build_cdx_line,
+        read_cdx,
+        surt_urlkey,
+    )
+    from pyspark.sql import functions as F
+
+    lines = [
+        build_cdx_line(
+            "example,docs)/page/1", "20240301101500",
+            "https://docs.example/page/1", "text/html", "200", "d" * 32, 512,
+        ),
+        build_cdx_line(
+            "org,wiki)/", "20240301101501",
+            "https://www.wiki.org/", "text/plain", "404", "e" * 32, 7,
+        ),
+    ]
+    p = tmp_path / "idx.cdx"
+    p.write_text("\n".join(lines) + "\n")
+    got = {r["urlkey"]: r for r in read_cdx(spark, str(p)).collect()}
+    assert set(got) == {"example,docs)/page/1", "org,wiki)/"}
+    r = got["example,docs)/page/1"]
+    assert r["url"] == "https://docs.example/page/1"
+    assert r["status"] == "200" and r["mime"] == "text/html"
+    assert r["length"] == 512
+    assert r["warc_ts"].strftime("%Y%m%d%H%M%S") == "20240301101500"
+
+    surt = {
+        r["u"]: r["k"]
+        for r in spark.createDataFrame(
+            [
+                ("https://WWW.Docs.Example/Path?Q=1",),
+                ("http://a.b.c.example/",),
+                ("https://example.org",),
+            ],
+            ["u"],
+        )
+        .select("u", surt_urlkey(F.col("u")).alias("k"))
+        .collect()
+    }
+    assert surt["https://WWW.Docs.Example/Path?Q=1"] == "example,docs)/path?q=1"
+    assert surt["http://a.b.c.example/"] == "example,c,b,a)/"
+    assert surt["https://example.org"] == "org,example)/"
