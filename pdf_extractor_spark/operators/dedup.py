@@ -240,7 +240,12 @@ def ngram_jaccard_pairs(
     """Verified near-dup pairs by n-gram Jaccard within a blocking group.
 
     ``group_col`` bounds the self-join (at corpus scale: pre-bucket by LSH
-    band or by a cheap key like host/source — never unblocked).
+    band or by a cheap key like host/source — never unblocked). The group
+    key is typically LOW-cardinality (k values), which would cap the
+    quadratic scoring stage at k post-shuffle tasks — so the join is
+    salted: probe side takes ``pmod(hash(id), S)``, build side replicates
+    S ways, identical pair set at k·S-way parallelism (the SemDeDup
+    pattern; SCALE.md §9.2).
     """
     sh = df.select(
         F.col(id_col).alias("id"),
@@ -252,14 +257,23 @@ def ngram_jaccard_pairs(
         # id (grp has few values); the join adds its own grp exchange, which
         # both sides share (ReusedExchange)
         sh = sh.repartition(n_partitions, "id")
+    shards = max(2, df.sparkSession.sparkContext.defaultParallelism)
     # per-doc work done ONCE before the pair join: distinct shingles + size
     sh = sh.select(
         "id", "grp",
         F.array_distinct(shingles_from_tokens(F.col("_t"), shingle_n)).alias("sh"),
     ).select("id", "grp", "sh", F.size("sh").alias("n"))
-    a, b = sh.alias("a"), sh.alias("b")
+    a = sh.withColumn(
+        "_shard", F.pmod(F.xxhash64(F.col("id")), F.lit(shards))
+    ).alias("a")
+    b = sh.withColumn(
+        "_shardb", F.explode(F.sequence(F.lit(0), F.lit(shards - 1)))
+    ).alias("b")
     paired = a.join(
-        b, (F.col("a.grp") == F.col("b.grp")) & (F.col("a.id") < F.col("b.id"))
+        b,
+        (F.col("a.grp") == F.col("b.grp"))
+        & (F.col("a._shard") == F.col("b._shardb"))
+        & (F.col("a.id") < F.col("b.id")),
     ).select(
         F.col("a.id").alias("id_a"),
         F.col("b.id").alias("id_b"),
