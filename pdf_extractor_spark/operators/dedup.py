@@ -236,6 +236,7 @@ def ngram_jaccard_pairs(
     shingle_n: int = 2,
     threshold: float = 0.5,
     n_partitions: int | None = None,
+    shards: int | None = None,
 ) -> DataFrame:
     """Verified near-dup pairs by n-gram Jaccard within a blocking group.
 
@@ -257,7 +258,8 @@ def ngram_jaccard_pairs(
         # id (grp has few values); the join adds its own grp exchange, which
         # both sides share (ReusedExchange)
         sh = sh.repartition(n_partitions, "id")
-    shards = max(2, df.sparkSession.sparkContext.defaultParallelism)
+    if shards is None:  # the salt spreads work only; output shard-invariant
+        shards = max(2, df.sparkSession.sparkContext.defaultParallelism)
     # per-doc work done ONCE before the pair join: distinct shingles + size
     sh = sh.select(
         "id", "grp",

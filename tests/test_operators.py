@@ -1040,6 +1040,17 @@ def test_exact_substr_rewrite_keeps_first_occurrence(spark):
     assert out[4]["clean_text"] == "red green blue cyan magenta stop"
 
 
+def test_ngram_jaccard_invariant_to_shard_count(spark):
+    from pdf_extractor_spark.operators.dedup import ngram_jaccard_pairs
+
+    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    a = sorted(map(tuple, ngram_jaccard_pairs(
+        df, group_col="source", threshold=0.2, shards=2).collect()))
+    b = sorted(map(tuple, ngram_jaccard_pairs(
+        df, group_col="source", threshold=0.2, shards=7).collect()))
+    assert a == b
+
+
 def test_robots_decisions_rfc9309_precedence(spark):
     from pdf_extractor_spark.operators.robots import robots_decisions
 
