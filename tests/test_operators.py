@@ -1282,3 +1282,80 @@ def test_bpe_train_matches_reference(spark):
     out2, merges2 = bpe_train(df2, n_merges=1)
     assert merges2 == [("a", "a")]
     assert out2.first()["syms"] == "||aa||aa||_||"
+
+
+def test_token_span_ops_match_bruteforce_reference(spark):
+    """Randomized (seeded) corpora with a tiny vocab force heavy window
+    collisions; the Spark span detector and rewrite must match a direct
+    python reference implementing the same rules (dup = window content
+    count >= 2 corpus-wide; islands merge when pos <= prev_end + 1;
+    rewrite keeps the corpus-wide min-(doc, pos) occurrence)."""
+    import random
+
+    from pdf_extractor_spark.operators.dedup import (
+        duplicate_token_spans,
+        exact_substr_rewrite,
+    )
+
+    W = 4
+    vocab = ["aa", "bb", "cc", "dd"]
+    for seed in (1, 7, 42):
+        rng = random.Random(seed)
+        docs = {
+            did: [vocab[rng.randrange(len(vocab))] for _ in range(rng.randrange(0, 30))]
+            for did in range(12)
+        }
+        # reference
+        from collections import Counter
+
+        cnt = Counter()
+        for toks in docs.values():
+            for i in range(len(toks) - W + 1):
+                cnt[tuple(toks[i : i + W])] += 1
+        ref_spans = set()
+        for did, toks in sorted(docs.items()):
+            islands = []
+            for p in range(len(toks) - W + 1):
+                if cnt[tuple(toks[p : p + W])] >= 2:
+                    if islands and p <= islands[-1][1] + 1:
+                        islands[-1][1] = max(islands[-1][1], p + W - 1)
+                    else:
+                        islands.append([p, p + W - 1])
+            for s, e in islands:
+                ref_spans.add((did, s, e))
+        firsts = {}
+        for did, toks in sorted(docs.items()):
+            for p in range(len(toks) - W + 1):
+                key = tuple(toks[p : p + W])
+                if cnt[key] >= 2:
+                    firsts.setdefault(key, (did, p))
+        ref_clean = {}
+        for did, toks in sorted(docs.items()):
+            cut_islands = []
+            for p in range(len(toks) - W + 1):
+                key = tuple(toks[p : p + W])
+                if cnt[key] >= 2 and firsts[key] != (did, p):
+                    if cut_islands and p <= cut_islands[-1][1] + 1:
+                        cut_islands[-1][1] = max(cut_islands[-1][1], p + W - 1)
+                    else:
+                        cut_islands.append([p, p + W - 1])
+            removed = set()
+            for s, e in cut_islands:
+                removed.update(range(s, e + 1))
+            kept = [t for i, t in enumerate(toks) if i not in removed]
+            ref_clean[did] = (len(toks), len(toks) - len(kept), " ".join(kept))
+
+        df = spark.createDataFrame(
+            [(did, " ".join(toks)) for did, toks in sorted(docs.items())],
+            ["doc_id", "text"],
+        )
+        got_spans = {
+            (r["doc_id"], r["span_start"], r["span_end"])
+            for r in duplicate_token_spans(df, min_tokens=W).collect()
+        }
+        assert got_spans == ref_spans, f"seed={seed}"
+        got_clean = {
+            r["doc_id"]: (r["n_tokens"], r["n_removed"], r["clean_text"])
+            for r in exact_substr_rewrite(df, min_tokens=W).collect()
+        }
+        assert got_clean == ref_clean, f"seed={seed}"
