@@ -1101,7 +1101,26 @@ class EncryptedPdfError(ValueError):
     the honest crawl-pipeline behavior when no decryption keys exist."""
 
 
-_ENCRYPT_RE = re.compile(rb"/Encrypt\s+(?:\d+\s+\d+\s+R|<<)")
+_ENCRYPT_RE = re.compile(rb"/Encrypt\s*(?:\d+\s+\d+\s+R|<<)")
+_TRAILER_RE = re.compile(rb"trailer")
+_XREF_TYPE_RE = re.compile(rb"/Type\s*/XRef\b")
+
+
+def _is_encrypted(payload: bytes) -> bool:
+    """True iff a trailer dictionary (classic ``trailer`` keyword or an
+    xref-STREAM dict, the only places the spec puts /Encrypt) declares
+    /Encrypt — as a reference OR a direct dict (``/Encrypt<<`` with no
+    separator is legal: ``<<`` is a delimiter). Scoping to those regions
+    keeps an unencrypted document that merely CONTAINS the byte pattern
+    (a page about PDF internals) from being falsely rejected."""
+    for m in _TRAILER_RE.finditer(payload):
+        if _ENCRYPT_RE.search(payload, m.end(), m.end() + 1024):
+            return True
+    for m in _XREF_TYPE_RE.finditer(payload):
+        start = max(payload.rfind(b"obj", 0, m.start()), 0)
+        if _ENCRYPT_RE.search(payload, start, m.end() + 1024):
+            return True
+    return False
 
 
 def extract_pdf_one(payload: bytes) -> tuple[str, list[tuple[int, int]], int]:
@@ -1111,7 +1130,7 @@ def extract_pdf_one(payload: bytes) -> tuple[str, list[tuple[int, int]], int]:
     texts in content-stream order; each output block maps to the (merged)
     source segments of its runs in reading order.
     """
-    if _ENCRYPT_RE.search(payload):
+    if _is_encrypted(payload):
         raise EncryptedPdfError("encrypted PDF (/Encrypt in trailer)")
     objects = _resolve_objects(payload)
 

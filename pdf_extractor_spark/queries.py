@@ -4631,7 +4631,7 @@ def s_first_event(spark: SparkSession, sf: str) -> DataFrame:
              strftime(TIMESTAMP '2024-01-01 00:00:00' + to_seconds(doc_id),
                       '%Y%m%d%H%M%S') AS ts14,
              md5(text) AS digest,
-             strlen(text) AS len
+             length(text) AS len
       FROM documents),
     surt AS (
       SELECT doc_id, url, ts14, digest, len,

@@ -54,15 +54,19 @@ def parse_cdx_lines(df: DataFrame, col: str = "value") -> DataFrame:
     parts = F.split(F.col(col), " ", 3)
     js = parts[2]
     passthrough = [c for c in df.columns if c != col]
+    # try_* everywhere: the input is an EXTERNAL file, and one malformed
+    # line (a classic-CDX ' CDX N b a m s k r...' header, a legacy
+    # '"length": "-"' placeholder) must yield nulls in that row, not kill
+    # a 100 GB scan with an ANSI DateTimeException/cast error
     return df.select(
         *passthrough,
         parts[0].alias("urlkey"),
-        F.to_timestamp(parts[1], CDX_TS_FMT).alias("warc_ts"),
+        F.try_to_timestamp(parts[1], F.lit(CDX_TS_FMT)).alias("warc_ts"),
         F.get_json_object(js, "$.url").alias("url"),
         F.get_json_object(js, "$.mime").alias("mime"),
         F.get_json_object(js, "$.status").alias("status"),
         F.get_json_object(js, "$.digest").alias("digest"),
-        F.get_json_object(js, "$.length").cast("long").alias("length"),
+        F.get_json_object(js, "$.length").try_cast("long").alias("length"),
     )
 
 

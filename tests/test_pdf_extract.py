@@ -737,15 +737,21 @@ def test_encrypted_pdf_raises_and_maps_to_error_row():
     plain = make_pdf([[(72, 700, "hello world")]])
     # splice an /Encrypt reference into the trailer dictionary
     assert b"trailer" in plain
-    enc = plain.replace(b"trailer\n<<", b"trailer\n<< /Encrypt 9 0 R ", 1)
-    assert enc != plain
-
     import pytest as _pytest
 
-    with _pytest.raises(EncryptedPdfError):
-        extract_pdf_one(enc)
-    text, spans, n, kind, ok, err = extract_one(enc)
-    assert not ok and kind == "error" and "EncryptedPdfError" in err
-    assert text == "" and spans == [] and n == 0
+    for splice in (b"trailer\n<< /Encrypt 9 0 R ", b"trailer\n<</Encrypt<</V 1>> "):
+        enc = plain.replace(b"trailer\n<<", splice, 1)
+        assert enc != plain
+        with _pytest.raises(EncryptedPdfError):
+            extract_pdf_one(enc)
+        text, spans, n, kind, ok, err = extract_one(enc)
+        assert not ok and kind == "error" and "EncryptedPdfError" in err
+        assert text == "" and spans == [] and n == 0
     # the unmodified file still parses
     assert extract_pdf_one(plain)[0] == "hello world"
+    # an UNENCRYPTED doc that merely mentions the pattern in content is kept
+    about = make_pdf(
+        [[(72, 700, "see /Encrypt 9 0 R in trailer dicts")]], compress=False
+    )
+    assert b"/Encrypt 9 0 R" in about
+    assert extract_pdf_one(about)[0] == "see /Encrypt 9 0 R in trailer dicts"

@@ -139,3 +139,29 @@ def test_cdx_reader_roundtrip_and_surt(spark, tmp_path):
     assert surt["https://WWW.Docs.Example/Path?Q=1"] == "example,docs)/path?q=1"
     assert surt["http://a.b.c.example/"] == "example,c,b,a)/"
     assert surt["https://example.org"] == "org,example)/"
+
+
+def test_cdx_reader_tolerates_malformed_lines(spark, tmp_path):
+    """One bad line in an external index must yield nulls, not kill the
+    scan (ANSI-safe try_to_timestamp / try_cast): a classic-CDX header
+    line and a legacy '\"length\": \"-\"' placeholder both survive."""
+    from pdf_extractor_spark.sources.cdx import build_cdx_line, read_cdx
+
+    good = build_cdx_line(
+        "example,docs)/a", "20240301101500",
+        "https://docs.example/a", "text/html", "200", "d" * 32, 9,
+    )
+    header = " CDX N b a m s k r M S V g"
+    legacy = ('org,old)/ 20010101000000 {"url": "http://old.org/", '
+              '"mime": "text/html", "status": "200", "digest": "x", '
+              '"length": "-"}')
+    p = tmp_path / "mixed.cdx"
+    p.write_text("\n".join([header, good, legacy]) + "\n")
+    rows = read_cdx(spark, str(p)).collect()
+    assert len(rows) == 3
+    by_key = {r["urlkey"]: r for r in rows}
+    ok = by_key["example,docs)/a"]
+    assert ok["length"] == 9 and ok["warc_ts"] is not None
+    old = by_key["org,old)/"]
+    assert old["length"] is None and old["warc_ts"] is not None
+    assert by_key[""]["warc_ts"] is None  # header line -> null fields
