@@ -43,23 +43,19 @@ def curation_flags(
     deterministic md5-keyed quality/strata keep decision, independent of
     partitioning. The final keep-set is the conjunction.
     """
-    from pdf_extractor_spark.operators.sampling import _hash_frac
+    from pdf_extractor_spark.operators.sampling import (
+        _hash_frac,
+        quality_keep_expr,
+        stratified_rate_expr,
+    )
     from pdf_extractor_spark.operators.textstats import (
-        quality_score,
+        gopher_keep_expr,
         repetition_stats,
     )
 
     rep = repetition_stats(
         df, id_col, text_col, n_partitions=n_partitions
-    ).select(
-        id_col,
-        (
-            F.col("n_tokens").between(10, 100000)
-            & (F.col("distinct_token_frac") >= 0.3)
-            & (F.col("top_token_frac") <= 0.3)
-            & (F.col("dup_bigram_frac") <= 0.3)
-        ).alias("f_gopher"),
-    )
+    ).select(id_col, gopher_keep_expr().alias("f_gopher"))
     # LEFT join + false-fill: a zero-token document produces no
     # (id, token) rows, so it is absent from the stats frame — an inner
     # join would silently drop it from rows_in instead of counting it as
@@ -74,15 +70,12 @@ def curation_flags(
         .select(F.col("_first_id").alias(id_col))
         .withColumn("_is_first", F.lit(True))
     )
-    q_keep = _hash_frac(F.col(id_col), "qsample") < quality_score(
-        F.col(text_col)
-    ) / 100.0
+    # the SAME predicate expressions the oracle-checked contract queries
+    # and sinks.curate_corpus use — shared helpers, not copies, so the
+    # --curate surface can never drift from them
+    q_keep = quality_keep_expr(F.col(id_col), F.col(text_col))
     if rates is not None:
-        rate = F.lit(float(default_rate))
-        for k, v in sorted(rates.items()):
-            rate = F.when(F.col(strata_col) == k, F.lit(float(v))).otherwise(
-                rate
-            )
+        rate = stratified_rate_expr(rates, strata_col, default_rate)
         s_keep = _hash_frac(F.col(id_col), "strat") < rate
     else:
         s_keep = F.lit(True)

@@ -1051,6 +1051,58 @@ def connected_components_star(
     return labels.union(roots)
 
 
+def _window_hashes(
+    df: DataFrame,
+    min_tokens: int,
+    id_col: str,
+    text_col: str,
+    n_partitions: int | None,
+) -> tuple[DataFrame, DataFrame]:
+    """Shared stage of the ExactSubstr operators: staged tokens behind a
+    repartition barrier, plus the exploded (id, pos, h) window-hash frame
+    (md5 of each ``min_tokens``-token window). Returns (staged, win)."""
+    staged = df.select(
+        F.col(id_col).alias("id"), word_tokens(F.col(text_col)).alias("_t")
+    )
+    if n_partitions:
+        staged = staged.repartition(n_partitions, "id")
+    win = staged.select(
+        "id",
+        F.posexplode(shingles_from_tokens(F.col("_t"), min_tokens)).alias(
+            "pos", "sh"
+        ),
+    ).select("id", "pos", F.md5(F.col("sh")).alias("h"))
+    return staged, win
+
+
+def _merge_islands(marked: DataFrame, min_tokens: int) -> DataFrame:
+    """Shared gaps-and-islands interval merge over marked (id, pos) window
+    starts: windows merge while pos <= prev_end + 1 (overlap or adjacency).
+    Returns (id, island, s, e) — one row per maximal merged span, token
+    positions 0-based end-inclusive. Both window functions partition by
+    doc id, so state is bounded by document length."""
+    from pyspark.sql import Window
+
+    w_order = Window.partitionBy("id").orderBy("pos")
+    prev_max_end = F.max(F.col("pos") + F.lit(min_tokens - 1)).over(
+        w_order.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    island_start = F.when(
+        F.col("pos") > F.coalesce(prev_max_end, F.lit(-2)) + 1, 1
+    ).otherwise(0)
+    return (
+        marked.select(
+            "id", "pos", F.sum(island_start).over(w_order).alias("island")
+        )
+        .groupBy("id", "island")
+        .agg(
+            F.min("pos").alias("s"),
+            (F.max("pos") + F.lit(min_tokens - 1)).alias("e"),
+            F.count(F.lit(1)).alias("n_windows"),
+        )
+    )
+
+
 def duplicate_token_spans(
     df: DataFrame,
     min_tokens: int = 5,
@@ -1081,19 +1133,9 @@ def duplicate_token_spans(
     row per maximal duplicated span; token positions are 0-based and
     end-inclusive.
     """
-    from pyspark.sql import Window
-
-    staged = df.select(
-        F.col(id_col).alias("id"), word_tokens(F.col(text_col)).alias("_t")
+    _staged, win = _window_hashes(
+        df, min_tokens, id_col, text_col, n_partitions
     )
-    if n_partitions:
-        staged = staged.repartition(n_partitions, "id")
-    win = staged.select(
-        "id",
-        F.posexplode(shingles_from_tokens(F.col("_t"), min_tokens)).alias(
-            "pos", "sh"
-        ),
-    ).select("id", "pos", F.md5(F.col("sh")).alias("h"))
     dup_h = (
         win.groupBy("h")
         .agg(F.count(F.lit(1)).alias("c"))
@@ -1101,36 +1143,12 @@ def duplicate_token_spans(
         .select("h")
     )
     marked = win.join(dup_h, "h").select("id", "pos")
-    w_order = Window.partitionBy("id").orderBy("pos")
-    prev_max_end = F.max(F.col("pos") + F.lit(min_tokens - 1)).over(
-        w_order.rowsBetween(Window.unboundedPreceding, -1)
-    )
-    # a window starts a new island unless it overlaps or is adjacent to
-    # the covered region so far (pos <= prev_end + 1)
-    island_start = F.when(
-        F.col("pos") > F.coalesce(prev_max_end, F.lit(-2)) + 1, 1
-    ).otherwise(0)
-    islands = marked.select(
-        "id", "pos", F.sum(island_start).over(w_order).alias("island")
-    )
-    return (
-        islands.groupBy("id", "island")
-        .agg(
-            F.min("pos").cast("long").alias("span_start"),
-            (F.max("pos") + F.lit(min_tokens - 1))
-            .cast("long")
-            .alias("span_end"),
-            F.count(F.lit(1)).cast("long").alias("n_windows"),
-        )
-        .select(
-            F.col("id").alias(id_col),
-            "span_start",
-            "span_end",
-            (F.col("span_end") - F.col("span_start") + 1).alias(
-                "span_tokens"
-            ),
-            "n_windows",
-        )
+    return _merge_islands(marked, min_tokens).select(
+        F.col("id").alias(id_col),
+        F.col("s").cast("long").alias("span_start"),
+        F.col("e").cast("long").alias("span_end"),
+        (F.col("e") - F.col("s") + 1).cast("long").alias("span_tokens"),
+        F.col("n_windows").cast("long").alias("n_windows"),
     )
 
 
@@ -1159,19 +1177,9 @@ def exact_substr_rewrite(
 
     Returns (id_col, n_tokens, n_removed, clean_text) for every input row.
     """
-    from pyspark.sql import Window
-
-    staged = df.select(
-        F.col(id_col).alias("id"), word_tokens(F.col(text_col)).alias("_t")
+    staged, win = _window_hashes(
+        df, min_tokens, id_col, text_col, n_partitions
     )
-    if n_partitions:
-        staged = staged.repartition(n_partitions, "id")
-    win = staged.select(
-        "id",
-        F.posexplode(shingles_from_tokens(F.col("_t"), min_tokens)).alias(
-            "pos", "sh"
-        ),
-    ).select("id", "pos", F.md5(F.col("sh")).alias("h"))
     firsts = win.groupBy("h").agg(
         F.count(F.lit(1)).alias("c"),
         F.min(F.struct(F.col("id"), F.col("pos"))).alias("first"),
@@ -1187,23 +1195,7 @@ def exact_substr_rewrite(
         )
         .select("id", "pos")
     )
-    w_order = Window.partitionBy("id").orderBy("pos")
-    prev_max_end = F.max(F.col("pos") + F.lit(min_tokens - 1)).over(
-        w_order.rowsBetween(Window.unboundedPreceding, -1)
-    )
-    island_start = F.when(
-        F.col("pos") > F.coalesce(prev_max_end, F.lit(-2)) + 1, 1
-    ).otherwise(0)
-    spans = (
-        cut.select(
-            "id", "pos", F.sum(island_start).over(w_order).alias("island")
-        )
-        .groupBy("id", "island")
-        .agg(
-            F.min("pos").alias("s"),
-            (F.max("pos") + F.lit(min_tokens - 1)).alias("e"),
-        )
-    )
+    spans = _merge_islands(cut, min_tokens)
     removed = spans.select(
         "id", F.explode(F.sequence(F.col("s"), F.col("e"))).alias("pos")
     )

@@ -75,6 +75,29 @@ def kmv_distinct(
     )
 
 
+def stratified_rate_expr(
+    rates: dict[str, float], strata_col: str, default_rate: float = 0.0
+) -> Column:
+    """The per-stratum keep-rate CASE expression — the single source of
+    truth shared by ``stratified_sample`` and the curation job (so the
+    --curate surface can never drift from the contract query)."""
+    rate = F.lit(float(default_rate))
+    for value, r in sorted(rates.items()):
+        rate = F.when(F.col(strata_col) == value, F.lit(float(r))).otherwise(rate)
+    return rate
+
+
+def quality_keep_expr(
+    key: Column, text: Column, salt: str = "qsample"
+) -> Column:
+    """Soft quality-weighted keep decision (keep probability = quality
+    score/100, md5-keyed) — shared by sinks.curate_corpus and the
+    curation job."""
+    from pdf_extractor_spark.operators.textstats import quality_score
+
+    return _hash_frac(key, salt) < quality_score(text) / 100.0
+
+
 def stratified_sample(
     df: DataFrame,
     rates: dict[str, float],
@@ -92,9 +115,7 @@ def stratified_sample(
     partitionings and engines. Strata absent from ``rates`` fall back to
     ``default_rate`` (use 1.0 to keep unlisted strata whole).
     """
-    rate = F.lit(float(default_rate))
-    for value, r in sorted(rates.items()):
-        rate = F.when(F.col(strata_col) == value, F.lit(float(r))).otherwise(rate)
+    rate = stratified_rate_expr(rates, strata_col, default_rate)
     return df.filter(_hash_frac(F.col(key_col), salt) < rate)
 
 

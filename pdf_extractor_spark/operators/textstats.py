@@ -425,6 +425,20 @@ def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def gopher_keep_expr() -> "Column":
+    """Gopher-style composite keep decision over the repetition_stats
+    columns (n_tokens, distinct_token_frac, top_token_frac,
+    dup_bigram_frac) — the single source of truth shared by the
+    t_gopher_filter contract query and the curation job (Rae et al. 2021
+    §A1.1 repetition/length rules, demo-scale thresholds)."""
+    return (
+        F.col("n_tokens").between(10, 100000)
+        & (F.col("distinct_token_frac") >= 0.3)
+        & (F.col("top_token_frac") <= 0.3)
+        & (F.col("dup_bigram_frac") <= 0.3)
+    )
+
+
 def c4_clean(
     lines: DataFrame,
     min_words: int = 3,

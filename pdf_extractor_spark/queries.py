@@ -983,7 +983,7 @@ def t_gopher(spark: SparkSession, sf: str) -> DataFrame:
         ok_dis.alias("ok_distinct"),
         ok_top.alias("ok_top_token"),
         ok_big.alias("ok_bigram"),
-        (ok_len & ok_dis & ok_top & ok_big).alias("keep"),
+        T.gopher_keep_expr().alias("keep"),
     )
 
 

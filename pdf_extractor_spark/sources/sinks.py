@@ -125,12 +125,13 @@ def curate_corpus(
     filters — no shuffle, identical keep-set at any partitioning — so the
     sink writes EXACTLY the rows the oracle-checked contract queries keep
     (pytest-asserted)."""
-    from pdf_extractor_spark.operators.sampling import _hash_frac, stratified_sample
-    from pdf_extractor_spark.operators.textstats import quality_score
+    from pdf_extractor_spark.operators.sampling import (
+        quality_keep_expr,
+        stratified_sample,
+    )
 
     kept = df.filter(
-        _hash_frac(F.col(key_col), quality_salt)
-        < quality_score(F.col(text_col)) / 100.0
+        quality_keep_expr(F.col(key_col), F.col(text_col), quality_salt)
     )
     if rates is not None:
         kept = stratified_sample(
