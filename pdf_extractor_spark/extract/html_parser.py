@@ -34,7 +34,7 @@ from dataclasses import dataclass
 _TAG_RE = re.compile(
     r"<!--.*?(?:-->|$)"  # comments (unterminated comment swallows rest)
     r"|<!\[CDATA\[.*?(?:\]\]>|$)"
-    r"|<!DOCTYPE[^>]*>"
+    r"|<!(?i:DOCTYPE)[^>]*>"
     r"|<\?[^>]*>"
     r"|</\s*([a-zA-Z][a-zA-Z0-9:-]*)\s*>"  # close tag  -> group 1
     r"|<\s*([a-zA-Z][a-zA-Z0-9:-]*)((?:\"[^\"]*\"|'[^']*'|[^>\"'])*)(/?)>",  # open -> 2,3,4
@@ -188,8 +188,12 @@ def tokenize(source: str) -> list[tuple[str, str, str, int, int]]:
         open_tag = m[2]
         if open_tag is not None:
             tag = open_tag.lower()
-            self_close = m[4]
-            if tag in _RAW_TEXT and not self_close:
+            # HTML5 ignores the '/' on a non-void START tag (12.1.2.1):
+            # '<a href=x />text</a>' keeps the anchor open (browsers count
+            # the text as link text) and '<script src=x />' swallows raw
+            # text to the REAL close tag — so self_close only matters for
+            # foreign/void markup and is otherwise dropped here
+            if tag in _RAW_TEXT:
                 # skip to the matching close tag (case-insensitive)
                 cm = _RAW_CLOSE[tag].search(source, mend)
                 emit(("open", tag, "", mstart, mend))
@@ -198,8 +202,6 @@ def tokenize(source: str) -> list[tuple[str, str, str, int, int]]:
                 pos = end
             else:
                 emit(("open", tag, "", mstart, mend))
-                if self_close and tag not in _VOID:
-                    emit(("close", tag, "", mend, mend))
                 pos = mend
         else:
             pos = mend  # comment / doctype / PI
@@ -275,6 +277,37 @@ def _assemble_blocks(source: str) -> list[_Block]:
         _BOILERPLATE_ANCESTORS,
     )
     _unescape = _htmllib.unescape
+
+    def text_run(start: int, end: int) -> None:
+        # one text run [start, end): whitespace fast path, unescape,
+        # block birth bookkeeping, anchor-char accounting — shared by the
+        # in-loop gaps and the trailing run (a fix to one must hit both)
+        text = source[start:end]
+        if text.isspace():
+            # fast path: pure-whitespace gaps between tags (the most
+            # common text run) need no unescape and no new string
+            if cur.parts:
+                cur.parts.append(" ")
+            return
+        unescaped = _unescape(text) if "&" in text else text
+        if unescaped is not text and unescaped.isspace():
+            if cur.parts:
+                cur.parts.append(" ")
+            return
+        if cur.start < 0:
+            cur.start = start
+            # nearest enclosing block tag at block birth
+            cur.tag = block_stack[-1] if block_stack else ""
+        cur.path_flags = cur.path_flags or boiler_depth > 0
+        cur.end = end
+        cur.parts.append(unescaped)
+        if anchor_depth > 0:
+            # len(_normalize_ws(s)) without building the string:
+            # words plus the single spaces between them
+            w = unescaped.split()
+            if w:
+                cur.anchor_chars += sum(map(len, w)) + len(w) - 1
+
     pos = 0
     n = len(source)
     for m in _TAG_RE.finditer(source):
@@ -282,32 +315,7 @@ def _assemble_blocks(source: str) -> list[_Block]:
         if mstart < pos:
             continue  # inside a skipped raw-text body
         if mstart > pos:
-            # ---- text run [pos, mstart) ----
-            text = source[pos:mstart]
-            if text.isspace():
-                # fast path: pure-whitespace gaps between tags (the most
-                # common text run) need no unescape and no new string
-                if cur.parts:
-                    cur.parts.append(" ")
-            else:
-                unescaped = _unescape(text) if "&" in text else text
-                if unescaped is not text and unescaped.isspace():
-                    if cur.parts:
-                        cur.parts.append(" ")
-                else:
-                    if cur.start < 0:
-                        cur.start = pos
-                        # nearest enclosing block tag at block birth
-                        cur.tag = block_stack[-1] if block_stack else ""
-                    cur.path_flags = cur.path_flags or boiler_depth > 0
-                    cur.end = mstart
-                    cur.parts.append(unescaped)
-                    if anchor_depth > 0:
-                        # len(_normalize_ws(s)) without building the string:
-                        # words plus the single spaces between them
-                        w = unescaped.split()
-                        if w:
-                            cur.anchor_chars += sum(map(len, w)) + len(w) - 1
+            text_run(pos, mstart)
         tag = m[1]
         if tag is not None:
             # ---- close tag ----
@@ -334,8 +342,7 @@ def _assemble_blocks(source: str) -> list[_Block]:
             continue
         # ---- open tag ----
         tag = tag.lower()
-        self_close = m[4]
-        if tag in _raw and not self_close:
+        if tag in _raw:
             # The tokenizer emits open+close around the skipped body; no
             # raw-text element is a block tag, "a", or a boilerplate
             # ancestor, so push-then-pop is a no-op on every stack — just
@@ -350,40 +357,16 @@ def _assemble_blocks(source: str) -> list[_Block]:
         if tag in _boiler:
             boiler_depth += 1
         if tag not in _void:
-            if self_close:
-                # tokenizer emits open+close back-to-back: the close pops
-                # the tag just pushed, so only the depth counters net out
-                if tag == "a" and anchor_depth > 0:
-                    anchor_depth -= 1
-                if tag in _boiler and boiler_depth > 0:
-                    boiler_depth -= 1
-            else:
-                stack.append(tag)
-                if tag in _block_tags:
-                    block_stack.append(tag)
+            # HTML5: the '/' on a non-void start tag is IGNORED — the
+            # element stays open until its real close tag (matches
+            # browsers; an XHTML-style '<a ... />link</a>' farm must
+            # still count as anchor text for the link-density filter)
+            stack.append(tag)
+            if tag in _block_tags:
+                block_stack.append(tag)
         pos = mend
     if pos < n:
-        # ---- trailing text run [pos, n) ----
-        text = source[pos:n]
-        if text.isspace():
-            if cur.parts:
-                cur.parts.append(" ")
-        else:
-            unescaped = _unescape(text) if "&" in text else text
-            if unescaped is not text and unescaped.isspace():
-                if cur.parts:
-                    cur.parts.append(" ")
-            else:
-                if cur.start < 0:
-                    cur.start = pos
-                    cur.tag = block_stack[-1] if block_stack else ""
-                cur.path_flags = cur.path_flags or boiler_depth > 0
-                cur.end = n
-                cur.parts.append(unescaped)
-                if anchor_depth > 0:
-                    w = unescaped.split()
-                    if w:
-                        cur.anchor_chars += sum(map(len, w)) + len(w) - 1
+        text_run(pos, n)
     if cur.parts:
         flush()
     return blocks

@@ -280,8 +280,53 @@ def _resolve_objects(data: bytes) -> dict[int, tuple[bytes, bytes | None]]:
 
 
 def _dict_int(header: bytes, key: bytes) -> int | None:
-    m = re.search(re.escape(key) + rb"\s+(\d+)(?!\s+\d+\s+R)", header)
+    """Integer value of /Key, or None when the value is an indirect
+    reference (``/Length 10 0 R``) — the caller then falls back to the
+    endstream scan. The ``(?![0-9])`` makes the number atomic: without it
+    the negative lookahead BACKTRACKS on multi-digit object numbers
+    ('/Length 10 0 R' matched as 1, silently truncating the stream)."""
+    m = re.search(
+        re.escape(key) + rb"\s+(\d+)(?![0-9])(?!\s+\d+\s+R)", header
+    )
     return int(m.group(1)) if m else None
+
+
+def _balanced_dict(data: bytes, start: int) -> bytes:
+    """The balanced ``<< ... >>`` slice beginning at ``start`` (which must
+    point at the opening ``<<``); best-effort tail on malformed input."""
+    depth = 0
+    i = start
+    n = len(data)
+    while i < n - 1:
+        two = data[i : i + 2]
+        if two == b"<<":
+            depth += 1
+            i += 2
+        elif two == b">>":
+            depth -= 1
+            i += 2
+            if depth == 0:
+                return data[start:i]
+        else:
+            i += 1
+    return data[start:]
+
+
+def _dict_value_region(
+    header: bytes,
+    key: bytes,
+    objects: dict[int, tuple[bytes, bytes | None]],
+) -> bytes | None:
+    """The dictionary VALUE of /Key: the referenced object's header for an
+    indirect reference, the balanced inline ``<< ... >>`` region for a
+    direct dict, else None (key absent)."""
+    m = re.search(re.escape(key) + rb"\s+(\d+)\s+\d+\s+R", header)
+    if m:
+        return objects.get(int(m.group(1)), (b"", None))[0]
+    m = re.search(re.escape(key) + rb"\s*<<", header)
+    if m:
+        return _balanced_dict(header, m.end() - 2)
+    return None
 
 
 def _dict_refs(header: bytes, key: bytes) -> list[int]:
@@ -802,17 +847,29 @@ def _page_fonts(
     objects: dict[int, tuple[bytes, bytes | None]],
     font_cache: dict[int, _Font],
 ) -> dict[bytes, _Font]:
-    """Resolve the page's /Resources /Font dict -> {b'F1': _Font}."""
+    """Resolve the page's /Resources /Font dict -> {b'F1': _Font}.
 
-    def resolve(header: bytes, key: bytes) -> bytes:
-        m = re.search(re.escape(key) + rb"\s+(\d+)\s+\d+\s+R", header)
-        if m:
-            num = int(m.group(1))
-            return objects.get(num, (b"", None))[0]
-        return header
-
-    resources = resolve(page_header, b"/Resources")
-    font_src = resolve(resources, b"/Font")
+    /Resources is inheritable (PDF 7.7.3.4): when the page dict lacks it,
+    the /Parent chain is walked up to the /Pages ancestor. Values are
+    resolved PRECISELY — an indirect reference or a balanced inline
+    ``<< ... >>`` region — never by falling back to scanning the whole
+    page header, which fabricated phantom "fonts" from unrelated
+    ``/Key N G R`` entries (/Parent, /Contents)."""
+    resources: bytes | None = None
+    hdr = page_header
+    for _ in range(32):  # bounded /Parent walk (malformed cycles)
+        resources = _dict_value_region(hdr, b"/Resources", objects)
+        if resources is not None:
+            break
+        pm = re.search(rb"/Parent\s+(\d+)\s+\d+\s+R", hdr)
+        if not pm:
+            break
+        hdr = objects.get(int(pm.group(1)), (b"", None))[0]
+    if resources is None:
+        return {}
+    font_src = _dict_value_region(resources, b"/Font", objects)
+    if font_src is None:
+        return {}
     fonts: dict[bytes, _Font] = {}
     for m in re.finditer(rb"/(\w+)\s+(\d+)\s+\d+\s+R", font_src):
         name, num = m.group(1), int(m.group(2))
@@ -1093,6 +1150,46 @@ def _split_blocks(
     return blocks
 
 
+def _page_tree_order(
+    payload: bytes, objects: dict[int, tuple[bytes, bytes | None]]
+) -> list[int] | None:
+    """Page object numbers in /Kids order (depth-first from the catalog's
+    /Pages root), or None when no usable tree exists. Cycle-guarded; a
+    tree that yields no /Type /Page leaves also returns None so the
+    caller falls back to object-number order."""
+    root_hdr = None
+    for m in re.finditer(rb"/Root\s+(\d+)\s+\d+\s+R", payload):
+        root_hdr = objects.get(int(m.group(1)), (None, None))[0]
+    if root_hdr is None:
+        # no trailer /Root: some files still have a lone /Type /Pages node
+        roots = [
+            n
+            for n, (h, _) in objects.items()
+            if re.search(rb"/Type\s*/Pages\b", h) and b"/Parent" not in h
+        ]
+        if len(roots) != 1:
+            return None
+        pages_nums = roots
+    else:
+        pages_nums = _dict_refs(root_hdr, b"/Pages")
+        if not pages_nums:
+            return None
+    order: list[int] = []
+    seen: set[int] = set()
+    stack = list(reversed(pages_nums))
+    while stack:
+        num = stack.pop()
+        if num in seen or num not in objects:
+            continue
+        seen.add(num)
+        header = objects[num][0]
+        if re.search(rb"/Type\s*/Page\b(?!s)", header):
+            order.append(num)
+        else:
+            stack.extend(reversed(_dict_refs(header, b"/Kids")))
+    return order or None
+
+
 class EncryptedPdfError(ValueError):
     """Raised for PDFs whose trailer declares /Encrypt: their content
     streams are RC4/AES ciphertext, and "best-effort" extraction would
@@ -1134,12 +1231,22 @@ def extract_pdf_one(payload: bytes) -> tuple[str, list[tuple[int, int]], int]:
         raise EncryptedPdfError("encrypted PDF (/Encrypt in trailer)")
     objects = _resolve_objects(payload)
 
-    # page objects in document order; fall back to "any stream containing BT"
+    # page objects in PAGE-TREE order (/Root -> /Pages -> /Kids, depth
+    # first — object numbering does NOT follow page order once a document
+    # has been incrementally updated); object-number order is only the
+    # fallback for files with a broken/absent tree, then "any stream
+    # containing BT"
     pages: list[tuple[bytes, list[int]]] = []  # (page_header, content_obj_nums)
-    for num in sorted(objects):
+    ordered = _page_tree_order(payload, objects)
+    if ordered is None:
+        ordered = [
+            num
+            for num in sorted(objects)
+            if re.search(rb"/Type\s*/Page\b(?!s)", objects[num][0])
+        ]
+    for num in ordered:
         header, _ = objects[num]
-        if re.search(rb"/Type\s*/Page\b(?!s)", header):
-            pages.append((header, _dict_refs(header, b"/Contents")))
+        pages.append((header, _dict_refs(header, b"/Contents")))
 
     font_cache: dict[int, _Font] = {}
     # (content, page_w, page_h, fonts)
@@ -1183,10 +1290,22 @@ def extract_pdf_one(payload: bytes) -> tuple[str, list[tuple[int, int]], int]:
     out_blocks: list[str] = []
     spans: list[tuple[int, int]] = []
     for runs, page_w, page_h in per_page:
+        # header/footer bands only make sense when a body region remains:
+        # on short pages (labels, receipts, banners — page_h <= 2 bands +
+        # a line) the bands would cover the WHOLE page and silently drop
+        # every run. Runs at exactly (0, 0) were never positioned (content
+        # streams may show text straight after BT without Td/Tm) — they
+        # are body text at the origin, not a footer.
+        short_page = page_h <= 2 * MARGIN_BAND + 12
         body = [
             r
             for r in runs
-            if MARGIN_BAND < r.y < page_h - MARGIN_BAND and r.text.strip()
+            if (
+                short_page
+                or (MARGIN_BAND < r.y < page_h - MARGIN_BAND)
+                or (r.y == 0.0 and r.x == 0.0)
+            )
+            and r.text.strip()
         ]
         for column_runs in _split_columns(body, page_w):
             lines = _group_lines(column_runs)

@@ -68,8 +68,19 @@ def extract_one(
             payload = gzip.decompress(payload)
             if not payload:
                 return ("", [], 0, "empty", False, "empty gzip payload")
-        if payload[:5] == b"%PDF-":
-            text, spans, n = extract_pdf_one(payload)
+        # the spec (and real crawls: HTTP-injected preambles, leading
+        # whitespace) allows junk before the header within the first
+        # 1024 bytes; offsets in the file are relative to the header, so
+        # slicing from it realigns them
+        pdf_at = payload.find(b"%PDF-", 0, 1024)
+        is_pdf = pdf_at == 0 or (
+            # offset header: demand PDF structure too, so an HTML page
+            # that merely MENTIONS "%PDF-" in its first KB is not misrouted
+            pdf_at > 0
+            and (b"endobj" in payload or b"startxref" in payload)
+        )
+        if is_pdf:
+            text, spans, n = extract_pdf_one(payload[pdf_at:])
             kind = "pdf"
         else:
             text, spans, n = extract_html_one(payload, ctx)

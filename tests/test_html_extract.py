@@ -275,3 +275,45 @@ def test_fused_assembler_matches_event_driven_reference():
         want = _assemble_blocks_reference(src)
         key = lambda b: (b.text, b.start, b.end, b.tag, b.path_flags, b.anchor_chars)
         assert [key(b) for b in got] == [key(b) for b in want], src[:80]
+
+
+def test_lowercase_doctype_not_leaked_as_text():
+    from pdf_extractor_spark.extract.html_parser import extract_html_one
+
+    page = (b'<!doctype html public "-//W3C//DTD HTML 4.01 Transitional//EN" '
+            b'"http://www.w3.org/TR/html4/loose.dtd">'
+            b"<html><body><article><p>Real content paragraph long enough to "
+            b"be kept by the classifier rules.</p></article></body></html>")
+    text, _, _ = extract_html_one(page)
+    assert "doctype" not in text.lower()
+    assert "Real content paragraph" in text
+
+
+def test_self_closed_non_void_anchor_counts_link_text():
+    """HTML5 ignores '/' on non-void start tags: an XHTML-style link farm
+    '<a ... />text</a>' is anchor text and must be dropped by the
+    link-density filter, not laundered into content."""
+    from pdf_extractor_spark.extract.html_parser import extract_html_one
+
+    links = "".join(
+        f'<li><a href="/x{i}" />Link item number {i} here</a></li>'
+        for i in range(12)
+    )
+    page = (f"<html><body><div><ul>{links}</ul></div><article><p>Genuine "
+            f"article text that is long enough to be kept as the main "
+            f"content of this page.</p></article></body></html>").encode()
+    text, _, _ = extract_html_one(page)
+    assert "Link item number" not in text
+    assert "Genuine article text" in text
+
+
+def test_self_closed_script_swallows_to_real_close():
+    from pdf_extractor_spark.extract.html_parser import extract_html_one
+
+    page = (b"<html><body><script src=x />var inline = 'leaky string that "
+            b"must not appear';</script><article><p>Kept paragraph with "
+            b"plenty of characters for the classifier.</p></article>"
+            b"</body></html>")
+    text, _, _ = extract_html_one(page)
+    assert "leaky string" not in text
+    assert "Kept paragraph" in text

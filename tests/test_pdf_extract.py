@@ -755,3 +755,79 @@ def test_encrypted_pdf_raises_and_maps_to_error_row():
     )
     assert b"/Encrypt 9 0 R" in about
     assert extract_pdf_one(about)[0] == "see /Encrypt 9 0 R in trailer dicts"
+
+
+def _mini_pdf(objects_body: list[bytes], root: int) -> bytes:
+    out = [b"%PDF-1.4\n"]
+    for i, body in enumerate(objects_body, start=1):
+        out.append(b"%d 0 obj\n%s\nendobj\n" % (i, body))
+    out.append(b"trailer\n<< /Size %d /Root %d 0 R >>\n%%%%EOF\n"
+               % (len(objects_body) + 1, root))
+    return b"".join(out)
+
+
+def _content_obj(raw: bytes) -> bytes:
+    return (b"<< /Length %d >>\nstream\n" % len(raw)) + raw + b"\nendstream"
+
+
+def test_resources_inherited_from_pages_ancestor():
+    """/Resources on the /Pages node (PDF 7.7.3.4 inheritance) must be
+    found; previously the page-header fallback fabricated phantom fonts
+    and the real /Font dict was never consulted."""
+    from pdf_extractor_spark.extract.pdf_parser import extract_pdf_one
+
+    raw = b"BT /F1 12 Tf 72 700 Td (inherited resources) Tj ET"
+    pdf = _mini_pdf(
+        [
+            b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+            b"<< /Type /Pages /Kids [3 0 R] /Count 1 "
+            b"/Resources << /Font << /F1 1 0 R >> >> >>",
+            b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            b"/Contents 4 0 R >>",
+            _content_obj(raw),
+            b"<< /Type /Catalog /Pages 2 0 R >>",
+        ],
+        root=5,
+    )
+    assert extract_pdf_one(pdf)[0] == "inherited resources"
+
+
+def test_pages_emitted_in_kids_order_not_object_order():
+    """/Kids [5, 3]: object 5's page text must come FIRST even though its
+    object number is higher (incremental updates renumber freely)."""
+    from pdf_extractor_spark.extract.pdf_parser import extract_pdf_one
+
+    pdf = _mini_pdf(
+        [
+            b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+            b"<< /Type /Pages /Kids [5 0 R 3 0 R] /Count 2 "
+            b"/Resources << /Font << /F1 1 0 R >> >> >>",
+            b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            b"/Contents 4 0 R >>",
+            _content_obj(b"BT /F1 12 Tf 72 700 Td (second page) Tj ET"),
+            b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            b"/Contents 6 0 R >>",
+            _content_obj(b"BT /F1 12 Tf 72 700 Td (first page) Tj ET"),
+            b"<< /Type /Catalog /Pages 2 0 R >>",
+        ],
+        root=7,
+    )
+    text = extract_pdf_one(pdf)[0]
+    assert text.index("first page") < text.index("second page")
+
+
+def test_pdf_header_after_preamble_bytes():
+    """%PDF- within the first 1024 bytes (HTTP-injected preamble) must
+    still route to the PDF parser; an HTML page that merely mentions
+    %PDF- must not."""
+    from pdf_extractor_spark.extract.udfs import extract_one
+
+    plain = make_pdf([[(72, 700, "offset header")]])
+    junk = b"x" * 37 + b"\r\n"
+    text, _, _, kind, ok, _ = extract_one(junk + plain)
+    assert kind == "pdf" and ok and text == "offset header"
+    html = ("<html><body><article><p>all about %PDF- headers and other "
+            "markers in files, a long enough paragraph to keep.</p>"
+            "</article></body></html>").encode()
+    text, _, _, kind, ok, _ = extract_one(html)
+    assert kind == "html" and ok and "all about %PDF- headers" in text
