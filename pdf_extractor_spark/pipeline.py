@@ -79,6 +79,11 @@ def run_extraction_job(
     sized = extracted.withColumn("bytes_in", F.length("html")).drop("html")
     sized = sized.persist()
     try:
+        # nothing to do -> no snapshot: a fully-resumed re-run (or an empty
+        # time window in process_in_batches) must not append empty
+        # snap_N + _lineage dirs on every invocation
+        if sized.isEmpty():
+            return {"snapshot": None, "rows": 0, "marker": None}
         snap_id = catalog.commit_snapshot(sized, output_table)
         marker = f"snap_{snap_id}"
         # bytes_in is already a length here -> sum it directly (lineage_for's
@@ -116,7 +121,11 @@ def rerun_failed(
     """
     metrics: list[dict] = []
     for _ in range(max_rounds):
-        done = catalog.read_committed(spark, output_table)
+        # LATEST state per url, not the union of all snapshots: a url
+        # repaired in an earlier round still has its original ok=false row
+        # in read_committed, which would re-extract it every round and
+        # burn max_rounds without converging
+        done = read_latest(spark, output_table)
         if done is None:
             break
         failed = done.filter(~F.col("ok")).select("url").distinct()

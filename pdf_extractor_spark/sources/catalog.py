@@ -27,9 +27,10 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 _SNAP_RE = re.compile(r"^snap_(\d+)$")
 _MARKER = "_committed_{n}"
+_LIVE = "_live"
 
 
-def _committed_ids(table_path: str) -> list[int]:
+def _marker_ids(table_path: str) -> list[int]:
     if not os.path.isdir(table_path):
         return []
     names = set(os.listdir(table_path))
@@ -39,6 +40,31 @@ def _committed_ids(table_path: str) -> list[int]:
         if m and _MARKER.format(n=m.group(1)) in names:
             out.append(int(m.group(1)))
     return sorted(out)
+
+
+def _write_live(table_path: str, ids: list[int]) -> None:
+    """Atomically swap the live-snapshot manifest (write temp + rename):
+    the SINGLE mutation that changes what readers see, so delete/compact
+    cannot leave a window where old and new snapshots are both visible
+    (N marker deletions are not atomic; one pointer swap is)."""
+    tmp = os.path.join(table_path, "_live.tmp")
+    with open(tmp, "w") as fh:
+        fh.write(",".join(str(i) for i in sorted(set(ids))))
+    os.replace(tmp, os.path.join(table_path, _LIVE))
+
+
+def _committed_ids(table_path: str) -> list[int]:
+    """Visible snapshots: the _live manifest when present (intersected
+    with marker'd dirs as defense), else all marker'd dirs (legacy tables
+    committed before the manifest existed)."""
+    markers = _marker_ids(table_path)
+    live_path = os.path.join(table_path, _LIVE)
+    if os.path.exists(live_path):
+        with open(live_path) as fh:
+            txt = fh.read().strip()
+        live = {int(x) for x in txt.split(",") if x}
+        return sorted(live & set(markers))
+    return markers
 
 
 def next_snapshot_id(table_path: str) -> int:
@@ -52,20 +78,41 @@ def next_snapshot_id(table_path: str) -> int:
     return (max(existing) + 1) if existing else 1
 
 
-def commit_snapshot(df: DataFrame, table_path: str, snapshot_id: int | None = None) -> int:
-    """Write ``df`` as a new snapshot; the commit marker is written last.
+def commit_snapshot(
+    df: DataFrame,
+    table_path: str,
+    snapshot_id: int | None = None,
+    *,
+    preserve_snapshot: bool = False,
+    replace_live: bool = False,
+) -> int:
+    """Write ``df`` as a new snapshot; the commit marker is written, then
+    the _live manifest is swapped — visibility flips on that single atomic
+    rename (a crash in between leaves the new snapshot invisible and the
+    old state intact).
 
     Every committed row carries a ``_snapshot`` column written at commit
     time (the Iceberg snapshot-id analog) so last-wins merge ordering is a
-    table property, not a directory-name convention."""
+    table property, not a directory-name convention.
+    ``preserve_snapshot`` keeps each row's EXISTING ``_snapshot`` value
+    (compaction/delete rewrite history files but must not flatten the
+    last-wins order — re-stamping made read_latest return repaired-over
+    rows again). ``replace_live`` makes this snapshot the ONLY live one
+    (the delete/compact swap)."""
     os.makedirs(table_path, exist_ok=True)
+    prior = _committed_ids(table_path)
     n = next_snapshot_id(table_path) if snapshot_id is None else snapshot_id
     snap_dir = os.path.join(table_path, f"snap_{n}")
-    df = df.drop("_snapshot").withColumn("_snapshot", F.lit(n))
+    if preserve_snapshot and "_snapshot" in df.columns:
+        df = df.withColumn(
+            "_snapshot", F.coalesce(F.col("_snapshot"), F.lit(n))
+        )
+    else:
+        df = df.drop("_snapshot").withColumn("_snapshot", F.lit(n))
     df.write.mode("overwrite").parquet(snap_dir)
-    # atomic visibility flip: marker exists <=> snapshot is committed
     with open(os.path.join(table_path, _MARKER.format(n=n)), "w") as fh:
         fh.write(str(n))
+    _write_live(table_path, [n] if replace_live else prior + [n])
     return n
 
 
@@ -126,7 +173,11 @@ def delete_where(
         return 0
     old_ids = _committed_ids(table_path)
     kept = current.join(keys.select(key).distinct(), on=key, how="left_anti")
-    n = commit_snapshot(kept, table_path)
+    # preserve per-row _snapshot (last-wins history) and swap the _live
+    # manifest in one rename; marker removal below is mere housekeeping
+    n = commit_snapshot(
+        kept, table_path, preserve_snapshot=True, replace_live=True
+    )
     for old in old_ids:
         marker = os.path.join(table_path, _MARKER.format(n=old))
         if os.path.exists(marker):
@@ -141,7 +192,9 @@ def compact(spark: SparkSession, table_path: str) -> int:
     if current is None:
         return 0
     old_ids = _committed_ids(table_path)
-    n = commit_snapshot(current, table_path)
+    n = commit_snapshot(
+        current, table_path, preserve_snapshot=True, replace_live=True
+    )
     for old in old_ids:
         marker = os.path.join(table_path, _MARKER.format(n=old))
         if os.path.exists(marker):

@@ -52,7 +52,11 @@ def parse_cdx_lines(df: DataFrame, col: str = "value") -> DataFrame:
     through). One split(limit=3) + JSON field extraction — all codegen
     expressions."""
     parts = F.split(F.col(col), " ", 3)
-    js = parts[2]
+    # F.get (not []): out-of-bounds -> NULL; a line with fewer than three
+    # fields (blank line, 'filedesc:' header) would otherwise throw
+    # INVALID_ARRAY_INDEX under ANSI and abort the scan
+    ts_part = F.get(parts, 1)
+    js = F.get(parts, 2)
     passthrough = [c for c in df.columns if c != col]
     # try_* everywhere: the input is an EXTERNAL file, and one malformed
     # line (a classic-CDX ' CDX N b a m s k r...' header, a legacy
@@ -60,8 +64,8 @@ def parse_cdx_lines(df: DataFrame, col: str = "value") -> DataFrame:
     # a 100 GB scan with an ANSI DateTimeException/cast error
     return df.select(
         *passthrough,
-        parts[0].alias("urlkey"),
-        F.try_to_timestamp(parts[1], F.lit(CDX_TS_FMT)).alias("warc_ts"),
+        F.get(parts, 0).alias("urlkey"),
+        F.try_to_timestamp(ts_part, F.lit(CDX_TS_FMT)).alias("warc_ts"),
         F.get_json_object(js, "$.url").alias("url"),
         F.get_json_object(js, "$.mime").alias("mime"),
         F.get_json_object(js, "$.status").alias("status"),

@@ -125,15 +125,17 @@ def _iter_gzip_members(data: bytes) -> Iterator[bytes]:
     """Decompress a multi-member gzip stream one member at a time (bounded
     memory per member; a corrupt member ends iteration, prior members
     survive)."""
-    pos = 0
-    while pos < len(data) and data[pos : pos + 2] == _GZIP_MAGIC:
+    view = memoryview(data)  # zero-copy slices: data[pos:] per member is
+    pos = 0                   # O(members x file_size) memcpy on real
+    n = len(data)             # ~100k-member Common Crawl archives
+    while pos < n and bytes(view[pos : pos + 2]) == _GZIP_MAGIC:
         d = zlib.decompressobj(16 + zlib.MAX_WBITS)
         try:
-            out = d.decompress(data[pos:])
+            out = d.decompress(view[pos:])
         except zlib.error:
             return
         yield out
-        consumed = len(data) - pos - len(d.unused_data)
+        consumed = n - pos - len(d.unused_data)
         if consumed <= 0:  # no forward progress: corrupt framing
             return
         pos += consumed
@@ -142,31 +144,37 @@ def _iter_gzip_members(data: bytes) -> Iterator[bytes]:
 def _parse_record(raw: bytes, pos: int) -> tuple[dict[str, str], bytes, int] | None:
     """Parse one record at ``pos``; returns (headers, body, next_pos) or
     None when no complete, well-formed record starts there."""
-    start = raw.find(b"WARC/", pos)
-    if start < 0:
-        return None
-    head_end = raw.find(CRLF + CRLF, start)
-    if head_end < 0:
-        return None
-    headers: dict[str, str] = {}
-    lines = raw[start:head_end].split(CRLF)
-    if not lines or not lines[0].startswith(b"WARC/"):
-        return None
-    for line in lines[1:]:
-        k, sep, v = line.partition(b":")
-        if sep:
-            headers[k.strip().decode("ascii", "ignore").lower()] = v.strip().decode(
-                "ascii", "ignore"
-            )
-    try:
-        length = int(headers.get("content-length", ""))
-    except ValueError:
-        return None
-    body_start = head_end + 4
-    body_end = body_start + length
-    if body_end > len(raw):  # truncated record
-        return None
-    return headers, raw[body_start:body_end], body_end
+    while True:
+        start = raw.find(b"WARC/", pos)
+        if start < 0:
+            return None
+        head_end = raw.find(CRLF + CRLF, start)
+        if head_end < 0:
+            return None
+        headers: dict[str, str] = {}
+        lines = raw[start:head_end].split(CRLF)
+        if not lines or not lines[0].startswith(b"WARC/"):
+            return None
+        for line in lines[1:]:
+            k, sep, v = line.partition(b":")
+            if sep:
+                headers[
+                    k.strip().decode("ascii", "ignore").lower()
+                ] = v.strip().decode("ascii", "ignore")
+        try:
+            length = int(headers.get("content-length", ""))
+        except ValueError:
+            # corrupt/missing Content-Length: resync at the NEXT record
+            # header instead of ending the chunk — one bad record must not
+            # silently drop every record after it in a plain .warc file
+            # (loop, not recursion: a long bad run must not blow the stack)
+            pos = head_end
+            continue
+        body_start = head_end + 4
+        body_end = body_start + length
+        if body_end > len(raw):  # truncated record
+            return None
+        return headers, raw[body_start:body_end], body_end
 
 
 def iter_warc_records(data: bytes) -> Iterator[tuple[dict[str, str], bytes]]:
@@ -216,12 +224,17 @@ def warc_rows(data: bytes) -> Iterator[dict]:
         url = headers.get("warc-target-uri")
         if not url:
             continue
+        wdate = headers.get("warc-date", "")
         try:
-            ts = datetime.datetime.strptime(
-                headers.get("warc-date", ""), _WARC_DATE_FMT
-            )
+            ts = datetime.datetime.strptime(wdate, _WARC_DATE_FMT)
         except ValueError:
-            continue
+            try:
+                # WARC 1.1 allows fractional seconds
+                ts = datetime.datetime.strptime(
+                    wdate, "%Y-%m-%dT%H:%M:%S.%fZ"
+                )
+            except ValueError:
+                continue
         _status, _http, payload = split_http_response(body)
         yield {
             "url": url,

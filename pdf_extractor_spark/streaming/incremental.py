@@ -62,6 +62,11 @@ def stream_extract_to_catalog(
     stream = spark.readStream.schema(schema).parquet(input_path)
 
     def _commit(batch_df: DataFrame, epoch_id: int) -> None:
+        # dedupe WITHIN the batch too: the catalog anti-join only covers
+        # urls from PRIOR commits; a recrawl landing twice in one trigger
+        # (or an availableNow backlog with re-deliveries) would otherwise
+        # extract and commit the same url twice in one snapshot
+        batch_df = batch_df.dropDuplicates(["url"])
         todo = catalog.remaining(batch_df.sparkSession, batch_df, output_table)
         extracted = extract_documents(todo, n_partitions=n_partitions)
         sized = extracted.withColumn("bytes_in", F.length("html")).drop("html")

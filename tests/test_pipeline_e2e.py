@@ -156,3 +156,70 @@ def test_context_threads_into_udf_closure(spark):
     # distributed == pure function under the same context (golden protocol)
     assert got_loose == extract_one(page, loose)[0]
     assert got_default == extract_one(page)[0]
+
+
+def test_compact_preserves_last_wins_history(spark, tmp_path):
+    """compact()/delete_where must not flatten the _snapshot history: a
+    repaired url must still read ok=true after routine compaction
+    (re-stamping every row with one new snapshot id made read_latest
+    break the tie arbitrarily)."""
+    from pdf_extractor_spark.pipeline import read_latest
+
+    table = str(tmp_path / "t")
+    catalog.commit_snapshot(
+        spark.createDataFrame([("u1", False)], "url string, ok boolean"), table
+    )
+    catalog.commit_snapshot(
+        spark.createDataFrame([("u1", True)], "url string, ok boolean"), table
+    )
+    assert read_latest(spark, table).collect()[0]["ok"] is True
+    catalog.compact(spark, table)
+    rows = read_latest(spark, table).collect()
+    assert len(rows) == 1 and rows[0]["ok"] is True
+    # one live snapshot remains
+    assert len(catalog._committed_ids(table)) == 1
+
+
+def test_snapshot_invisible_until_live_manifest_swap(spark, tmp_path):
+    """The crash window of delete/compact: a snapshot dir + marker written
+    but NOT yet in the _live manifest must stay invisible (the manifest
+    rename is the single atomic visibility flip)."""
+    import os
+
+    table = str(tmp_path / "t")
+    df = spark.createDataFrame([("u1", 1)], "url string, v int")
+    catalog.commit_snapshot(df, table)  # creates _live = [1]
+    # simulate: new consolidated snapshot written, marker written, crash
+    # BEFORE the _live swap
+    spark.createDataFrame([("u1", 1), ("u2", 2)], "url string, v int").write.mode(
+        "overwrite"
+    ).parquet(os.path.join(table, "snap_2"))
+    with open(os.path.join(table, "_committed_2"), "w") as fh:
+        fh.write("2")
+    visible = catalog.read_committed(spark, table)
+    assert visible.count() == 1  # old state intact, new snapshot unseen
+    assert catalog._committed_ids(table) == [1]
+
+
+def test_rerun_failed_converges_after_earlier_repair(spark, corpus, tmp_path):
+    """A url repaired in an earlier snapshot must not be re-extracted in
+    later rounds: the failed set comes from the LATEST state per url, not
+    the union of all snapshots (which retains the stale ok=false row)."""
+    from pdf_extractor_spark.pipeline import rerun_failed
+
+    table = str(tmp_path / "t")
+    catalog.commit_snapshot(
+        spark.createDataFrame(
+            [("https://h/x", False, "")], "url string, ok boolean, text string"
+        ),
+        table,
+    )
+    catalog.commit_snapshot(
+        spark.createDataFrame(
+            [("https://h/x", True, "fixed")], "url string, ok boolean, text string"
+        ),
+        table,
+    )
+    inp = _input_df(spark, corpus[:4], 2)
+    metrics = rerun_failed(spark, inp, table, max_rounds=3)
+    assert metrics == []  # nothing failed in the LATEST state -> no rounds
