@@ -4715,3 +4715,384 @@ def w_cdx(spark: SparkSession, sf: str) -> DataFrame:
         "digest",
         "length",
     )
+
+
+# --------------------------------------------------------------------------
+# Link graph from page payloads + dedup-aware splits + mixture planning
+# (appended AFTER the pinned driver window; see _DRIVER_WINDOW note)
+# --------------------------------------------------------------------------
+
+# Deterministic page-html synthesis shared by the link-graph queries: each
+# document becomes a page on host example{doc_id%7}.com carrying two
+# absolute outlinks (one clean https, one messy uppercase-host http:80 with
+# a tracker param), a relative nav link on every 4th page (must be ignored
+# by the absolute-link extractor), and a CDN link with an EMPTY anchor on
+# every 5th page. Both engines build byte-identical html, then both PARSE
+# it back out — the contract checks the extraction, not the synthesis.
+_PAGE_HTML_SQL = """
+    concat(
+      '<html><body><h1>Doc ', cast(doc_id AS VARCHAR), '</h1><p>', text,
+      '</p><a href="https://www.example', cast((doc_id + 1) % 7 AS VARCHAR),
+      '.com/p/', cast(doc_id % 50 AS VARCHAR), '">read more ',
+      cast(doc_id % 50 AS VARCHAR), '</a><a href="HTTP://Example',
+      cast((doc_id + 3) % 7 AS VARCHAR),
+      '.COM:80/about?utm_source=x">about example ',
+      cast((doc_id + 3) % 7 AS VARCHAR), '</a>',
+      CASE WHEN doc_id % 4 = 0
+           THEN concat('<a href="/nav/', cast(doc_id % 9 AS VARCHAR),
+                       '">site nav</a>')
+           ELSE '' END,
+      CASE WHEN doc_id % 5 = 2
+           THEN concat('<a href="https://cdn.example',
+                       cast(doc_id % 3 AS VARCHAR), '.com:443/img"></a>')
+           ELSE '' END,
+      '</body></html>')
+"""
+
+
+def _page_html_col() -> F.Column:
+    """Spark twin of _PAGE_HTML_SQL (byte-identical strings)."""
+    did = F.col("doc_id")
+    return F.concat(
+        F.lit("<html><body><h1>Doc "), did.cast("string"),
+        F.lit("</h1><p>"), F.col("text"),
+        F.lit('</p><a href="https://www.example'),
+        ((did + 1) % 7).cast("string"),
+        F.lit(".com/p/"), (did % 50).cast("string"),
+        F.lit('">read more '), (did % 50).cast("string"),
+        F.lit('</a><a href="HTTP://Example'),
+        ((did + 3) % 7).cast("string"),
+        F.lit('.COM:80/about?utm_source=x">about example '),
+        ((did + 3) % 7).cast("string"),
+        F.lit("</a>"),
+        F.when(
+            did % 4 == 0,
+            F.concat(
+                F.lit('<a href="/nav/'), (did % 9).cast("string"),
+                F.lit('">site nav</a>'),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 5 == 2,
+            F.concat(
+                F.lit('<a href="https://cdn.example'),
+                (did % 3).cast("string"),
+                F.lit('.com:443/img"></a>'),
+            ),
+        ).otherwise(F.lit("")),
+        F.lit("</body></html>"),
+    )
+
+
+_DST_HOST_SQL = """
+    regexp_replace(regexp_replace(regexp_replace(
+      lower(regexp_extract(href, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)),
+      ':[0-9]+$', ''), '^www\\.', ''), '^$', '')
+"""
+
+
+def _dst_host_col(href: F.Column) -> F.Column:
+    """Canonical destination host of an absolute link: lowercase hostport,
+    port stripped, leading www. stripped — the same normalization the
+    u_canonical_dedupe family applies."""
+    from pdf_extractor_spark.functions.urls import HOSTPORT_RE
+
+    host = F.lower(F.regexp_extract(href, HOSTPORT_RE, 1))
+    host = F.regexp_replace(host, r":[0-9]+$", "")
+    return F.regexp_replace(host, r"^www\.", "")
+
+
+@query(
+    "u_outlinks",
+    f"""
+    WITH page AS (SELECT doc_id, {_PAGE_HTML_SQL} AS html FROM documents),
+    links AS (
+      SELECT doc_id,
+             unnest(regexp_extract_all(html, 'href="([^"]+)"', 1)) AS href
+      FROM page),
+    abs_links AS (
+      SELECT doc_id, href FROM links
+      WHERE regexp_matches(href, '^(?i)https?://')),
+    hosts AS (
+      SELECT concat('example', cast(doc_id % 7 AS VARCHAR), '.com')
+               AS src_host,
+             {_DST_HOST_SQL} AS dst_host,
+             doc_id
+      FROM abs_links)
+    SELECT src_host, dst_host,
+           count(*) AS n_links,
+           count(DISTINCT doc_id) AS n_pages
+    FROM hosts GROUP BY src_host, dst_host
+    """,
+)
+def u_outlinks(spark: SparkSession, sf: str) -> DataFrame:
+    """Host-graph edge extraction from raw page payloads — the step that
+    FEEDS g_host_pagerank's edge list (reference has no link analysis; the
+    crawl-prioritization role of main.py's url lists re-expressed at web
+    scale). hrefs come out of the page with one codegen'd
+    regexp_extract_all (scan-side, no UDF), relative links are dropped
+    (absolute-only contract; base-resolution is the crawler's job), hosts
+    are canonicalized, and the edge rollup is ONE groupBy on
+    (src_host, dst_host) with map-side partial aggregation. At 100 TB the
+    groupBy key count is |hosts|^2-bounded but Zipf-skewed on popular
+    destinations — the same salting machinery as u_host_rollup applies;
+    the extraction itself stays embarrassingly parallel."""
+    d = _t(spark, sf, "documents")
+    page = d.select("doc_id", _page_html_col().alias("html")).repartition(
+        _par(spark), "doc_id"
+    )
+    # stage hrefs as an attribute column before exploding (HOF lambda /
+    # CollapseProject discipline), explode INLINE in one select so
+    # InferFiltersFromGenerate has no attribute child to plant filters on
+    hrefs = page.select(
+        "doc_id",
+        F.regexp_extract_all("html", F.lit(r'href="([^"]+)"'), 1).alias("_h"),
+    )
+    links = hrefs.select(
+        "doc_id", F.explode("_h").alias("href")
+    ).filter(F.col("href").rlike(r"^(?i)https?://"))
+    src = F.concat(
+        F.lit("example"), (F.col("doc_id") % 7).cast("string"), F.lit(".com")
+    )
+    return (
+        links.select(
+            src.alias("src_host"),
+            _dst_host_col(F.col("href")).alias("dst_host"),
+            "doc_id",
+        )
+        .groupBy("src_host", "dst_host")
+        .agg(
+            F.count(F.lit(1)).alias("n_links"),
+            F.countDistinct("doc_id").alias("n_pages"),
+        )
+    )
+
+
+@query(
+    "u_anchor_top_terms",
+    f"""
+    WITH page AS (SELECT doc_id, {_PAGE_HTML_SQL} AS html FROM documents),
+    zipped AS (
+      SELECT doc_id,
+             unnest(list_zip(
+               regexp_extract_all(html, '<a href="([^"]+)">', 1),
+               regexp_extract_all(html, '<a href="[^"]*">([^<]*)</a>', 1)))
+               AS z
+      FROM page),
+    pairs AS (SELECT doc_id, z[1] AS href, z[2] AS anchor FROM zipped),
+    abs_links AS (
+      SELECT {_DST_HOST_SQL} AS dst_host, anchor
+      FROM pairs
+      WHERE regexp_matches(href, '^(?i)https?://') AND length(anchor) > 0),
+    terms AS (
+      SELECT dst_host, unnest(string_split(anchor, ' ')) AS term
+      FROM abs_links),
+    counted AS (
+      SELECT dst_host, term, count(*) AS n
+      FROM terms WHERE length(term) > 0
+      GROUP BY dst_host, term),
+    ranked AS (
+      SELECT dst_host, term, n,
+             row_number() OVER (PARTITION BY dst_host
+                                ORDER BY n DESC, term) AS rnk
+      FROM counted)
+    SELECT dst_host, term, n, rnk FROM ranked WHERE rnk <= 3
+    """,
+)
+def u_anchor_terms(spark: SparkSession, sf: str) -> DataFrame:
+    """Anchor-text rollup per destination host — the classic off-page
+    relevance signal (what OTHER pages call a host), used by crawl
+    frontier scoring and as weak labels for quality classifiers. href and
+    anchor arrays are staged once, zipped positionally (arrays_zip over
+    attribute columns — index lambdas would re-evaluate the extraction
+    per element), exploded inline, and the per-host top-3 terms come from
+    a rank window partitioned by dst_host over the (host, term) COUNTED
+    table — cardinality |hosts|x|vocab|, each partition vocab-bounded;
+    at 100 TB the two-level sharded top-k (host_doc_cap pattern,
+    operators/sampling.py) swaps in. Ties break lexicographically so the
+    rank is total and cross-engine deterministic."""
+    d = _t(spark, sf, "documents")
+    page = d.select("doc_id", _page_html_col().alias("html")).repartition(
+        _par(spark), "doc_id"
+    )
+    staged = page.select(
+        "doc_id",
+        F.regexp_extract_all(
+            "html", F.lit(r'<a href="([^"]+)">'), 1
+        ).alias("hrefs"),
+        F.regexp_extract_all(
+            "html", F.lit(r'<a href="[^"]*">([^<]*)</a>'), 1
+        ).alias("anchors"),
+    )
+    pairs = staged.select(
+        "doc_id",
+        F.explode(F.arrays_zip("hrefs", "anchors")).alias("z"),
+    ).select(
+        F.col("z.hrefs").alias("href"), F.col("z.anchors").alias("anchor")
+    )
+    terms = (
+        pairs.filter(
+            F.col("href").rlike(r"^(?i)https?://")
+            & (F.length("anchor") > 0)
+        )
+        .select(
+            _dst_host_col(F.col("href")).alias("dst_host"),
+            F.explode(F.split("anchor", " ")).alias("term"),
+        )
+        .filter(F.length("term") > 0)
+    )
+    counted = terms.groupBy("dst_host", "term").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("dst_host").orderBy(F.desc("n"), F.col("term"))
+    return (
+        counted.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("dst_host", "term", "n", "rnk")
+    )
+
+
+@query(
+    "d_leakage_free_split",
+    f"""
+    WITH RECURSIVE e AS ({_LSH_PAIRS_SQL}),
+    edges AS (SELECT id_a AS src, id_b AS dst FROM e
+              UNION SELECT id_b, id_a FROM e),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    walk(node, reach) AS (
+      SELECT node, node FROM nodes
+      UNION
+      SELECT eg.dst, w.reach FROM walk w JOIN edges eg ON w.node = eg.src),
+    comps AS (SELECT node, min(reach) AS comp FROM walk GROUP BY node),
+    labeled AS (
+      SELECT d.doc_id, coalesce(c.comp, d.doc_id) AS comp
+      FROM documents d LEFT JOIN comps c ON d.doc_id = c.node),
+    hashed AS (
+      SELECT doc_id, comp,
+             ({_HEX8.format(h="md5(concat('lsplit:', cast(comp AS VARCHAR)))",
+                            p="1")}) / 4294967296.0 AS frac
+      FROM labeled)
+    SELECT doc_id, comp,
+           CASE WHEN frac < 0.8 THEN 'train'
+                WHEN frac < 0.9 THEN 'dev'
+                ELSE 'test' END AS split
+    FROM hashed
+    """,
+)
+def d_leakage_split(spark: SparkSession, sf: str) -> DataFrame:
+    """Leakage-free train/dev/test split: the split key is the NEAR-DUP
+    COMPONENT, not the document — a doc-keyed hash split puts two
+    near-duplicates of the same page on opposite sides of the train/test
+    boundary and the eval set silently memorizes training data (the
+    benchmark-contamination failure mode ExactSubstr/decontamination
+    papers document). Composition of the oracle-checked pieces: LSH
+    candidate pairs -> star connected components -> comp = component min
+    (singletons = own id) -> md5-keyed deterministic 80/10/10 assignment
+    on comp, so every member of a duplicate cluster lands in the SAME
+    split on any engine/partitioning. One broadcast-size join beyond the
+    CC cost; the split decision itself is scan-side."""
+    from pdf_extractor_spark.operators.sampling import _hash_frac
+
+    d = _t(spark, sf, "documents")
+    pairs = D.minhash_lsh_pairs(
+        d, k=4, bands=2, shingle_n=2, n_partitions=_par(spark)
+    )
+    comps = D.connected_components_star(pairs)
+    labeled = (
+        d.select("doc_id")
+        .join(comps, d["doc_id"] == comps["node"], "left")
+        .select(
+            "doc_id", F.coalesce("comp", F.col("doc_id")).alias("comp")
+        )
+    )
+    frac = _hash_frac(F.col("comp"), "lsplit")
+    return labeled.select(
+        "doc_id",
+        "comp",
+        F.when(frac < 0.8, F.lit("train"))
+        .when(frac < 0.9, F.lit("dev"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )
+
+
+@query(
+    "m_mixture_epochs",
+    r"""
+    WITH tok AS (
+      SELECT lang, count(*) AS n_docs,
+             sum(CASE WHEN length(trim(text)) = 0 THEN 0
+                 ELSE array_length(regexp_split_to_array(trim(text), '\s+'))
+                 END) AS n_tokens
+      FROM documents GROUP BY lang),
+    w AS (
+      SELECT lang, n_docs, n_tokens,
+             CASE lang WHEN 'en' THEN 40 WHEN 'zh' THEN 20
+                       WHEN 'de' THEN 15 WHEN 'fr' THEN 15
+                       ELSE 10 END AS weight_pct
+      FROM tok),
+    plan AS (
+      SELECT lang, n_docs, n_tokens, weight_pct,
+             (weight_pct * 1000000) // 100 AS target_tokens,
+             least(8, greatest(1,
+               ((weight_pct * 1000000) // 100 + n_tokens - 1) // n_tokens))
+               AS epochs
+      FROM w)
+    SELECT lang, n_docs, n_tokens, weight_pct, target_tokens, epochs,
+           n_tokens * epochs AS planned_tokens,
+           CASE WHEN (target_tokens + n_tokens - 1) // n_tokens > 8
+                THEN 1 ELSE 0 END AS budget_capped
+    FROM plan
+    """,
+)
+def m_mixture(spark: SparkSession, sf: str) -> DataFrame:
+    """Token-budget mixture planner: given per-language token inventories
+    and target mixture weights, compute the REPEAT EPOCHS per language
+    that realize the target under a total token budget (the 'how many
+    passes over each domain' table every LLM data recipe publishes —
+    epochs = ceil(target_tokens / available), capped at the standard
+    <=8-repeat guidance, floor 1). All-integer arithmetic (ceil as
+    (a+b-1) div b) so both engines agree bit-for-bit. Plan: one groupBy
+    on the |langs|-cardinality key with map-side partial agg — the
+    planner output is a broadcast-size table the sampling operators
+    (t_temperature_mix / t_stratified_sample) consume as rates."""
+    d = _t(spark, sf, "documents")
+    budget = F.lit(1_000_000).cast("long")
+    tok = d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(
+            F.when(F.length(F.trim("text")) == 0, F.lit(0)).otherwise(
+                F.size(F.split(F.trim("text"), r"\s+"))
+            )
+        ).alias("n_tokens"),
+    )
+    weight = (
+        F.when(F.col("lang") == "en", 40)
+        .when(F.col("lang") == "zh", 20)
+        .when(F.col("lang") == "de", 15)
+        .when(F.col("lang") == "fr", 15)
+        .otherwise(10)
+    )
+    planned = tok.select(
+        "lang", "n_docs", "n_tokens", weight.alias("weight_pct")
+    )
+    target = F.expr("CAST(weight_pct * 1000000 AS BIGINT) div 100")
+    raw_epochs = F.expr(
+        "(CAST(weight_pct * 1000000 AS BIGINT) div 100 + n_tokens - 1)"
+        " div n_tokens"
+    )
+    return planned.select(
+        "lang",
+        "n_docs",
+        "n_tokens",
+        "weight_pct",
+        target.alias("target_tokens"),
+        F.least(F.lit(8), F.greatest(F.lit(1), raw_epochs)).alias("epochs"),
+        (
+            F.col("n_tokens")
+            * F.least(F.lit(8), F.greatest(F.lit(1), raw_epochs))
+        ).alias("planned_tokens"),
+        F.when(raw_epochs > 8, F.lit(1)).otherwise(F.lit(0)).alias(
+            "budget_capped"
+        ),
+    )

@@ -1,0 +1,58 @@
+"""Bucketed-table writes for shuffle-free co-located joins.
+
+At 100 TB the dominant repeated cost is re-shuffling the corpus on the
+same key for every join against it (golden compare, correction merge-back,
+resume anti-join, LSH band index probes — all keyed by url/doc_id). Spark's
+bucketing amortizes that shuffle into the WRITE: a table written with
+``bucketBy(n, key)`` records the bucket spec in the catalog, and any
+equi-join between two tables bucketed on the same key with the same bucket
+count is planned WITHOUT an Exchange on either side (SortMergeJoin directly
+over the bucketed scans). A point lookup on the bucket key additionally
+prunes to a single bucket's files (``SelectedBucketsCount: 1 out of n``).
+
+This is the declarative twin of the explicit ``repartition(key)`` staging
+used on the transient frames: persistent corpus tables get bucket specs,
+in-flight frames get repartition barriers. Both are asserted in
+tests/test_bucketed.py (no-Exchange join plan + bucket pruning).
+
+Bucket count is a layout contract, not a tuning knob to revisit per query:
+pick ``n_buckets`` so one bucket of the LARGEST table joined on the key
+fits an executor (e.g. 2^13 buckets for a 100 TB corpus ~= 12 GB/bucket
+pre-projection), and reuse the same count on every table sharing the key —
+mismatched counts fall back to a shuffle on the smaller side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    path: str,
+    key: str,
+    n_buckets: int,
+    sort: bool = True,
+) -> None:
+    """Write ``df`` as an external parquet table bucketed by ``key``.
+
+    ``sort=True`` additionally sort-buckets the files so bucketed joins
+    skip the per-task sort (SortMergeJoin reads pre-sorted runs).
+    """
+    writer = (
+        df.write.format("parquet")
+        .mode("overwrite")
+        .option("path", path)
+        .bucketBy(n_buckets, key)
+    )
+    if sort:
+        writer = writer.sortBy(key)
+    writer.saveAsTable(table)
+
+
+def read_table(spark: SparkSession, table: str) -> DataFrame:
+    """Read a bucketed table back WITH its bucket spec (``spark.table`` —
+    reading the parquet path directly would drop the spec and reintroduce
+    the join shuffle)."""
+    return spark.table(table)
