@@ -4841,15 +4841,17 @@ def u_outlinks(spark: SparkSession, sf: str) -> DataFrame:
     page = d.select("doc_id", _page_html_col().alias("html")).repartition(
         _par(spark), "doc_id"
     )
-    # stage hrefs as an attribute column before exploding (HOF lambda /
-    # CollapseProject discipline), explode INLINE in one select so
-    # InferFiltersFromGenerate has no attribute child to plant filters on
-    hrefs = page.select(
+    # explode the extraction EXPRESSION inline (non-attribute generator
+    # child): staging hrefs as an attribute first lets
+    # InferFiltersFromGenerate plant size(regexp_extract_all(..))>0 under
+    # the Generate and pushdown drags it through the repartition into the
+    # scan stage with the projection substituted away — synthesizing and
+    # regexing every page TWICE (verified in the formatted plan)
+    links = page.select(
         "doc_id",
-        F.regexp_extract_all("html", F.lit(r'href="([^"]+)"'), 1).alias("_h"),
-    )
-    links = hrefs.select(
-        "doc_id", F.explode("_h").alias("href")
+        F.explode(
+            F.regexp_extract_all("html", F.lit(r'href="([^"]+)"'), 1)
+        ).alias("href"),
     ).filter(F.col("href").rlike(r"^(?i)https?://"))
     src = F.concat(
         F.lit("example"), (F.col("doc_id") % 7).cast("string"), F.lit(".com")
