@@ -165,3 +165,39 @@ def dotted_sort_key(col: Column) -> Column:
     """A2 — '3.1' sorts by tuple-of-ints: array comparison is elementwise
     (reference src/notes_extractor.py:19-23)."""
     return F.transform(F.split(col, r"\."), lambda x: x.try_cast("int"))
+
+
+def format_size(bytes_col: Column) -> Column:
+    """F20 — human-readable size string (reference src/pdf_uploader.py:143-149:
+    binary-1024 units B/KB/MB/GB/TB with one decimal).
+
+    All-integer arithmetic: the value is scaled to DECI-units
+    (round-half-up of 10*bytes/1024^k as (20v + D) div (2D)) and the
+    decimal string is assembled from div/mod — bit-identical on any
+    engine, unlike float printf. The reference's f"{x:.1f}" is
+    round-half-even; half-up is used here (documented divergence — ties
+    are only hit by exact multiples of 1024^k/20)."""
+    v = bytes_col.cast("long")
+    out = None
+    for k, unit in ((0, "B"), (1, "KB"), (2, "MB"), (3, "GB")):
+        d = F.lit(1024**k).cast("long")
+        q = (v * 20 + d) / (d * 2)  # double div — floor'd next line
+        q = F.floor(q).cast("long")
+        s = F.concat(
+            (q / 10).cast("long").cast("string"),
+            F.lit("."),
+            (q % 10).cast("string"),
+            F.lit(" " + unit),
+        )
+        cond = v < F.lit(1024 ** (k + 1))
+        out = F.when(cond, s) if out is None else out.when(cond, s)
+    d = F.lit(1024**4).cast("long")
+    q = F.floor((v * 20 + d) / (d * 2)).cast("long")
+    return out.otherwise(
+        F.concat(
+            (q / 10).cast("long").cast("string"),
+            F.lit("."),
+            (q % 10).cast("string"),
+            F.lit(" TB"),
+        )
+    )

@@ -5098,3 +5098,59 @@ def m_mixture(spark: SparkSession, sf: str) -> DataFrame:
             "budget_capped"
         ),
     )
+
+
+@query(
+    "f20_format_size",
+    """
+    WITH sized AS (
+      SELECT doc_id,
+             n_chars * CASE doc_id % 5
+               WHEN 0 THEN 1 WHEN 1 THEN 1024 WHEN 2 THEN 1048576
+               WHEN 3 THEN 1073741824 ELSE 1099511627776 END AS bytes
+      FROM documents),
+    u AS (
+      SELECT doc_id, bytes,
+             CASE WHEN bytes < 1024 THEN 0
+                  WHEN bytes < 1048576 THEN 1
+                  WHEN bytes < 1073741824 THEN 2
+                  WHEN bytes < 1099511627776 THEN 3
+                  ELSE 4 END AS k
+      FROM sized),
+    d AS (
+      SELECT doc_id, bytes, k,
+             CASE k WHEN 0 THEN 1 WHEN 1 THEN 1024 WHEN 2 THEN 1048576
+                    WHEN 3 THEN 1073741824 ELSE 1099511627776 END AS dv,
+             CASE k WHEN 0 THEN 'B' WHEN 1 THEN 'KB' WHEN 2 THEN 'MB'
+                    WHEN 3 THEN 'GB' ELSE 'TB' END AS unit
+      FROM u),
+    q AS (SELECT doc_id, bytes, unit,
+                 (bytes * 20 + dv) // (dv * 2) AS deci
+          FROM d)
+    SELECT doc_id, bytes,
+           concat(cast(deci // 10 AS VARCHAR), '.',
+                  cast(deci % 10 AS VARCHAR), ' ', unit) AS size_str
+    FROM q
+    """,
+)
+def f20_format(spark: SparkSession, sf: str) -> DataFrame:
+    """F20 — human-readable size formatting (reference
+    src/pdf_uploader.py:143-149) as a pure integer column expression.
+    Byte counts are synthesized across five orders of magnitude from
+    doc_id so every unit branch (B through the unbounded TB tail) is
+    exercised; the decimal string is assembled from div/mod in deci-units
+    so both engines agree bit-for-bit (no float printf)."""
+    d = _t(spark, sf, "documents")
+    mult = (
+        F.when(F.col("doc_id") % 5 == 0, F.lit(1))
+        .when(F.col("doc_id") % 5 == 1, F.lit(1024))
+        .when(F.col("doc_id") % 5 == 2, F.lit(1048576))
+        .when(F.col("doc_id") % 5 == 3, F.lit(1073741824))
+        .otherwise(F.lit(1099511627776))
+    )
+    sized = d.select(
+        "doc_id", (F.col("n_chars") * mult).cast("long").alias("bytes")
+    )
+    return sized.select(
+        "doc_id", "bytes", N.format_size(F.col("bytes")).alias("size_str")
+    )

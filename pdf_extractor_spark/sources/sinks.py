@@ -252,3 +252,31 @@ def display_table_preview(
     if len(rows) > max_rows:
         lines.append(f"(Showing {max_rows} of {len(rows)} rows)")
     return "\n".join(lines)
+
+
+def flatten_nested(df: DataFrame, sep: str = ".") -> DataFrame:
+    """F15 — recursive nested-structure flatten (reference
+    src/validator.py flattens nested note/statement maps into dotted keys
+    before tabulation; here the same contract over StructType columns).
+
+    Every StructType column is expanded into ``parent<sep>child`` top-level
+    columns, recursively, preserving field order (depth-first). Arrays and
+    maps stay as single columns (they fan out rows, not columns — explode
+    is a separate, deliberate operation). Pure projection: zero shuffle,
+    column pruning still reaches the scan because the output columns are
+    direct nested-field references (Parquet reads only the referenced
+    leaves)."""
+    from pyspark.sql.types import StructType
+
+    def expand(prefix: str, col: F.Column, dtype) -> list[F.Column]:
+        if isinstance(dtype, StructType):
+            out: list[F.Column] = []
+            for f in dtype.fields:
+                out.extend(expand(f"{prefix}{sep}{f.name}", col[f.name], f.dataType))
+            return out
+        return [col.alias(prefix)]
+
+    cols: list[F.Column] = []
+    for field in df.schema.fields:
+        cols.extend(expand(field.name, F.col(field.name), field.dataType))
+    return df.select(*cols)
