@@ -138,10 +138,33 @@ def _unpartitioned_windows(plan: str) -> list[str]:
     return bad
 
 
+def _filter_conditions(plan: str) -> list[str]:
+    """The ``Condition :`` detail line of every Filter node in a formatted
+    plan (node header ``(n) Filter``, condition on a following line)."""
+    import re
+
+    lines = plan.splitlines()
+    out = []
+    for i, ln in enumerate(lines):
+        if re.fullmatch(r"\(\d+\) Filter.*", ln.strip()):
+            for detail in lines[i + 1 : i + 6]:
+                if detail.strip().startswith("Condition :"):
+                    out.append(detail)
+                    break
+    return out
+
+
 def test_all_queries_plan_hygiene(spark):
     """Every contract query must plan without cartesian products,
     row-at-a-time Python, or unpartitioned windows — the three scale
-    killers."""
+    killers — and no Filter condition may contain an array-regex
+    extraction over a payload column: that is the
+    InferFiltersFromGenerate signature (the inferred size(arr)>0 guard
+    re-evaluating the whole staged document-scale expression per row in
+    the scan stage — the u_outlinks regression class; explode the
+    expression inline instead, which suppresses the inferred filter).
+    Cheap per-row HOF lambdas and deliberate scan-side regex keep-filters
+    are fine and deliberately not flagged."""
     from pdf_extractor_spark.queries import all_queries
 
     for name, fn in all_queries().items():
@@ -149,6 +172,15 @@ def test_all_queries_plan_hygiene(spark):
         assert "CartesianProduct" not in plan, name
         assert "BatchEvalPython" not in plan, name
         assert not _unpartitioned_windows(plan), name
+        for cond in _filter_conditions(plan):
+            # deliberate scan-side feature filters (quality-weighted keep)
+            # legitimately regex — even size(regexp_extract_all(..)) as a
+            # stopword count — inside the Filter; the inferred generator
+            # guard uniquely null-checks the ARRAY extraction itself
+            assert "isnotnull(regexp_extract_all(" not in cond, (
+                name,
+                cond[:200],
+            )
 
 
 def test_pack_sequences_window_is_sharded(spark):
