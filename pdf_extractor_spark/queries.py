@@ -4946,9 +4946,29 @@ def u_anchor_terms(spark: SparkSession, sf: str) -> DataFrame:
     counted = terms.groupBy("dst_host", "term").agg(
         F.count(F.lit(1)).alias("n")
     )
-    w = Window.partitionBy("dst_host").orderBy(F.desc("n"), F.col("term"))
+    # two-level top-k (the host_doc_cap pattern): a mega-host's
+    # (host, term) partition is vocab-sized — rank within (host, shard)
+    # first, keep per-shard top-3, then rank the <= 3*S survivors per
+    # host. Global top-3 is a subset of the per-shard top-3s under the
+    # same total order, so the result (values AND ranks) is identical to
+    # the single-window form; no partition ever exceeds its shard's
+    # vocab share. The shard key is internal (never output), so plain
+    # hash() is fine.
+    n_shards = 8
+    sharded = counted.withColumn(
+        "_shard", F.pmod(F.hash("term"), F.lit(n_shards))
+    )
+    w_shard = Window.partitionBy("dst_host", "_shard").orderBy(
+        F.desc("n"), F.col("term")
+    )
+    survivors = sharded.withColumn(
+        "_srnk", F.row_number().over(w_shard)
+    ).filter(F.col("_srnk") <= 3)
+    w_host = Window.partitionBy("dst_host").orderBy(
+        F.desc("n"), F.col("term")
+    )
     return (
-        counted.withColumn("rnk", F.row_number().over(w))
+        survivors.withColumn("rnk", F.row_number().over(w_host))
         .filter(F.col("rnk") <= 3)
         .select("dst_host", "term", "n", "rnk")
     )
