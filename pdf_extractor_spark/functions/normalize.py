@@ -178,26 +178,26 @@ def format_size(bytes_col: Column) -> Column:
     round-half-even; half-up is used here (documented divergence — ties
     are only hit by exact multiples of 1024^k/20)."""
     v = bytes_col.cast("long")
-    out = None
-    for k, unit in ((0, "B"), (1, "KB"), (2, "MB"), (3, "GB")):
+
+    def _div(a: Column, b: Column) -> Column:
+        # TRUE long division (IntegralDivide) — `/` is double division and
+        # floor(double) can cross an integer boundary once the numerator
+        # exceeds 2^53 (~0.5 PB in deci-byte units)
+        return F.call_function("div", a, b)
+
+    def _deci_str(k: int, unit: str) -> Column:
         d = F.lit(1024**k).cast("long")
-        q = (v * 20 + d) / (d * 2)  # double div — floor'd next line
-        q = F.floor(q).cast("long")
-        s = F.concat(
-            (q / 10).cast("long").cast("string"),
+        q = _div(v * 20 + d, d * 2)
+        return F.concat(
+            _div(q, F.lit(10).cast("long")).cast("string"),
             F.lit("."),
             (q % 10).cast("string"),
             F.lit(" " + unit),
         )
+
+    out = None
+    for k, unit in ((0, "B"), (1, "KB"), (2, "MB"), (3, "GB")):
         cond = v < F.lit(1024 ** (k + 1))
+        s = _deci_str(k, unit)
         out = F.when(cond, s) if out is None else out.when(cond, s)
-    d = F.lit(1024**4).cast("long")
-    q = F.floor((v * 20 + d) / (d * 2)).cast("long")
-    return out.otherwise(
-        F.concat(
-            (q / 10).cast("long").cast("string"),
-            F.lit("."),
-            (q % 10).cast("string"),
-            F.lit(" TB"),
-        )
-    )
+    return out.otherwise(_deci_str(4, "TB"))

@@ -4785,16 +4785,17 @@ def _page_html_col() -> F.Column:
 
 
 _DST_HOST_SQL = """
-    regexp_replace(regexp_replace(regexp_replace(
+    regexp_replace(regexp_replace(
       lower(regexp_extract(href, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)),
-      ':[0-9]+$', ''), '^www\\.', ''), '^$', '')
+      ':[0-9]+$', ''), '^www\\.', '')
 """
 
 
 def _dst_host_col(href: F.Column) -> F.Column:
-    """Canonical destination host of an absolute link: lowercase hostport,
-    port stripped, leading www. stripped — the same normalization the
-    u_canonical_dedupe family applies."""
+    """Destination host of an absolute link: lowercase hostport, ANY port
+    stripped, leading www. stripped. Deliberately coarser than
+    canonicalize_url (which strips only scheme-default ports): link-graph
+    hosts aggregate by site, where :8080 and :80 are the same node."""
     from pdf_extractor_spark.functions.urls import HOSTPORT_RE
 
     host = F.lower(F.regexp_extract(href, HOSTPORT_RE, 1))
@@ -5057,12 +5058,14 @@ def d_leakage_split(spark: SparkSession, sf: str) -> DataFrame:
       SELECT lang, n_docs, n_tokens, weight_pct,
              (weight_pct * 1000000) // 100 AS target_tokens,
              least(8, greatest(1,
-               ((weight_pct * 1000000) // 100 + n_tokens - 1) // n_tokens))
+               ((weight_pct * 1000000) // 100 + greatest(n_tokens, 1) - 1)
+                 // greatest(n_tokens, 1)))
                AS epochs
       FROM w)
     SELECT lang, n_docs, n_tokens, weight_pct, target_tokens, epochs,
            n_tokens * epochs AS planned_tokens,
-           CASE WHEN (target_tokens + n_tokens - 1) // n_tokens > 8
+           CASE WHEN (target_tokens + greatest(n_tokens, 1) - 1)
+                     // greatest(n_tokens, 1) > 8
                 THEN 1 ELSE 0 END AS budget_capped
     FROM plan
     """,
@@ -5079,14 +5082,14 @@ def m_mixture(spark: SparkSession, sf: str) -> DataFrame:
     planner output is a broadcast-size table the sampling operators
     (t_temperature_mix / t_stratified_sample) consume as rates."""
     d = _t(spark, sf, "documents")
-    budget = F.lit(1_000_000).cast("long")
-    tok = d.groupBy("lang").agg(
+    # BUDGET appears as a literal in the two div expressions below AND in
+    # the SQL oracle — change all three together
+    staged = d.select("doc_id", "lang", "text").repartition(
+        _par(spark), "doc_id"
+    )
+    tok = staged.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
-        F.sum(
-            F.when(F.length(F.trim("text")) == 0, F.lit(0)).otherwise(
-                F.size(F.split(F.trim("text"), r"\s+"))
-            )
-        ).alias("n_tokens"),
+        F.sum(T.whitespace_token_count(F.col("text"))).alias("n_tokens"),
     )
     weight = (
         F.when(F.col("lang") == "en", 40)
@@ -5100,8 +5103,8 @@ def m_mixture(spark: SparkSession, sf: str) -> DataFrame:
     )
     target = F.expr("CAST(weight_pct * 1000000 AS BIGINT) div 100")
     raw_epochs = F.expr(
-        "(CAST(weight_pct * 1000000 AS BIGINT) div 100 + n_tokens - 1)"
-        " div n_tokens"
+        "(CAST(weight_pct * 1000000 AS BIGINT) div 100"
+        " + greatest(n_tokens, 1) - 1) div greatest(n_tokens, 1)"
     )
     return planned.select(
         "lang",

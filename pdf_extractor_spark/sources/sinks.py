@@ -268,15 +268,27 @@ def flatten_nested(df: DataFrame, sep: str = ".") -> DataFrame:
     leaves)."""
     from pyspark.sql.types import StructType
 
-    def expand(prefix: str, col: F.Column, dtype) -> list[F.Column]:
+    def expand(prefix: str, col: F.Column, dtype) -> list[tuple[str, F.Column]]:
         if isinstance(dtype, StructType):
-            out: list[F.Column] = []
+            out: list[tuple[str, F.Column]] = []
             for f in dtype.fields:
                 out.extend(expand(f"{prefix}{sep}{f.name}", col[f.name], f.dataType))
             return out
-        return [col.alias(prefix)]
+        return [(prefix, col.alias(prefix))]
 
-    cols: list[F.Column] = []
+    named: list[tuple[str, F.Column]] = []
     for field in df.schema.fields:
-        cols.extend(expand(field.name, F.col(field.name), field.dataType))
-    return df.select(*cols)
+        named.extend(expand(field.name, F.col(field.name), field.dataType))
+    seen: dict[str, int] = {}
+    for name, _ in named:
+        seen[name] = seen.get(name, 0) + 1
+    dupes = sorted(n for n, c in seen.items() if c > 1)
+    if dupes:
+        # e.g. a struct a.{b} next to a literal column already named "a.b"
+        # — fail HERE, not at some downstream write with an
+        # AMBIGUOUS_REFERENCE far from the cause
+        raise ValueError(
+            f"flatten_nested: output column name collision(s): {dupes}; "
+            f"pass a different sep"
+        )
+    return df.select(*(c for _, c in named))

@@ -125,6 +125,10 @@ def test_flatten_nested_prunes_to_leaves(spark, tmp_path):
         (1099511627776, "1.0 TB"),
         (5 * 1099511627776 + 1099511627776 // 2, "5.5 TB"),
         (2048 * 1099511627776, "2048.0 TB"),  # unbounded TB tail
+        # numerator beyond 2^53 and not a power of two: double division
+        # would floor across the boundary here; true long div must not
+        (3 * 2**50 + 7, "3072.0 TB"),
+        (2**53 + 987654321, "8192.0 TB"),
     ],
 )
 def test_format_size_units(spark, n, expected):
@@ -136,3 +140,13 @@ def test_format_size_units(spark, n, expected):
         .collect()[0]["s"]
     )
     assert out == expected
+
+
+def test_flatten_nested_collision_raises(spark):
+    from pyspark.sql import Row as R
+
+    df = spark.createDataFrame([(1, "x")], ["id", "meta.host"]).withColumn(
+        "meta", F.struct(F.lit("y").alias("host"))
+    )
+    with pytest.raises(ValueError, match="collision"):
+        flatten_nested(df)
