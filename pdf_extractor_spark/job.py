@@ -7,7 +7,8 @@ Replaces the reference CLI (reference main.py:160-904 ``extract``/``batch``):
         --input /path/to/documents_parquet --output /path/to/extracted_table \
         [--partitions 64] [--no-resume] [--synth N] [--repair ROUNDS] \
         [--min-content-chars N] [--max-link-density F] \
-        [--curate [--rates '{"en": 0.5}']]
+        [--curate [--rates '{"en": 0.5}']] \
+        [--refresh [--near-dup-threshold 0.5]]
 
 ``--synth N`` generates the deterministic fixture corpus in-flight instead of
 reading an input table (for smoke runs and benchmarks; FIXTURES.md §1).
@@ -35,6 +36,17 @@ def main(argv: list[str] | None = None) -> int:
         "--repair", type=int, default=None, metavar="ROUNDS",
         help="repair mode (V7): re-extract committed ok=false rows for up to "
         "ROUNDS rounds instead of running a fresh extraction pass",
+    )
+    ap.add_argument(
+        "--refresh", action="store_true",
+        help="incremental refresh mode: exact resume -> extract -> "
+        "near-dup probe of the committed corpus -> commit survivors "
+        "(continuous corpus maintenance; cost scales with the batch)",
+    )
+    ap.add_argument(
+        "--near-dup-threshold", type=float, default=0.5,
+        help="refresh mode: Jaccard threshold for dropping a new doc as a "
+        "near-duplicate of a committed one",
     )
     ap.add_argument(
         "--curate", action="store_true",
@@ -119,6 +131,19 @@ def main(argv: list[str] | None = None) -> int:
             )
         else:
             df = spark.read.parquet(args.input)
+        if args.refresh:
+            from pdf_extractor_spark.pipeline import run_refresh_job
+
+            metrics = run_refresh_job(
+                spark,
+                df,
+                args.output,
+                n_partitions=args.partitions,
+                context=context,
+                near_dup_threshold=args.near_dup_threshold,
+            )
+            print(json.dumps(metrics))
+            return 0
         if args.repair is not None:
             rounds = rerun_failed(
                 spark,

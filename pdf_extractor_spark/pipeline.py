@@ -79,30 +79,109 @@ def run_extraction_job(
     sized = extracted.withColumn("bytes_in", F.length("html")).drop("html")
     sized = sized.persist()
     try:
-        # nothing to do -> no snapshot: a fully-resumed re-run (or an empty
-        # time window in process_in_batches) must not append empty
-        # snap_N + _lineage dirs on every invocation
-        if sized.isEmpty():
-            return {"snapshot": None, "rows": 0, "marker": None}
-        snap_id = catalog.commit_snapshot(sized, output_table)
-        marker = f"snap_{snap_id}"
-        # bytes_in is already a length here -> sum it directly (lineage_for's
-        # length() form is for DataFrames that still carry the binary column)
-        lineage = (
-            sized.withColumn("partition_id", F.spark_partition_id())
-            .groupBy("partition_id")
-            .agg(
-                F.count(F.lit(1)).alias("doc_count"),
-                F.coalesce(F.sum("bytes_in"), F.lit(0)).alias("bytes_in"),
-                F.coalesce(F.sum(F.length("text")), F.lit(0)).alias("bytes_out"),
-            )
-            .withColumn("checkpoint_marker", F.lit(marker))
-        )
-        catalog.commit_snapshot(lineage, os.path.join(output_table, "_lineage"))
-        n_rows = sized.count()
+        return _commit_with_lineage(sized, output_table)
     finally:
         sized.unpersist()
+
+
+def _commit_with_lineage(sized: DataFrame, output_table: str) -> dict:
+    """Commit an extraction-result frame (html already dropped, bytes_in
+    precomputed) as one snapshot plus its per-partition lineage rows.
+    ``sized`` must be persisted by the caller (it is counted, committed,
+    and aggregated). Empty input -> NO snapshot: a fully-resumed re-run
+    (or an empty time window in process_in_batches) must not append empty
+    snap_N + _lineage dirs on every invocation."""
+    if sized.isEmpty():
+        return {"snapshot": None, "rows": 0, "marker": None}
+    snap_id = catalog.commit_snapshot(sized, output_table)
+    marker = f"snap_{snap_id}"
+    # bytes_in is already a length here -> sum it directly (lineage_for's
+    # length() form is for DataFrames that still carry the binary column)
+    lineage = (
+        sized.withColumn("partition_id", F.spark_partition_id())
+        .groupBy("partition_id")
+        .agg(
+            F.count(F.lit(1)).alias("doc_count"),
+            F.coalesce(F.sum("bytes_in"), F.lit(0)).alias("bytes_in"),
+            F.coalesce(F.sum(F.length("text")), F.lit(0)).alias("bytes_out"),
+        )
+        .withColumn("checkpoint_marker", F.lit(marker))
+    )
+    catalog.commit_snapshot(lineage, os.path.join(output_table, "_lineage"))
+    n_rows = sized.count()
     return {"snapshot": snap_id, "rows": n_rows, "marker": marker}
+
+
+def run_refresh_job(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    output_table: str,
+    n_partitions: int | None = None,
+    context: ExtractContext | None = None,
+    near_dup_threshold: float = 0.5,
+    max_bucket: int | None = None,
+) -> dict:
+    """Incremental corpus REFRESH: ingest a new crawl batch into an
+    existing corpus table. Three gates, cheapest first:
+
+      1. exact resume — urls already committed are skipped (the S3
+         anti-join, zero extraction cost for re-crawls);
+      2. extraction of the survivors (the one Arrow UDF stage);
+      3. near-dup probe — the new batch's extracted text LSH-probes the
+         committed corpus's band index (operators/dedup.py
+         incremental_near_dups: the batch side shuffles, the corpus side
+         is the pre-bucketed table at real scale) and matches are dropped
+         — the mirror-site / re-post case exact resume cannot catch.
+
+    Survivors commit as one snapshot with per-partition lineage; error
+    rows (ok=false) commit too (they carry no comparable text — the
+    repair loop owns them, not the dedup gate). The whole-corpus pair
+    generation is never re-run: cost scales with the BATCH, which is what
+    makes continuous corpus maintenance viable at 10^12 docs.
+    """
+    from pdf_extractor_spark.operators.dedup import incremental_near_dups
+
+    todo = catalog.remaining(spark, batch_df, output_table)
+    extracted = extract_documents(todo, n_partitions=n_partitions, context=context)
+    sized = (
+        extracted.withColumn("bytes_in", F.length("html")).drop("html").persist()
+    )
+    keep = sized
+    try:
+        batch_in = batch_df.count()
+        after_resume = sized.count()
+        corpus = catalog.read_committed(spark, output_table)
+        near_dropped = 0
+        if corpus is not None and after_resume > 0:
+            corpus_ok = corpus.filter(F.col("ok")).select("url", "text")
+            new_ok = sized.filter(F.col("ok")).select("url", "text")
+            matches = incremental_near_dups(
+                new_ok,
+                corpus_ok,
+                id_col="url",
+                text_col="text",
+                threshold=near_dup_threshold,
+                n_partitions=n_partitions,
+                max_bucket=max_bucket,
+            )
+            dup_urls = matches.select(
+                F.col("new_id").alias("url")
+            ).distinct()
+            keep = sized.join(dup_urls, "url", "left_anti").persist()
+            near_dropped = after_resume - keep.count()
+        metrics = _commit_with_lineage(keep, output_table)
+        metrics.update(
+            {
+                "batch_in": batch_in,
+                "already_committed": batch_in - after_resume,
+                "near_dup_dropped": near_dropped,
+            }
+        )
+        return metrics
+    finally:
+        if keep is not sized:
+            keep.unpersist()
+        sized.unpersist()
 
 
 def rerun_failed(

@@ -1,0 +1,78 @@
+from __future__ import annotations
+
+import duckdb
+
+from pdf_extractor_spark.fixtures.synth import make_document_row
+from pdf_extractor_spark.pipeline import run_extraction_job, run_refresh_job
+
+SCHEMA = "url string, warc_ts timestamp, html binary, text string, lang string"
+
+
+def _rows(ids, url_override=None, html_from=None):
+    out = []
+    for i in ids:
+        r = make_document_row(i)
+        url = url_override(i) if url_override else r["url"]
+        html = make_document_row(html_from(i))["html"] if html_from else r["html"]
+        out.append((url, r["warc_ts"].replace(tzinfo=None), html, r["text"], r["lang"]))
+    return out
+
+
+def test_refresh_job_three_gates(spark, tmp_path):
+    """One refresh run exercises all three gates: exact re-crawls are
+    resumed away, mirror-site near-dups (same content, new url) are
+    dropped by the corpus LSH probe, genuinely new docs commit."""
+    table = str(tmp_path / "corpus")
+    base = spark.createDataFrame(_rows(range(40)), SCHEMA)
+    first = run_extraction_job(spark, base, table, n_partitions=4)
+    assert first["rows"] == 40
+
+    # batch: 40 exact re-crawls + 5 mirrors of docs 0-4 under new urls
+    # + 5 genuinely new docs
+    recrawl = _rows(range(40))
+    mirrors = _rows(
+        range(5),
+        url_override=lambda i: f"https://mirror.example/copy/{i}",
+    )
+    fresh = _rows(range(40, 45))
+    batch = spark.createDataFrame(recrawl + mirrors + fresh, SCHEMA)
+
+    m = run_refresh_job(spark, batch, table, n_partitions=4)
+    assert m["batch_in"] == 50
+    assert m["already_committed"] == 40
+    assert m["near_dup_dropped"] == 5
+    assert m["rows"] == 5
+    assert m["snapshot"] == 2
+
+    committed = duckdb.sql(
+        f"select distinct url from read_parquet('{table}/snap_*/*.parquet')"
+    ).fetchall()
+    urls = {u for (u,) in committed}
+    assert not any(u.startswith("https://mirror.example/") for u in urls)
+    assert len(urls) == 45
+
+
+def test_refresh_job_noop_batch_commits_nothing(spark, tmp_path):
+    """A batch that is entirely re-crawls must not append a snapshot."""
+    table = str(tmp_path / "corpus")
+    base = spark.createDataFrame(_rows(range(10)), SCHEMA)
+    run_extraction_job(spark, base, table, n_partitions=4)
+    m = run_refresh_job(
+        spark, spark.createDataFrame(_rows(range(10)), SCHEMA), table
+    )
+    assert m["snapshot"] is None
+    assert m["rows"] == 0
+    assert m["already_committed"] == 10
+    assert m["near_dup_dropped"] == 0
+
+
+def test_refresh_job_bootstrap_empty_corpus(spark, tmp_path):
+    """Refresh into a not-yet-existing table degrades to a plain first
+    extraction run (no probe, everything commits)."""
+    table = str(tmp_path / "corpus")
+    m = run_refresh_job(
+        spark, spark.createDataFrame(_rows(range(8)), SCHEMA), table
+    )
+    assert m["snapshot"] == 1
+    assert m["rows"] == 8
+    assert m["near_dup_dropped"] == 0
