@@ -23,6 +23,8 @@ Scale notes (100 TB posture):
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 from pyspark.sql import Column, DataFrame, functions as F
 
 DEFAULT_MINHASH_K = 12
@@ -849,6 +851,55 @@ def drop_exact_duplicates(
     return w_key.join(reps, ["_h", id_col], "inner").drop("_h")
 
 
+_CC_LOOP_CONF = {
+    # Coalesce reduce stages toward the advisory partition SIZE instead of
+    # the cluster's default parallelism. With ``parallelismFirst`` (the AQE
+    # default) every tiny stage of the shrinking edge set is coalesced to
+    # ~defaultParallelism near-empty tasks, so doubling the core count
+    # doubles the number of scheduled no-op tasks per round — measured as
+    # wall_c32 > wall_c8 at sf0.1. Honoring the 64 MB advisory collapses
+    # toy-scale rounds to one task at ANY core count; at 100 TB the edge
+    # set is large enough that the advisory still yields thousands of
+    # tasks (and size-based coalescing is Spark's own recommendation for
+    # avoiding small tasks).
+    "spark.sql.adaptive.coalescePartitions.parallelismFirst": "false",
+    # Keep the per-round min-join as a co-partitioned shuffle join: AQE
+    # otherwise demotes it to a broadcast join once the per-node mins
+    # table looks small, and each round then pays a driver collect +
+    # broadcast build (~0.1-0.3s) that dwarfs the actual join at toy
+    # scale (measured: -15% CC loop wall). At 100 TB the mins table is
+    # O(|V|) and would never be broadcast anyway, so this costs nothing
+    # at scale.
+    "spark.sql.autoBroadcastJoinThreshold": "-1",
+    "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+}
+
+
+@contextmanager
+def _size_based_coalesce(spark):
+    """Scope the iterative-CC loop confs (see ``_CC_LOOP_CONF``) onto the
+    session, restoring prior settings on exit. Only the per-round
+    convergence actions execute inside this scope; the upstream
+    candidate-generation pipeline and the final labels plan keep the
+    session's normal AQE behavior."""
+    conf = spark.conf
+    prior: dict[str, str | None] = {}
+    for key, val in _CC_LOOP_CONF.items():
+        try:
+            prior[key] = conf.get(key)
+        except Exception:
+            prior[key] = None
+        conf.set(key, val)
+    try:
+        yield
+    finally:
+        for key, prev in prior.items():
+            if prev is None:
+                conf.unset(key)
+            else:
+                conf.set(key, prev)
+
+
 def connected_components(
     edges: DataFrame,
     src_col: str = "id_a",
@@ -887,6 +938,13 @@ def connected_components(
     # anything changes: an unchanged sum IS convergence — one cheap agg per
     # round instead of a join-based diff
     prev_sum = None
+    with _size_based_coalesce(edges.sparkSession):
+        return _label_propagation_loop(sym, labels, prev_sum, max_iter)
+
+
+def _label_propagation_loop(
+    sym: DataFrame, labels: DataFrame, prev_sum, max_iter: int
+) -> DataFrame:
     for _ in range(max_iter):
         msgs = sym.join(labels, sym["src"] == labels["node"]).select(
             F.col("dst").alias("node"), F.col("comp")
@@ -1012,28 +1070,32 @@ def connected_components_star(
         return (row["n"], row["su"], row["sv"])
 
     prev = _sig(e)
-    for _ in range(max_iter):
-        # LAZY checkpoint: _sig is the round's single action and it
-        # materializes the checkpoint as a side effect — one scheduled job
-        # per round instead of two (the r2 profile showed per-round job
-        # scheduling, not compute, dominating CC wall time at sf0.1).
-        # The edge set only shrinks, and _sig hands us its exact count for
-        # free — size the checkpointed RDD to the data (~50k edges per
-        # partition, floor 1) so late rounds don't relaunch
-        # defaultParallelism near-empty tasks per stage. At 100 TB counts
-        # stay large and the coalesce is a no-op; coalesce never
-        # increases partition count and never shuffles.
-        parts = max(1, int(prev[0]) // 50_000 + 1)
-        e = (
-            _small_star(_large_star(e))
-            .coalesce(parts)
-            .localCheckpoint(eager=False)
-        )
-        cur = _sig(e)
-        if cur == prev:
-            break
-        prev = cur
-    else:
+    spark = edges.sparkSession
+    converged = False
+    with _size_based_coalesce(spark):
+        for _ in range(max_iter):
+            # LAZY checkpoint: _sig is the round's single action and it
+            # materializes the checkpoint as a side effect — one scheduled
+            # job per round instead of two (the r2 profile showed per-round
+            # job scheduling, not compute, dominating CC wall time at
+            # sf0.1). The edge set only shrinks, and _sig hands us its
+            # exact count for free — size the checkpointed RDD to the data
+            # (~50k edges per partition, floor 1) so late rounds don't
+            # relaunch defaultParallelism near-empty tasks per stage. At
+            # 100 TB counts stay large and the coalesce is a no-op;
+            # coalesce never increases partition count and never shuffles.
+            parts = max(1, int(prev[0]) // 50_000 + 1)
+            e = (
+                _small_star(_large_star(e))
+                .coalesce(parts)
+                .localCheckpoint(eager=False)
+            )
+            cur = _sig(e)
+            if cur == prev:
+                converged = True
+                break
+            prev = cur
+    if not converged:
         import warnings
 
         warnings.warn(
