@@ -319,6 +319,62 @@ def cosine_near_dup_pairs(
     )
 
 
+def hard_negative_pairs(
+    df: DataFrame,
+    k: int = 3,
+    n_planes: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Hard-negative mining for contrastive / classifier training data:
+    for each anchor vector, the ``k`` most-cosine-similar vectors carrying
+    a DIFFERENT label — the confusable examples a trainer wants batched
+    with the anchor (in-batch negatives that are actually hard).
+
+    Scale shape: identical to ``cosine_near_dup_pairs`` — SRP-bucket
+    blocking (same-bucket = likely-similar, so the hardest negatives are
+    found first), exact cosine rescore on in-bucket candidates only, then
+    a per-anchor top-k window. The window partitions by anchor id, so no
+    task sees more than one anchor's candidate list; the N x N cross-label
+    product never materializes. Per-row norms are computed once and carried
+    through the join (HOF lambdas are CodegenFallback — don't re-evaluate
+    them per pair).
+    """
+    from pyspark.sql import Window
+
+    dim_row = df.select(F.size(F.col(vec_col)).alias("d")).first()
+    planes = hyperplanes(n_planes, dim_row["d"])
+    keyed = df.select(
+        F.col(id_col).alias("id"),
+        F.col(label_col).alias("label"),
+        F.col(vec_col).alias("v"),
+        norm(F.col(vec_col)).alias("n"),
+        srp_bucket(F.col(vec_col), planes).alias("bucket"),
+    )
+    a, b = keyed.alias("a"), keyed.alias("b")
+    denom = F.col("a.n") * F.col("b.n")
+    pair_cos = F.when(denom == 0, F.lit(0.0)).otherwise(
+        dot(F.col("a.v"), F.col("b.v")) / denom
+    )
+    cand = a.join(
+        b,
+        (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col("a.label") != F.col("b.label")),
+    ).select(
+        F.col("a.id").alias("anchor_id"),
+        F.col("b.id").alias("neg_id"),
+        F.col("b.label").alias("neg_label"),
+        F.round(pair_cos, 6).alias("cosine_sim"),
+    )
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neg_id")
+    )
+    return cand.withColumn(
+        "rank", F.row_number().over(w).cast("int")
+    ).filter(F.col("rank") <= k)
+
+
 def semdedup(
     df: DataFrame,
     k: int = 4,

@@ -5489,3 +5489,335 @@ def f21_parse(spark: SparkSession, sf: str) -> DataFrame:
             "",
         ).alias("full_value"),
     )
+
+
+# =============================================================================
+# Round-3 additions: hard-negative mining, LM count tables, mojibake repair,
+# rank-fusion quality scoring (beyond-reference training-data ops)
+# =============================================================================
+
+
+@query(
+    "e_hard_negatives",
+    """
+    WITH planes AS (
+      SELECT p, d,
+             (((strpos('0123456789abcdef', substr(md5(concat(p, '_', d)), 1, 1)) - 1) * 4096
+             + (strpos('0123456789abcdef', substr(md5(concat(p, '_', d)), 2, 1)) - 1) * 256
+             + (strpos('0123456789abcdef', substr(md5(concat(p, '_', d)), 3, 1)) - 1) * 16
+             + (strpos('0123456789abcdef', substr(md5(concat(p, '_', d)), 4, 1)) - 1))
+              / 32768.0) - 1.0 AS w
+      FROM range(6) t1(p), range(64) t2(d)),
+    e2 AS (
+      SELECT vec_id, unnest(embedding)::DOUBLE AS v,
+             generate_subscripts(embedding, 1) - 1 AS d
+      FROM embeddings),
+    proj AS (
+      SELECT e2.vec_id, planes.p, sum(e2.v * planes.w) AS s
+      FROM e2 JOIN planes USING (d) GROUP BY e2.vec_id, planes.p),
+    b AS (
+      SELECT vec_id,
+             cast(sum(CASE WHEN s >= 0 THEN power(2, p)::bigint ELSE 0 END) AS BIGINT)
+               AS bucket
+      FROM proj GROUP BY vec_id),
+    k AS (SELECT b.vec_id AS id, label, bucket, embedding AS v
+          FROM b JOIN embeddings ON b.vec_id = embeddings.vec_id),
+    cand AS (
+      SELECT a.id AS anchor_id, bb.id AS neg_id, bb.label AS neg_label,
+             round(list_dot_product(a.v::DOUBLE[], bb.v::DOUBLE[])
+                   / (sqrt(list_dot_product(a.v::DOUBLE[], a.v::DOUBLE[]))
+                      * sqrt(list_dot_product(bb.v::DOUBLE[], bb.v::DOUBLE[]))), 6)
+               AS cosine_sim
+      FROM k a JOIN k bb
+        ON a.bucket = bb.bucket AND a.label != bb.label),
+    r AS (
+      SELECT anchor_id, neg_id, neg_label, cosine_sim,
+             cast(row_number() OVER (
+               PARTITION BY anchor_id
+               ORDER BY cosine_sim DESC, neg_id) AS INT) AS rank
+      FROM cand)
+    SELECT anchor_id, neg_id, neg_label, cosine_sim, rank
+    FROM r WHERE rank <= 3
+    """,
+)
+def e_hard_neg(spark: SparkSession, sf: str) -> DataFrame:
+    """Hard-negative mining (beyond-reference training-data op): per anchor
+    vector, the 3 most-similar vectors with a DIFFERENT label, via
+    SRP-bucket blocking + exact rescore + per-anchor top-k window —
+    the candidate generator a contrastive-training pipeline runs over the
+    whole corpus. No cross join; see operators/similarity.py."""
+    e = _t(spark, sf, "embeddings")
+    return S.hard_negative_pairs(e, k=3, n_planes=6)
+
+
+@query(
+    "m_ngram_counts",
+    """
+    WITH toks AS (SELECT string_split(text, ' ') AS t FROM documents),
+    uni AS (SELECT unnest(t) AS g FROM toks),
+    bi AS (
+      SELECT unnest(list_transform(range(1, len(t)),
+                                   i -> t[i] || ' ' || t[i + 1])) AS g
+      FROM toks),
+    cu AS (SELECT g, count(*) AS c FROM uni GROUP BY g),
+    cb AS (SELECT g, count(*) AS c FROM bi GROUP BY g)
+    SELECT 1 AS ngram_order, count(*) AS n_types,
+           cast(sum(c) AS BIGINT) AS n_tokens,
+           cast(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+           cast(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+           CASE WHEN sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)
+                     + 2 * sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) = 0
+                THEN NULL
+                ELSE round(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)::DOUBLE
+                           / (sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)
+                              + 2 * sum(CASE WHEN c = 2 THEN 1 ELSE 0 END)), 6)
+           END AS kn_discount
+    FROM cu
+    UNION ALL
+    SELECT 2, count(*), cast(sum(c) AS BIGINT),
+           cast(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT),
+           cast(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT),
+           CASE WHEN sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)
+                     + 2 * sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) = 0
+                THEN NULL
+                ELSE round(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)::DOUBLE
+                           / (sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)
+                              + 2 * sum(CASE WHEN c = 2 THEN 1 ELSE 0 END)), 6)
+           END
+    FROM cb
+    """,
+)
+def m_ngrams(spark: SparkSession, sf: str) -> DataFrame:
+    """n-gram LM count-of-counts table (beyond-reference training op): per
+    order (1, 2) the type/token counts plus the singleton/doubleton counts
+    n1, n2 and the Kneser-Ney absolute discount D = n1/(n1+2*n2) (Ney et
+    al. 1994 — the ingredients an n-gram LM trainer aggregates from the
+    corpus before smoothing). Plan: tokens staged once behind a
+    repartition barrier, bigrams via zip_with over shifted slices (array
+    inputs evaluate once per row — index lambdas would re-evaluate per
+    element), one explode + two map-side-combinable groupBys per order."""
+    d = _t(spark, sf, "documents")
+    toks = d.repartition(_par(spark), "doc_id").select(
+        F.split(F.col("text"), " ").alias("t")
+    )
+    sz = F.size(F.col("t"))
+    uni = toks.select(F.explode(F.col("t")).alias("g"))
+    bi = toks.select(
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("t"), 1, sz - 1),
+                F.slice(F.col("t"), 2, sz - 1),
+                lambda x, y: F.concat(x, F.lit(" "), y),
+            )
+        ).alias("g")
+    )
+
+    def order_stats(grams: DataFrame, order: int) -> DataFrame:
+        c = grams.groupBy("g").agg(F.count(F.lit(1)).alias("c"))
+        n1 = F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
+        n2 = F.sum(F.when(F.col("c") == 2, 1).otherwise(0))
+        agg = c.agg(
+            F.count(F.lit(1)).alias("n_types"),
+            F.sum("c").alias("n_tokens"),
+            n1.alias("n1"),
+            n2.alias("n2"),
+        )
+        denom = F.col("n1") + 2 * F.col("n2")
+        return agg.select(
+            F.lit(order).alias("ngram_order"),
+            F.col("n_types"),
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.col("n1").cast("long").alias("n1"),
+            F.col("n2").cast("long").alias("n2"),
+            F.when(denom == 0, F.lit(None).cast("double"))
+            .otherwise(F.round(F.col("n1").cast("double") / denom, 6))
+            .alias("kn_discount"),
+        )
+
+    return order_stats(uni, 1).unionAll(order_stats(bi, 2))
+
+
+# cp1252-mojibake digraphs -> the intended UTF-8 character (the classic
+# "UTF-8 bytes decoded as cp1252" corruption; ftfy-class repair, from
+# scratch as a replace chain — only unambiguous sequences, applied in a
+# fixed order). Kept as module data so the Spark and DuckDB sides are
+# generated from ONE table.
+_MOJIBAKE_FIXES: list[tuple[str, str]] = [
+    ("â€™", "’"),  # â€™  -> ’
+    ("â€œ", "“"),  # â€œ  -> “
+    ("â€”", "—"),  # â€” (E2 80 94) -> em dash
+    ("Ã©", "é"),  # Ã© -> é
+    ("Ã¨", "è"),  # Ã¨ -> è
+    ("Ã¼", "ü"),  # Ã¼ -> ü
+    ("Ã¯", "ï"),  # Ã¯ -> ï
+    ("Ã±", "ñ"),  # Ã± -> ñ
+    ("Ã¶", "ö"),  # Ã¶ -> ö
+]
+
+# deterministic injected dirt (dense in the fixable set) — SQL twin built
+# from codepoints so both engines concatenate identical strings
+_MOJIBAKE_DIRT = (
+    " cafÃ© â€™quotedâ€œ "
+    "naÃ¯ve Ã¼ber seÃ±or crÃ¨me "
+    "kÃ¶nig dashâ€” end"
+)
+
+
+def _sql_chr_concat(s: str) -> str:
+    """Render a python string as a DuckDB concat of chr() calls (safe for
+    any codepoint, avoids quoting issues in oracle SQL)."""
+    return " || ".join(f"chr({ord(ch)})" for ch in s)
+
+
+_MOJIBAKE_DIRT_SQL = _sql_chr_concat(_MOJIBAKE_DIRT)
+_MOJIBAKE_FIX_SQL = "dirty"
+for _bad, _good in _MOJIBAKE_FIXES:
+    _MOJIBAKE_FIX_SQL = (
+        f"replace({_MOJIBAKE_FIX_SQL}, {_sql_chr_concat(_bad)},"
+        f" {_sql_chr_concat(_good)})"
+    )
+
+
+@query(
+    "t_mojibake_fix",
+    f"""
+    WITH d0 AS (
+      SELECT doc_id,
+             substr(text, 1, 40) || {_MOJIBAKE_DIRT_SQL} AS dirty
+      FROM documents),
+    f AS (SELECT doc_id, dirty, {_MOJIBAKE_FIX_SQL} AS fixed FROM d0)
+    SELECT doc_id, fixed,
+           cast(length(dirty) - length(fixed) AS INT) AS n_chars_fixed,
+           (strpos(fixed, chr(195)) = 0
+            AND strpos(fixed, chr(226) || chr(8364)) = 0) AS mojibake_free
+    FROM f
+    """,
+)
+def t_mojibake(spark: SparkSession, sf: str) -> DataFrame:
+    """Encoding-damage repair (beyond-reference corpus prep): fixes the
+    classic 'UTF-8 bytes decoded as cp1252' mojibake (cafÃ© -> café,
+    â€™ -> ’) with a fixed-order replace chain over unambiguous digraphs —
+    the ftfy-class cleanup a crawl corpus needs before tokenization.
+    Dirt is injected deterministically so both engines repair identical
+    strings; the replacement table is module data and the oracle SQL is
+    GENERATED from it (one source of truth). Pure codegen projection:
+    chained string replaces, no shuffle, scan-parallel at any scale."""
+    d = _t(spark, sf, "documents")
+    dirty = F.concat(F.substring(F.col("text"), 1, 40), F.lit(_MOJIBAKE_DIRT))
+    fixed = dirty
+    for bad, good in _MOJIBAKE_FIXES:
+        fixed = F.replace(fixed, F.lit(bad), F.lit(good))
+    out = d.select("doc_id", dirty.alias("dirty"), fixed.alias("fixed"))
+    return out.select(
+        "doc_id",
+        "fixed",
+        (F.length("dirty") - F.length("fixed")).cast("int").alias(
+            "n_chars_fixed"
+        ),
+        (
+            (F.instr(F.col("fixed"), "Ã") == 0)
+            & (F.instr(F.col("fixed"), "â€") == 0)
+        ).alias("mojibake_free"),
+    )
+
+
+def _global_rank_desc(
+    df: DataFrame, val_col: str, bucket: "F.Column", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact global row_number over (value DESC, id ASC) WITHOUT an
+    unpartitioned window: rank within a monotone coarse bucket of the value
+    (partitioned window), then add the broadcast count of rows in higher
+    buckets — the same two-level shape as ``_dotted_rank``. ``bucket`` must
+    be monotone non-decreasing in the value so (bucket DESC, value DESC)
+    equals the global value order. Scale: the offsets side is |buckets|
+    rows; no task ever sees more than one bucket's rows."""
+    keyed = df.select(id_col, F.col(val_col).alias("_v"), bucket.alias("_b"))
+    w_in = Window.partitionBy("_b").orderBy(F.col("_v").desc(), F.col(id_col))
+    ranked = keyed.withColumn("_rn", F.row_number().over(w_in))
+    counts = keyed.groupBy("_b").agg(F.count(F.lit(1)).alias("_cnt"))
+    x, y = counts.alias("x"), counts.alias("y")
+    offsets = (
+        x.join(F.broadcast(y), F.col("y._b") > F.col("x._b"), "left")
+        .groupBy(F.col("x._b").alias("_b"))
+        .agg(F.coalesce(F.sum("y._cnt"), F.lit(0)).alias("_off"))
+    )
+    return ranked.join(F.broadcast(offsets), "_b").select(
+        id_col, (F.col("_off") + F.col("_rn")).cast("int").alias("rank")
+    )
+
+
+@query(
+    "t_quality_rrf",
+    """
+    WITH s AS (
+      SELECT doc_id, n_chars,
+             round(len(list_distinct(string_split(text, ' ')))::DOUBLE
+                   / len(string_split(text, ' ')), 6) AS dfrac,
+             round(length(replace(text, ' ', ''))::DOUBLE
+                   / len(string_split(text, ' ')), 6) AS wlen
+      FROM documents),
+    r AS (
+      SELECT doc_id,
+             cast(row_number() OVER (ORDER BY n_chars DESC, doc_id) AS INT)
+               AS r_len,
+             cast(row_number() OVER (ORDER BY dfrac DESC, doc_id) AS INT)
+               AS r_distinct,
+             cast(row_number() OVER (ORDER BY wlen DESC, doc_id) AS INT)
+               AS r_wordlen
+      FROM s)
+    SELECT doc_id, r_len, r_distinct, r_wordlen,
+           round(1.0::DOUBLE / (60 + r_len)
+                 + 1.0::DOUBLE / (60 + r_distinct)
+                 + 1.0::DOUBLE / (60 + r_wordlen), 6) AS rrf_score
+    FROM r
+    """,
+)
+def t_rrf(spark: SparkSession, sf: str) -> DataFrame:
+    """Reciprocal-rank-fusion quality score (beyond-reference curation op):
+    three cheap quality signals (length, distinct-token fraction, mean
+    word length) are each ranked globally and fused with RRF
+    (Cormack/Clarke/Buettcher SIGIR'09: score = sum 1/(60+rank)) — the
+    standard way to combine heterogeneous quality signals without tuning
+    weights. Every global rank uses the two-level bucket-rank + broadcast
+    offsets plan (``_global_rank_desc``): no unpartitioned window anywhere,
+    so no signal ever serializes the corpus through one task."""
+    d = _t(spark, sf, "documents")
+    toks = d.repartition(_par(spark), "doc_id").select(
+        "doc_id",
+        "n_chars",
+        F.split(F.col("text"), " ").alias("t"),
+        F.length(F.regexp_replace(F.col("text"), " ", "")).alias("_nsp"),
+    )
+    sz = F.size(F.col("t"))
+    sig = toks.select(
+        "doc_id",
+        F.col("n_chars"),
+        F.round(
+            F.size(F.array_distinct(F.col("t"))).cast("double") / sz, 6
+        ).alias("dfrac"),
+        F.round(F.col("_nsp").cast("double") / sz, 6).alias("wlen"),
+    ).localCheckpoint()
+    r_len = _global_rank_desc(sig, "n_chars", F.col("n_chars"))
+    r_dis = _global_rank_desc(
+        sig, "dfrac", F.floor(F.col("dfrac") * 64).cast("int")
+    )
+    r_wln = _global_rank_desc(
+        sig, "wlen", F.floor(F.col("wlen") * 8).cast("int")
+    )
+    fused = (
+        r_len.withColumnRenamed("rank", "r_len")
+        .join(r_dis.withColumnRenamed("rank", "r_distinct"), "doc_id")
+        .join(r_wln.withColumnRenamed("rank", "r_wordlen"), "doc_id")
+    )
+    rrf = (
+        F.lit(1.0) / (60 + F.col("r_len"))
+        + F.lit(1.0) / (60 + F.col("r_distinct"))
+        + F.lit(1.0) / (60 + F.col("r_wordlen"))
+    )
+    return fused.select(
+        "doc_id",
+        "r_len",
+        "r_distinct",
+        "r_wordlen",
+        F.round(rrf, 6).alias("rrf_score"),
+    )
