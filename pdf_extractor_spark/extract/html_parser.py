@@ -64,6 +64,20 @@ _BOILERPLATE_ANCESTORS = {"nav", "footer", "header", "aside", "form"}
 
 _HEADING_TAGS = {"h1", "h2", "h3", "h4", "h5", "h6"}
 
+# One dict lookup per tag instead of five set-membership tests in the
+# assembly hot loop: bit 1 = block, 2 = void, 4 = raw-text, 8 =
+# boilerplate ancestor, 16 = anchor.
+_TAG_FLAGS: dict[str, int] = {}
+for _t in _BLOCK_TAGS:
+    _TAG_FLAGS[_t] = _TAG_FLAGS.get(_t, 0) | 1
+for _t in _VOID:
+    _TAG_FLAGS[_t] = _TAG_FLAGS.get(_t, 0) | 2
+for _t in _RAW_TEXT:
+    _TAG_FLAGS[_t] = _TAG_FLAGS.get(_t, 0) | 4
+for _t in _BOILERPLATE_ANCESTORS:
+    _TAG_FLAGS[_t] = _TAG_FLAGS.get(_t, 0) | 8
+_TAG_FLAGS["a"] = _TAG_FLAGS.get("a", 0) | 16
+
 _WS_RE = re.compile(r"\s+")
 
 # Classification thresholds (Boilerpipe-class defaults).
@@ -276,6 +290,8 @@ def _assemble_blocks(source: str) -> list[_Block]:
         _RAW_TEXT,
         _BOILERPLATE_ANCESTORS,
     )
+    _flags = _TAG_FLAGS
+    _fget = _flags.get
     _unescape = _htmllib.unescape
 
     def text_run(start: int, end: int) -> None:
@@ -320,11 +336,12 @@ def _assemble_blocks(source: str) -> list[_Block]:
         if tag is not None:
             # ---- close tag ----
             tag = tag.lower()
-            if tag in _block_tags and cur.parts:
+            fl = _fget(tag, 0)
+            if fl & 1 and cur.parts:  # block tag
                 flush()
-            if tag == "a" and anchor_depth > 0:
+            if fl & 16 and anchor_depth > 0:  # "a"
                 anchor_depth -= 1
-            if tag in _boiler and boiler_depth > 0:
+            if fl & 8 and boiler_depth > 0:  # boilerplate ancestor
                 boiler_depth -= 1
             # pop the nearest matching open tag (forgiving of malformed HTML)
             for i in range(len(stack) - 1, -1, -1):
@@ -342,7 +359,8 @@ def _assemble_blocks(source: str) -> list[_Block]:
             continue
         # ---- open tag ----
         tag = tag.lower()
-        if tag in _raw:
+        fl = _fget(tag, 0)
+        if fl & 4:  # raw-text element
             # The tokenizer emits open+close around the skipped body; no
             # raw-text element is a block tag, "a", or a boilerplate
             # ancestor, so push-then-pop is a no-op on every stack — just
@@ -350,19 +368,19 @@ def _assemble_blocks(source: str) -> list[_Block]:
             cm = _RAW_CLOSE[tag].search(source, mend)
             pos = cm.end() if cm else n
             continue
-        if tag in _block_tags and cur.parts:
+        if fl & 1 and cur.parts:  # block tag
             flush()
-        if tag == "a":
+        if fl & 16:  # "a"
             anchor_depth += 1
-        if tag in _boiler:
+        if fl & 8:  # boilerplate ancestor
             boiler_depth += 1
-        if tag not in _void:
+        if not fl & 2:  # not void
             # HTML5: the '/' on a non-void start tag is IGNORED — the
             # element stays open until its real close tag (matches
             # browsers; an XHTML-style '<a ... />link</a>' farm must
             # still count as anchor text for the link-density filter)
             stack.append(tag)
-            if tag in _block_tags:
+            if fl & 1:
                 block_stack.append(tag)
         pos = mend
     if pos < n:
