@@ -5821,3 +5821,141 @@ def t_rrf(spark: SparkSession, sf: str) -> DataFrame:
         "r_wordlen",
         F.round(rrf, 6).alias("rrf_score"),
     )
+
+
+@query(
+    "u_fetch_schedule",
+    f"""
+    WITH raw AS (SELECT doc_id, {_MESSY_URL_SQL} AS url FROM documents),
+    h AS (
+      SELECT doc_id,
+             regexp_replace(
+               lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)),
+               ':[0-9]+$', '') AS host
+      FROM raw),
+    r AS (
+      SELECT doc_id, host,
+             cast(row_number() OVER (PARTITION BY host ORDER BY doc_id)
+                  AS INT) AS queue_pos
+      FROM h),
+    d AS (
+      SELECT doc_id, host, queue_pos,
+             cast(100 * (1 + strpos('0123456789abcdef',
+                                    substr(md5(host), 1, 1))) AS INT)
+               AS delay_ms
+      FROM r)
+    SELECT doc_id, host, queue_pos, delay_ms,
+           cast((queue_pos - 1) * delay_ms AS BIGINT) AS scheduled_ms
+    FROM d
+    """,
+)
+def u_fetch_sched(spark: SparkSession, sf: str) -> DataFrame:
+    """Politeness-aware crawl scheduling (beyond-reference crawl op): each
+    url gets a deterministic position in its host's FIFO fetch queue and a
+    per-host crawl delay (md5-derived stand-in for a robots.txt
+    Crawl-delay), so scheduled_ms = (pos-1)*delay is the earliest polite
+    fetch time — the frontier-scheduling step of a distributed crawler
+    (Heydon & Najork, Mercator, WWW'99). The per-host queue position is
+    computed WITHOUT a per-host window over the whole host (a giant host
+    would serialize one task): rank within (host, doc_id-range bucket) +
+    broadcast per-bucket prefix offsets — the same two-level shape as
+    m_pack_sequences' sharded prefix sums; bucket width is the scale knob
+    (W ~ N/S keeps the offsets table broadcastable)."""
+    from pdf_extractor_spark.functions.urls import HOSTPORT_RE
+
+    d = _t(spark, sf, "documents")
+    messy = _messy_url_col()
+    host = F.regexp_replace(
+        F.lower(F.regexp_extract(messy, HOSTPORT_RE, 1)), r":[0-9]+$", ""
+    )
+    docs = d.repartition(_par(spark), "doc_id").select(
+        "doc_id", host.alias("host")
+    )
+    keyed = docs.withColumn("_b", F.floor(F.col("doc_id") / 64).cast("int"))
+    w_in = Window.partitionBy("host", "_b").orderBy("doc_id")
+    ranked = keyed.withColumn("_rn", F.row_number().over(w_in))
+    counts = keyed.groupBy("host", "_b").agg(F.count(F.lit(1)).alias("_cnt"))
+    x, y = counts.alias("x"), counts.alias("y")
+    offsets = (
+        x.join(
+            F.broadcast(y),
+            (F.col("y.host") == F.col("x.host"))
+            & (F.col("y._b") < F.col("x._b")),
+            "left",
+        )
+        .groupBy(F.col("x.host").alias("host"), F.col("x._b").alias("_b"))
+        .agg(F.coalesce(F.sum("y._cnt"), F.lit(0)).alias("_off"))
+    )
+    pos = ranked.join(F.broadcast(offsets), ["host", "_b"]).select(
+        "doc_id",
+        "host",
+        (F.col("_off") + F.col("_rn")).cast("int").alias("queue_pos"),
+    )
+    delay = (
+        100
+        * (
+            1
+            + F.position(
+                F.substring(F.md5(F.encode(F.col("host"), "UTF-8")), 1, 1),
+                F.lit("0123456789abcdef"),
+            )
+        )
+    ).cast("int")
+    return pos.withColumn("delay_ms", delay).select(
+        "doc_id",
+        "host",
+        "queue_pos",
+        "delay_ms",
+        ((F.col("queue_pos") - 1).cast("bigint") * F.col("delay_ms"))
+        .cast("bigint")
+        .alias("scheduled_ms"),
+    )
+
+
+@query(
+    "e_diversity_sample",
+    """
+    WITH planes AS (
+      SELECT p, d,
+             (((strpos('0123456789abcdef', substr(md5(concat(p, '_', d)), 1, 1)) - 1) * 4096
+             + (strpos('0123456789abcdef', substr(md5(concat(p, '_', d)), 2, 1)) - 1) * 256
+             + (strpos('0123456789abcdef', substr(md5(concat(p, '_', d)), 3, 1)) - 1) * 16
+             + (strpos('0123456789abcdef', substr(md5(concat(p, '_', d)), 4, 1)) - 1))
+              / 32768.0) - 1.0 AS w
+      FROM range(8) t1(p), range(64) t2(d)),
+    e2 AS (
+      SELECT vec_id, unnest(embedding)::DOUBLE AS v,
+             generate_subscripts(embedding, 1) - 1 AS d
+      FROM embeddings),
+    proj AS (
+      SELECT e2.vec_id, planes.p, sum(e2.v * planes.w) AS s
+      FROM e2 JOIN planes USING (d) GROUP BY e2.vec_id, planes.p),
+    b AS (
+      SELECT vec_id,
+             cast(sum(CASE WHEN s >= 0 THEN power(2, p)::bigint ELSE 0 END) AS BIGINT)
+               AS bucket
+      FROM proj GROUP BY vec_id)
+    SELECT bucket, min(vec_id) AS rep_id, count(*) AS bucket_size
+    FROM b GROUP BY bucket
+    """,
+)
+def e_div_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Diversity-preserving downsampling (beyond-reference embedding op):
+    one representative per SRP-LSH bucket — a coreset-style subset whose
+    members are mutually dissimilar (each bucket collapses a cone of
+    similar vectors to its lowest id, the prototype-selection half of
+    SemDeDup without the exact rescore). One groupBy on the short bucket
+    key, map-side combinable; representative choice (min id) is
+    deterministic at any partitioning."""
+    e = _t(spark, sf, "embeddings")
+    planes = S.hyperplanes(8, 64)
+    b = e.select(
+        "vec_id",
+        S.srp_bucket(F.col("embedding"), planes).cast("bigint").alias(
+            "bucket"
+        ),
+    )
+    return b.groupBy("bucket").agg(
+        F.min("vec_id").alias("rep_id"),
+        F.count(F.lit(1)).alias("bucket_size"),
+    )
