@@ -5959,3 +5959,109 @@ def e_div_sample(spark: SparkSession, sf: str) -> DataFrame:
         F.min("vec_id").alias("rep_id"),
         F.count(F.lit(1)).alias("bucket_size"),
     )
+
+
+@query(
+    "w_sitemap_parse",
+    """
+    WITH e AS (
+      SELECT 'www.example' || cast(doc_id % 7 AS VARCHAR) || '.com' AS host,
+             '<url><loc>https://www.example' || cast(doc_id % 7 AS VARCHAR)
+             || '.com/articles/' || cast(doc_id AS VARCHAR) || '</loc>'
+             || '<lastmod>'
+             || strftime(DATE '2024-01-01' + INTERVAL (doc_id % 365) DAY,
+                         '%Y-%m-%d')
+             || '</lastmod><changefreq>'
+             || CASE doc_id % 3 WHEN 0 THEN 'daily'
+                                WHEN 1 THEN 'weekly'
+                                ELSE 'monthly' END
+             || '</changefreq></url>' AS entry
+      FROM documents),
+    sm AS (
+      SELECT host,
+             '<?xml version="1.0"?><urlset>'
+             || string_agg(entry, '' ORDER BY entry) || '</urlset>' AS xml
+      FROM e GROUP BY host),
+    parsed AS (
+      SELECT host,
+             regexp_extract_all(xml, '<loc>([^<]*)</loc>', 1) AS locs,
+             regexp_extract_all(xml, '<lastmod>([^<]*)</lastmod>', 1) AS mods,
+             regexp_extract_all(xml, '<changefreq>([^<]*)</changefreq>', 1)
+               AS freqs
+      FROM sm)
+    SELECT host,
+           unnest(locs) AS loc,
+           unnest(mods) AS lastmod,
+           unnest(freqs) AS changefreq
+    FROM parsed
+    """,
+)
+def w_sitemap(spark: SparkSession, sf: str) -> DataFrame:
+    """Sitemap ingestion (beyond-reference crawl source): one sitemap.xml
+    per host is synthesized byte-identically in both engines from the
+    documents table, then both engines PARSE it back into one row per
+    (host, loc, lastmod, changefreq) — the url-discovery feed a crawler
+    merges into its frontier (sitemaps.org protocol). Parse is pure
+    codegen: three regexp_extract_all projections zipped positionally and
+    exploded inline (the generator child is an expression, so no inferred
+    isnotnull/size guard lands in the scan — SCALE.md §'expression-plan
+    hygiene'). One groupBy(host) builds the per-host XML; entries are
+    sorted so collect_list nondeterminism never reaches the bytes."""
+    d = _t(spark, sf, "documents")
+    host = F.concat(
+        F.lit("www.example"),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit(".com"),
+    )
+    entry = F.concat(
+        F.lit("<url><loc>https://"),
+        host,
+        F.lit("/articles/"),
+        F.col("doc_id").cast("string"),
+        F.lit("</loc><lastmod>"),
+        F.date_format(
+            F.date_add(F.lit("2024-01-01").cast("date"), (F.col("doc_id") % 365).cast("int")),
+            "yyyy-MM-dd",
+        ),
+        F.lit("</lastmod><changefreq>"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("daily"))
+        .when(F.col("doc_id") % 3 == 1, F.lit("weekly"))
+        .otherwise(F.lit("monthly")),
+        F.lit("</changefreq></url>"),
+    )
+    sm = (
+        d.select(host.alias("host"), entry.alias("entry"))
+        .groupBy("host")
+        .agg(
+            F.concat(
+                F.lit('<?xml version="1.0"?><urlset>'),
+                F.concat_ws("", F.array_sort(F.collect_list("entry"))),
+                F.lit("</urlset>"),
+            ).alias("xml")
+        )
+    )
+    parsed = sm.select(
+        "host",
+        F.regexp_extract_all(F.col("xml"), F.lit("<loc>([^<]*)</loc>"), 1).alias("locs"),
+        F.regexp_extract_all(
+            F.col("xml"), F.lit("<lastmod>([^<]*)</lastmod>"), 1
+        ).alias("mods"),
+        F.regexp_extract_all(
+            F.col("xml"), F.lit("<changefreq>([^<]*)</changefreq>"), 1
+        ).alias("freqs"),
+    )
+    return parsed.select(
+        "host",
+        F.explode(
+            F.arrays_zip(
+                F.col("locs").alias("loc"),
+                F.col("mods").alias("lastmod"),
+                F.col("freqs").alias("changefreq"),
+            )
+        ).alias("z"),
+    ).select(
+        "host",
+        F.col("z.loc").alias("loc"),
+        F.col("z.lastmod").alias("lastmod"),
+        F.col("z.changefreq").alias("changefreq"),
+    )

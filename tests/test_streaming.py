@@ -272,3 +272,72 @@ def test_stream_dedup_within_watermark_matches_batch(spark, tmp_path):
     )
     assert got == want
     assert len(got) == 150  # 0..149 exactly once
+
+
+def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
+    """Stream-stream interval join (clicks attributed to a 15-minute
+    purchase window per user) must equal the batch inequality join — the
+    streaming form of j_interval_attribution's semantics. Both sides carry
+    watermarks + the event-time range condition Structured Streaming needs
+    to bound join state; inner-join matches emit as they are found, so an
+    availableNow pass over complete inputs yields exactly the batch rows."""
+    events = _events(spark)
+    clicks_src = str(tmp_path / "clicks")
+    purch_src = str(tmp_path / "purchases")
+    ckpt = str(tmp_path / "ckpt_ssj")
+    clicks_b = events.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.col("ts").alias("click_ts"),
+    )
+    purch_b = events.filter(F.col("event_type") == "buy").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    clicks_b.write.mode("overwrite").parquet(clicks_src)
+    purch_b.write.mode("overwrite").parquet(purch_src)
+
+    cond = (
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("click_ts") >= F.col("purchase_ts"))
+        & (
+            F.col("click_ts")
+            < F.col("purchase_ts") + F.expr("INTERVAL 15 MINUTES")
+        )
+    )
+    batch = {
+        (r["click_id"], r["purchase_id"])
+        for r in spark.read.parquet(clicks_src)
+        .join(spark.read.parquet(purch_src), cond)
+        .select("click_id", "purchase_id")
+        .collect()
+    }
+    assert len(batch) > 0  # fixture actually exercises the join
+
+    cs = (
+        spark.readStream.schema(clicks_b.schema)
+        .parquet(clicks_src)
+        .withWatermark("click_ts", "1 hour")
+    )
+    ps = (
+        spark.readStream.schema(purch_b.schema)
+        .parquet(purch_src)
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    q = (
+        cs.join(ps, cond)
+        .select("click_id", "purchase_id")
+        .writeStream.format("memory")
+        .queryName("ssj_eq")
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = {
+        (r["click_id"], r["purchase_id"])
+        for r in spark.table("ssj_eq").collect()
+    }
+    assert streamed == batch
