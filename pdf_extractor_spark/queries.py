@@ -6065,3 +6065,89 @@ def w_sitemap(spark: SparkSession, sf: str) -> DataFrame:
         F.col("z.lastmod").alias("lastmod"),
         F.col("z.changefreq").alias("changefreq"),
     )
+
+
+@query(
+    "u_crawl_budget",
+    f"""
+    WITH raw AS (SELECT doc_id, {_MESSY_URL_SQL} AS url FROM documents),
+    h AS (
+      SELECT regexp_replace(
+               lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)),
+               ':[0-9]+$', '') AS host
+      FROM raw),
+    w AS (SELECT host, count(*) AS n_docs FROM h GROUP BY host),
+    tot AS (SELECT sum(n_docs) AS total FROM w),
+    base AS (
+      SELECT host, n_docs,
+             cast((10000 * n_docs) // total AS BIGINT) AS base_quota,
+             cast((10000 * n_docs) % total AS BIGINT) AS rem
+      FROM w, tot),
+    leftover AS (SELECT 10000 - sum(base_quota) AS r FROM base),
+    ranked AS (
+      SELECT host, n_docs, base_quota,
+             cast(row_number() OVER (ORDER BY rem DESC, host) AS INT)
+               AS rem_rank
+      FROM base)
+    SELECT host, n_docs, base_quota,
+           cast(base_quota
+                + (CASE WHEN rem_rank <= (SELECT r FROM leftover)
+                        THEN 1 ELSE 0 END) AS BIGINT) AS quota
+    FROM ranked
+    """,
+)
+def u_budget(spark: SparkSession, sf: str) -> DataFrame:
+    """Crawl-budget allocation (beyond-reference crawl planning): a total
+    fetch budget (10,000) is split across hosts proportionally to host
+    weight (doc count here; pagerank/quality in production) by the
+    largest-remainder method — floor quotas first, then the leftover goes
+    to the hosts with the largest remainders (ties by host asc). All
+    integer arithmetic: repartitioning can never flip a quota. Plan: the
+    host-weight table is a groupBy over the corpus (map-side combinable);
+    total and leftover are 1-row aggregates collected driver-side (two
+    scalar literals, the k-means-centroid class of legitimate collect);
+    the remainder rank uses the two-level _global_rank_desc (never a bare
+    global window), so even 10^8 hosts rank without a single-task sort."""
+    from pdf_extractor_spark.functions.urls import HOSTPORT_RE
+
+    d = _t(spark, sf, "documents")
+    messy = _messy_url_col()
+    host = F.regexp_replace(
+        F.lower(F.regexp_extract(messy, HOSTPORT_RE, 1)), r":[0-9]+$", ""
+    )
+    w = (
+        d.select(host.alias("host"))
+        .groupBy("host")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .localCheckpoint()
+    )
+    total = int(w.agg(F.sum("n_docs")).first()[0])
+    budget = 10000
+    base = w.select(
+        "host",
+        "n_docs",
+        # DIV = exact integer floor division (matches DuckDB's `//`);
+        # floor(double division) could round differently near 2^53
+        F.expr(f"CAST(({budget} * n_docs) DIV {total} AS BIGINT)").alias(
+            "base_quota"
+        ),
+        (budget * F.col("n_docs") % F.lit(total)).cast("bigint").alias("rem"),
+    ).localCheckpoint()
+    leftover = budget - int(base.agg(F.sum("base_quota")).first()[0])
+    ranks = _global_rank_desc(
+        base,
+        "rem",
+        F.floor(F.col("rem") * 64 / F.lit(total)).cast("int"),
+        id_col="host",
+    ).withColumnRenamed("rank", "rem_rank")
+    return base.join(ranks, "host").select(
+        "host",
+        "n_docs",
+        "base_quota",
+        (
+            F.col("base_quota")
+            + F.when(F.col("rem_rank") <= F.lit(leftover), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("quota"),
+    )

@@ -1359,3 +1359,42 @@ def test_token_span_ops_match_bruteforce_reference(spark):
             for r in exact_substr_rewrite(df, min_tokens=W).collect()
         }
         assert got_clean == ref_clean, f"seed={seed}"
+
+
+def test_global_rank_desc_matches_unpartitioned_window(spark):
+    """_global_rank_desc (two-level bucket rank + broadcast offsets, the
+    scale-safe form) must equal a bare row_number() OVER (ORDER BY v DESC,
+    id) on randomized inputs — including duplicate values, values that
+    straddle bucket boundaries, negative values, and a degenerate
+    single-bucket distribution."""
+    import random
+
+    from pyspark.sql import Window, functions as F
+
+    from pdf_extractor_spark.queries import _global_rank_desc
+
+    for seed, scale in [(1, 100.0), (2, 1.0), (3, 0.0)]:
+        rng = random.Random(seed)
+        rows = [
+            (i, round(rng.random() * scale - scale / 3, 3))
+            for i in range(500)
+        ]
+        # duplicate-value ties: every 7th row repeats a fixed value
+        rows = [
+            (i, 1.5 if i % 7 == 0 else v) for i, v in rows
+        ]
+        df = spark.createDataFrame(rows, ["doc_id", "v"]).repartition(7)
+        got = {
+            (r["doc_id"], r["rank"])
+            for r in _global_rank_desc(
+                df, "v", F.floor(F.col("v") * 4).cast("int")
+            ).collect()
+        }
+        w = Window.orderBy(F.col("v").desc(), F.col("doc_id"))
+        ref = {
+            (r["doc_id"], r["rank"])
+            for r in df.select(
+                "doc_id", F.row_number().over(w).cast("int").alias("rank")
+            ).collect()
+        }
+        assert got == ref, f"seed={seed}"
