@@ -6151,3 +6151,185 @@ def u_budget(spark: SparkSession, sf: str) -> DataFrame:
         .cast("bigint")
         .alias("quota"),
     )
+
+
+_SEG20_SQL = """
+      SELECT doc_id, lang,
+             unnest(list_transform(
+               range(cast(floor((len(string_split(text, ' ')) - 1) / 20)
+                          AS BIGINT) + 1),
+               i -> array_to_string(
+                 list_slice(string_split(text, ' '),
+                            i * 20 + 1, i * 20 + 20), ' '))) AS seg_text
+      FROM documents"""
+
+_SEG_LANGID_SQL = r"""
+      SELECT doc_id, lang,
+        CASE WHEN length(regexp_extract_all(seg_text, '[一-鿿]')) > 0 THEN 'zh'
+             WHEN greatest(en, de, fr, es) = 0 THEN 'und'
+             WHEN en = greatest(en, de, fr, es) THEN 'en'
+             WHEN de = greatest(en, de, fr, es) THEN 'de'
+             WHEN fr = greatest(en, de, fr, es) THEN 'fr'
+             ELSE 'es' END AS seg_lang
+      FROM (
+        SELECT doc_id, lang, seg_text,
+          length(regexp_extract_all(lower(seg_text), '\b(the|and|of|to|in|is|that|for)\b')) AS en,
+          length(regexp_extract_all(lower(seg_text), '\b(der|die|und|das|ist|nicht|ein|mit)\b')) AS de,
+          length(regexp_extract_all(lower(seg_text), '\b(le|la|et|les|des|est|dans|que)\b')) AS fr,
+          length(regexp_extract_all(lower(seg_text), '\b(el|la|los|las|es|en|una|por)\b')) AS es
+        FROM segs)"""
+
+
+@query(
+    "t_paragraph_langid",
+    f"""
+    WITH segs AS ({_SEG20_SQL}),
+    sl AS ({_SEG_LANGID_SQL}),
+    cnt AS (
+      SELECT doc_id, seg_lang, count(*) AS c
+      FROM sl GROUP BY doc_id, seg_lang),
+    tot AS (SELECT doc_id, count(*) AS n_segments FROM sl GROUP BY doc_id),
+    dom AS (
+      SELECT doc_id, seg_lang AS dominant_lang, c,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY c DESC, seg_lang) AS rn
+      FROM cnt)
+    SELECT d.doc_id, d.dominant_lang, t.n_segments,
+           round(d.c::DOUBLE / t.n_segments, 4) AS lang_consistency
+    FROM dom d JOIN tot t ON d.doc_id = t.doc_id
+    WHERE d.rn = 1
+    """,
+)
+def t_para_langid(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-paragraph language ID + document language-consistency score
+    (the CCNet/fastText recipe applies LID per paragraph, not per page —
+    Wenzek et al. LREC 2020): 20-token segments each get the engine's
+    n-gram-heuristic LID; the document reports its dominant segment
+    language and the fraction of segments agreeing with it — the signal
+    that catches boilerplate-mixed and code-switched pages a page-level
+    LID calls clean. Plan: token_segments' staged posexplode, a
+    scan-side LID CASE per segment, two groupBys + one doc-partitioned
+    top-1 window (bounded by a doc's distinct predicted languages)."""
+    from pdf_extractor_spark.operators.dedup import token_segments
+
+    d = _t(spark, sf, "documents")
+    segs = token_segments(
+        d, seg_tokens=20, n_partitions=_par(spark)
+    ).select(
+        F.col("id").alias("doc_id"),
+        T.language_id(F.col("seg_text")).alias("seg_lang"),
+    )
+    cnt = segs.groupBy("doc_id", "seg_lang").agg(F.count(F.lit(1)).alias("c"))
+    tot = segs.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_segments"))
+    w = Window.partitionBy("doc_id").orderBy(F.col("c").desc(), F.col("seg_lang"))
+    dom = cnt.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return dom.join(tot, "doc_id").select(
+        "doc_id",
+        F.col("seg_lang").alias("dominant_lang"),
+        "n_segments",
+        F.round(F.col("c").cast("double") / F.col("n_segments"), 4).alias(
+            "lang_consistency"
+        ),
+    )
+
+
+@query(
+    "u_outlinks_resolved",
+    """
+    WITH hrefs AS (
+      SELECT doc_id,
+             'example' || cast(doc_id % 7 AS VARCHAR) || '.com' AS base_host,
+             '/articles/' || cast(doc_id % 50 AS VARCHAR) AS base_path,
+             unnest([
+               'https://www.other' || cast(doc_id % 5 AS VARCHAR) || '.com/x',
+               '//cdn.example' || cast(doc_id % 3 AS VARCHAR) || '.com/lib.js',
+               '/nav/' || cast(doc_id % 9 AS VARCHAR),
+               'article-' || cast(doc_id % 20 AS VARCHAR) || '.html',
+               '../tag/' || cast(doc_id % 11 AS VARCHAR),
+               '?page=' || cast(doc_id % 4 AS VARCHAR),
+               '#section-' || cast(doc_id % 6 AS VARCHAR)
+             ]) AS href
+      FROM documents)
+    SELECT doc_id, href,
+           CASE
+             WHEN regexp_matches(href, '^(?i)https?://') THEN 'absolute'
+             WHEN href LIKE '//%' THEN 'protocol_relative'
+             WHEN href LIKE '/%' THEN 'root_relative'
+             WHEN href LIKE '../%' THEN 'parent_relative'
+             WHEN href LIKE '?%' THEN 'query_only'
+             WHEN href LIKE '#%' THEN 'fragment'
+             ELSE 'relative'
+           END AS link_kind,
+           CASE
+             WHEN regexp_matches(href, '^(?i)https?://') THEN href
+             WHEN href LIKE '//%' THEN 'https:' || href
+             WHEN href LIKE '/%' THEN 'https://' || base_host || href
+             WHEN href LIKE '../%'
+               THEN 'https://' || base_host || '/' || substr(href, 4)
+             WHEN href LIKE '?%'
+               THEN 'https://' || base_host || base_path || href
+             WHEN href LIKE '#%' THEN 'https://' || base_host || base_path
+             ELSE 'https://' || base_host || '/articles/' || href
+           END AS resolved
+    FROM hrefs
+    """,
+)
+def u_resolve(spark: SparkSession, sf: str) -> DataFrame:
+    """Relative-link resolution against the page base url (RFC 3986 §5,
+    the documented simplified subset: absolute pass-through,
+    protocol-relative, root-relative, single parent hop, query-only,
+    fragment-drop, and same-directory relative) — the step u_outlinks'
+    absolute-only contract delegates to the crawler; with it, ALL page
+    hrefs feed the frontier/host graph, not just absolute ones. Every
+    branch is a scan-side CASE over string prefixes: zero shuffle, zero
+    UDF, embarrassingly parallel at any scale. href variants are
+    synthesized deterministically (dense in the branch set) so both
+    engines resolve identical inputs."""
+    d = _t(spark, sf, "documents")
+    did = F.col("doc_id")
+    base_host = F.concat(
+        F.lit("example"), (did % 7).cast("string"), F.lit(".com")
+    )
+    base_path = F.concat(F.lit("/articles/"), (did % 50).cast("string"))
+    variants = F.array(
+        F.concat(F.lit("https://www.other"), (did % 5).cast("string"), F.lit(".com/x")),
+        F.concat(F.lit("//cdn.example"), (did % 3).cast("string"), F.lit(".com/lib.js")),
+        F.concat(F.lit("/nav/"), (did % 9).cast("string")),
+        F.concat(F.lit("article-"), (did % 20).cast("string"), F.lit(".html")),
+        F.concat(F.lit("../tag/"), (did % 11).cast("string")),
+        F.concat(F.lit("?page="), (did % 4).cast("string")),
+        F.concat(F.lit("#section-"), (did % 6).cast("string")),
+    )
+    rows = d.select(
+        "doc_id",
+        base_host.alias("base_host"),
+        base_path.alias("base_path"),
+        F.explode(variants).alias("href"),
+    )
+    h = F.col("href")
+    is_abs = h.rlike(r"^(?i)https?://")
+    kind = (
+        F.when(is_abs, F.lit("absolute"))
+        .when(h.startswith("//"), F.lit("protocol_relative"))
+        .when(h.startswith("/"), F.lit("root_relative"))
+        .when(h.startswith("../"), F.lit("parent_relative"))
+        .when(h.startswith("?"), F.lit("query_only"))
+        .when(h.startswith("#"), F.lit("fragment"))
+        .otherwise(F.lit("relative"))
+    )
+    bh, bp = F.col("base_host"), F.col("base_path")
+    resolved = (
+        F.when(is_abs, h)
+        .when(h.startswith("//"), F.concat(F.lit("https:"), h))
+        .when(h.startswith("/"), F.concat(F.lit("https://"), bh, h))
+        .when(
+            h.startswith("../"),
+            F.concat(F.lit("https://"), bh, F.lit("/"), F.substring(h, 4, 2147483647)),
+        )
+        .when(h.startswith("?"), F.concat(F.lit("https://"), bh, bp, h))
+        .when(h.startswith("#"), F.concat(F.lit("https://"), bh, bp))
+        .otherwise(F.concat(F.lit("https://"), bh, F.lit("/articles/"), h))
+    )
+    return rows.select(
+        "doc_id", "href", kind.alias("link_kind"), resolved.alias("resolved")
+    )
