@@ -126,3 +126,38 @@ def make_extract_udf(context: ExtractContext | None = None):
 # default-context UDF (the hot path used by the pipeline when no per-run
 # context is supplied)
 extract_udf = make_extract_udf()
+
+
+TABLE_CELLS_SCHEMA = ArrayType(
+    StructType(
+        [
+            StructField("table_idx", IntegerType()),
+            StructField("row_idx", IntegerType()),
+            StructField("col_idx", IntegerType()),
+            StructField("cell", StringType()),
+        ]
+    )
+)
+
+
+@F.pandas_udf(TABLE_CELLS_SCHEMA)
+def table_cells_udf(payload: pd.Series) -> pd.Series:
+    """Arrow-batched table-structure extraction: Series[bytes] -> Series[
+    list[{table_idx, row_idx, col_idx, cell}]] via the pure grid parser
+    (extract/tables.py). Same boundary discipline as extract_udf: the only
+    Python is batch-local inside the Arrow worker; a malformed payload
+    yields its best-effort cells (the parser is total), never a task
+    failure."""
+    from pdf_extractor_spark.extract.tables import extract_tables_one
+
+    return pd.Series(
+        [
+            []
+            if p is None
+            else [
+                {"table_idx": t, "row_idx": r, "col_idx": c, "cell": s}
+                for t, r, c, s in extract_tables_one(p)
+            ]
+            for p in payload
+        ]
+    )

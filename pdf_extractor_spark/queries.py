@@ -6333,3 +6333,92 @@ def u_resolve(spark: SparkSession, sf: str) -> DataFrame:
     return rows.select(
         "doc_id", "href", kind.alias("link_kind"), resolved.alias("resolved")
     )
+
+
+@query(
+    "x_extract_tables",
+    """
+    WITH page AS (
+      SELECT doc_id,
+             '<html><body><table><tr><th>name</th><th>v1</th><th>v2</th></tr>'
+             || '<tr><td>alpha ' || cast(doc_id % 10 AS VARCHAR)
+             || '</td><td>' || cast(doc_id % 97 AS VARCHAR)
+             || '</td><td>' || cast((doc_id * 7) % 89 AS VARCHAR)
+             || '</td></tr><tr><td>beta &amp; co</td><td>'
+             || cast(doc_id % 13 AS VARCHAR) || '</td><td>'
+             || cast(doc_id % 17 AS VARCHAR)
+             || '</td></tr></table><p>between</p><table><tr><td>x'
+             || cast(doc_id % 5 AS VARCHAR)
+             || '</td><td>y</td></tr></table></body></html>' AS html
+      FROM documents),
+    tb AS (
+      SELECT doc_id,
+             unnest(regexp_extract_all(html, '<table>(.*?)</table>', 1))
+               AS body,
+             generate_subscripts(
+               regexp_extract_all(html, '<table>(.*?)</table>', 1), 1) - 1
+               AS table_idx
+      FROM page),
+    cells AS (
+      SELECT doc_id, table_idx,
+             unnest(regexp_extract_all(body, '<t[dh]>([^<]*)</t[dh]>', 1))
+               AS raw,
+             generate_subscripts(
+               regexp_extract_all(body, '<t[dh]>([^<]*)</t[dh]>', 1), 1) - 1
+               AS i
+      FROM tb)
+    SELECT doc_id, cast(table_idx AS INT) AS table_idx,
+           cast(i // (CASE WHEN table_idx = 0 THEN 3 ELSE 2 END) AS INT)
+             AS row_idx,
+           cast(i % (CASE WHEN table_idx = 0 THEN 3 ELSE 2 END) AS INT)
+             AS col_idx,
+           replace(raw, '&amp;', '&') AS cell
+    FROM cells
+    """,
+)
+def x_tables(spark: SparkSession, sf: str) -> DataFrame:
+    """Table-STRUCTURE extraction (the reference's core domain — tabular
+    financial data, reference src/extractor.py:38-136 /
+    reconstruct_table.py — re-expressed as a deterministic grid parser):
+    every <table> in the page payload becomes (table_idx, row_idx,
+    col_idx, cell) rows via the real structural parser
+    (extract/tables.py: colspan/rowspan occupancy, nested-table
+    separation, entity unescaping), Arrow-batched through ONE pandas UDF
+    and exploded inline. Pages here are synthesized regular (the oracle
+    re-parses them positionally in SQL); the span/nesting/malformed edge
+    cases are pinned by tests/test_table_extract.py goldens."""
+    from pdf_extractor_spark.extract.udfs import table_cells_udf
+
+    d = _t(spark, sf, "documents")
+    did = F.col("doc_id")
+    html = F.concat(
+        F.lit("<html><body><table><tr><th>name</th><th>v1</th><th>v2</th></tr><tr><td>alpha "),
+        (did % 10).cast("string"),
+        F.lit("</td><td>"),
+        (did % 97).cast("string"),
+        F.lit("</td><td>"),
+        ((did * 7) % 89).cast("string"),
+        F.lit("</td></tr><tr><td>beta &amp; co</td><td>"),
+        (did % 13).cast("string"),
+        F.lit("</td><td>"),
+        (did % 17).cast("string"),
+        F.lit("</td></tr></table><p>between</p><table><tr><td>x"),
+        (did % 5).cast("string"),
+        F.lit("</td><td>y</td></tr></table></body></html>"),
+    )
+    page = d.select("doc_id", html.alias("html")).repartition(
+        _par(spark), "doc_id"
+    )
+    cells = page.select(
+        "doc_id",
+        F.explode(table_cells_udf(F.encode(F.col("html"), "UTF-8"))).alias(
+            "c"
+        ),
+    )
+    return cells.select(
+        "doc_id",
+        F.col("c.table_idx").alias("table_idx"),
+        F.col("c.row_idx").alias("row_idx"),
+        F.col("c.col_idx").alias("col_idx"),
+        F.col("c.cell").alias("cell"),
+    )
