@@ -6422,3 +6422,97 @@ def x_tables(spark: SparkSession, sf: str) -> DataFrame:
         F.col("c.col_idx").alias("col_idx"),
         F.col("c.cell").alias("cell"),
     )
+
+
+# --- BM25 lexical retrieval -------------------------------------------------
+# Query sets are module constants so the oracle SQL below is GENERATED from
+# the same data (and the same float constants, via repr()) the Spark operator
+# uses — the invariant "both engines evaluate the identical expression tree"
+# is structural, not copy-maintained.
+_BM25_QUERIES: list[tuple[str, tuple[str, ...]]] = [
+    ("lexical_join", ("customer", "order", "join")),
+    ("lexical_scan", ("vector", "scan", "filter")),
+    ("lexical_window", ("spark", "window", "agg")),
+]
+_BM25_K = 10
+
+
+def _bm25_oracle() -> str:
+    from pdf_extractor_spark.operators.retrieval import (
+        BM25_B,
+        BM25_K1,
+        BM25_K1P1,
+        BM25_ONE_MINUS_B,
+    )
+
+    terms = sorted({t for _, qterms in _BM25_QUERIES for t in qterms})
+    tf_cols = ",\n             ".join(
+        f"len(list_filter(t, x -> x = '{t}')) AS tf_{t}" for t in terms
+    )
+    df_cols = ",\n             ".join(
+        f"sum(CASE WHEN tf_{t} > 0 THEN 1 ELSE 0 END) AS df_{t}"
+        for t in terms
+    )
+    norm = (
+        f"{BM25_K1!r}::DOUBLE * ({BM25_ONE_MINUS_B!r}::DOUBLE"
+        f" + {BM25_B!r}::DOUBLE * dl / avgdl)"
+    )
+
+    def term_score(t: str) -> str:
+        idf = f"(n - df_{t} + 0.5::DOUBLE) / (df_{t} + 0.5::DOUBLE)"
+        return (
+            f"{idf}\n                 * (tf_{t} * {BM25_K1P1!r}::DOUBLE)"
+            f" / (tf_{t} + {norm})"
+        )
+
+    limbs = []
+    for query_id, qterms in _BM25_QUERIES:
+        s = "\n               + ".join(term_score(t) for t in qterms)
+        nz = " + ".join(f"tf_{t}" for t in qterms)
+        limbs.append(
+            f"""
+      SELECT '{query_id}' AS query_id, doc_id, round({s}, 6) AS score
+      FROM per_doc, stats WHERE {nz} > 0"""
+        )
+    union = "\n      UNION ALL".join(limbs)
+    return f"""
+    WITH toks AS (
+      SELECT doc_id,
+             CASE WHEN trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) = ''
+                  THEN []::VARCHAR[] ELSE {_TOK_SQL} END AS t
+      FROM documents),
+    per_doc AS (
+      SELECT doc_id, len(t) AS dl,
+             {tf_cols}
+      FROM toks),
+    stats AS (
+      SELECT count(*) AS n, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl,
+             {df_cols}
+      FROM per_doc),
+    scored AS ({union})
+    SELECT query_id, doc_id, score FROM scored
+    QUALIFY row_number()
+            OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) <= {_BM25_K}
+    """
+
+
+@query("t_bm25_topk", _bm25_oracle())
+def t_bm25(spark: SparkSession, sf: str) -> DataFrame:
+    """BM25 lexical retrieval: top-10 documents per probe query
+    (operators/retrieval.py — Robertson et al. TREC-3; rational idf
+    surrogate for cross-engine float determinism, rationale in the module
+    docstring). The retrieval step of BM25-probe decontamination and
+    eval-set leak search; the lexical counterpart of e_cosine_topk.
+
+    Plan (asserted in tests/test_scale_plan.py): literal query terms make
+    tf a scan-side array expression — ONE corpus pass computes dl + every
+    tf with no explode and no (doc, term) shuffle; one map-side-combinable
+    agg reduces the corpus to a single stats row (collected: scalar class,
+    like the k-means centroids); each query's top-k is a zero-shuffle
+    TakeOrderedAndProject limb over the checkpointed tf table."""
+    from pdf_extractor_spark.operators.retrieval import bm25_topk
+
+    d = _t(spark, sf, "documents")
+    return bm25_topk(
+        d, _BM25_QUERIES, k=_BM25_K, n_partitions=_par(spark)
+    )
