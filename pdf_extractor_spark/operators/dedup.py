@@ -554,24 +554,51 @@ def simhash_near_dup_pairs(
     never a cross join, and the exact popcount runs on candidates only.
     Returns (id_a, id_b, hamming) with hamming <= hamming_max.
     """
-    assert bits % n_chunks == 0 and hamming_max <= n_chunks - 1
-    chunk_bits = bits // n_chunks
     sh = with_simhash(
         df, id_col, text_col, bits=bits, n_partitions=n_partitions,
         hex_chars=(bits + 3) // 4,
-    ).localCheckpoint()  # the signature plan is heavy; both join sides reuse it
+    )
+    return signature_near_dup_pairs(
+        sh, sig_col="simhash", bits=bits, n_chunks=n_chunks,
+        hamming_max=hamming_max,
+    )
+
+
+def signature_near_dup_pairs(
+    sig_df: DataFrame,
+    sig_col: str = "sig",
+    id_col: str = "id",
+    bits: int = 48,
+    n_chunks: int = 4,
+    hamming_max: int = 3,
+) -> DataFrame:
+    """Chunk-blocked Hamming near-dup pairs over ANY bit-signature column
+    (simhash, image pHash, audio fingerprint): the Manku/Jain/Sarma WWW'07
+    pigeonhole scheme — split ``bits`` into ``n_chunks`` equal chunks; any
+    pair within ``hamming_max <= n_chunks - 1`` bit flips must agree on at
+    least one (chunk_idx, chunk_value), so candidates come from a bucketed
+    equi-join and the exact popcount runs on candidates only.
+
+    ``sig_df`` must be (id_col, sig_col) with the signature already
+    computed; it is localCheckpoint-ed here so the (possibly heavy)
+    signature plan executes once and both join sides reuse it. Returns
+    (id_a, id_b, hamming), id_a < id_b, hamming <= hamming_max.
+    """
+    assert bits % n_chunks == 0 and hamming_max <= n_chunks - 1
+    chunk_bits = bits // n_chunks
+    sh = sig_df.select(
+        F.col(id_col).alias("id"), F.col(sig_col).alias("_sig")
+    ).localCheckpoint()
     mask = (1 << chunk_bits) - 1
     chunks = F.array(
         *[
-            F.shiftright(F.col("simhash"), i * chunk_bits).bitwiseAND(F.lit(mask))
+            F.shiftright(F.col("_sig"), i * chunk_bits).bitwiseAND(F.lit(mask))
             for i in range(n_chunks)
         ]
     )
-    keyed = sh.select(
-        "id", "simhash", F.posexplode(chunks).alias("ci", "ck")
-    )
+    keyed = sh.select("id", "_sig", F.posexplode(chunks).alias("ci", "ck"))
     a, b = keyed.alias("a"), keyed.alias("b")
-    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    ham = F.bit_count(F.col("a._sig").bitwiseXOR(F.col("b._sig")))
     return (
         a.join(
             b,

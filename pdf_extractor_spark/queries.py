@@ -6516,3 +6516,73 @@ def t_bm25(spark: SparkSession, sf: str) -> DataFrame:
     return bm25_topk(
         d, _BM25_QUERIES, k=_BM25_K, n_partitions=_par(spark)
     )
+
+
+# --- multimodal perceptual-hash near-dup -------------------------------------
+# Synthetic media corpus: payloads keyed by doc_id % 300, so the table
+# contains exact re-encodes (the same source image crawled under multiple
+# urls — the duplicate class pHash catches at hamming 0). The bytes are a
+# pure function of doc_id; both engines build the identical string.
+_PHASH_PAYLOAD_SQL = "repeat('px:' || (doc_id % 300)::VARCHAR || ';', 16)"
+_H60_PHASH_SQL = " + ".join(
+    f"(strpos('0123456789abcdef', substr(md5('phash:' || {_PHASH_PAYLOAD_SQL}), "
+    f"{i + 1}, 1)) - 1) * {16 ** (14 - i)}"
+    for i in range(15)
+)
+
+
+@query(
+    "mm_phash_near_dup",
+    f"""
+    WITH ph AS (
+      SELECT doc_id AS media_id, {_H60_PHASH_SQL} AS phash
+      FROM documents),
+    keyed AS (
+      SELECT media_id, phash, ci,
+             ((phash // power(2, ci * 15)::bigint) % 32768) AS ck
+      FROM ph CROSS JOIN range(4) r(ci))
+    SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b,
+           bit_count(xor(a.phash, b.phash)) AS hamming
+    FROM keyed a JOIN keyed b
+      ON a.ci = b.ci AND a.ck = b.ck AND a.media_id < b.media_id
+    WHERE bit_count(xor(a.phash, b.phash)) <= 3
+    """,
+)
+def mm_phash_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Image near-duplicate pairs by perceptual hash: mapInPandas decode ->
+    60-bit pHash -> the same 4x15-bit chunk-blocked Hamming equi-join as
+    d_simhash_near_dups (signature_near_dup_pairs — Manku/Jain/Sarma
+    WWW'07 pigeonhole; candidates from a bucketed join, popcount on
+    candidates only). The real DCT pHash math (multimodal.phash_from_gray)
+    is unit-tested on pixel matrices; this environment has no codecs, so
+    the distributed path runs the deterministic md5 fake signature that
+    the oracle reproduces nibble-for-nibble — identical payloads (exact
+    re-encodes: the same source image under multiple urls, synthesized by
+    keying payloads on doc_id % 300) pair at hamming 0, unrelated payloads
+    land ~30 bits apart and are filtered."""
+    d = _t(spark, sf, "documents")
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(
+            F.repeat(
+                F.concat(
+                    F.lit("px:"),
+                    (F.col("doc_id") % 300).cast("string"),
+                    F.lit(";"),
+                ),
+                16,
+            ),
+            "UTF-8",
+        ).alias("payload"),
+    ).repartition(_par(spark), "media_id")
+    ph = M.extract_phash(media, fake=True)
+    from pdf_extractor_spark.operators.dedup import signature_near_dup_pairs
+
+    return signature_near_dup_pairs(
+        ph.select("media_id", "phash"),
+        sig_col="phash",
+        id_col="media_id",
+        bits=M.PHASH_BITS,
+        n_chunks=4,
+        hamming_max=3,
+    )
