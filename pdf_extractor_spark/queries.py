@@ -6586,3 +6586,61 @@ def mm_phash_pairs(spark: SparkSession, sf: str) -> DataFrame:
         n_chunks=4,
         hamming_max=3,
     )
+
+
+@query(
+    "t_simpson_diversity",
+    f"""
+    WITH tok AS (SELECT doc_id, unnest({_TOK_SQL}) AS term FROM documents),
+    cnt AS (SELECT doc_id, term, count(*) AS c FROM tok GROUP BY doc_id, term),
+    agg AS (
+      SELECT doc_id,
+             cast(sum(c) AS BIGINT) AS n_tokens,
+             cast(count(*) AS BIGINT) AS n_types,
+             cast(sum(c * (c - 1)) AS BIGINT) AS rep_pairs
+      FROM cnt GROUP BY doc_id)
+    SELECT doc_id, n_tokens, n_types,
+           round(cast(n_types AS DOUBLE) / n_tokens, 4) AS ttr,
+           CASE WHEN n_tokens > 1
+                THEN round(cast(rep_pairs AS DOUBLE)
+                           / (cast(n_tokens AS DOUBLE) * (n_tokens - 1)), 6)
+                ELSE 0.0 END AS simpson
+    FROM agg
+    """,
+)
+def t_simpson_diversity(spark: SparkSession, sf: str) -> DataFrame:
+    """Lexical-diversity quality signal per document: type-token ratio and
+    Simpson concentration (probability two tokens drawn without replacement
+    are the same word — the rational-arithmetic stand-in for token entropy;
+    ln() differs between engines at ULP level, see t_tfidf_top_terms).
+    Integer sums only (exact in both engines), one IEEE-exact division per
+    output row. Plan: staged token materialization behind a repartition
+    barrier, explode, two map-side-combinable groupBys — the same linear
+    shape as t_tfidf_top_terms, no window, no join."""
+    d = _t(spark, sf, "documents")
+    staged = d.select(
+        "doc_id", D.word_tokens(F.col("text")).alias("_t")
+    ).repartition(_par(spark), "doc_id")
+    tok = staged.select("doc_id", F.explode("_t").alias("term"))
+    cnt = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("c"))
+    agg = cnt.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_types"),
+        F.sum(F.col("c") * (F.col("c") - 1)).alias("rep_pairs"),
+    )
+    return agg.select(
+        "doc_id",
+        "n_tokens",
+        "n_types",
+        F.round(F.col("n_types").cast("double") / F.col("n_tokens"), 4).alias("ttr"),
+        F.when(
+            F.col("n_tokens") > 1,
+            F.round(
+                F.col("rep_pairs").cast("double")
+                / (F.col("n_tokens").cast("double") * (F.col("n_tokens") - 1)),
+                6,
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("simpson"),
+    )
