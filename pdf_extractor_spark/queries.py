@@ -6644,3 +6644,66 @@ def t_simpson_diversity(spark: SparkSession, sf: str) -> DataFrame:
         .otherwise(F.lit(0.0))
         .alias("simpson"),
     )
+
+
+@query(
+    "d_boilerplate_paragraphs",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOK_SQL} AS toks FROM documents),
+    segs AS (
+      SELECT doc_id,
+             unnest(list_transform(
+               range(cast(floor((len(toks) - 1) / 20) AS BIGINT) + 1),
+               i -> array_to_string(
+                 list_slice(toks, i * 20 + 1, i * 20 + 20), ' '))) AS seg_text
+      FROM t WHERE len(toks) > 0),
+    h AS (SELECT doc_id, md5(seg_text) AS seg_h FROM segs),
+    dfreq AS (SELECT seg_h, count(DISTINCT doc_id) AS df FROM h GROUP BY seg_h),
+    per AS (
+      SELECT h.doc_id,
+             count(*) AS n_segments,
+             sum(CASE WHEN d.df >= 3 THEN 1 ELSE 0 END) AS n_boiler
+      FROM h JOIN dfreq d USING (seg_h)
+      GROUP BY h.doc_id)
+    SELECT doc_id,
+           cast(n_segments AS BIGINT) AS n_segments,
+           cast(n_boiler AS BIGINT) AS n_boiler_segments,
+           round(cast(n_boiler AS DOUBLE) / n_segments, 4) AS boiler_frac
+    FROM per
+    """,
+)
+def d_boilerplate_paragraphs(spark: SparkSession, sf: str) -> DataFrame:
+    """CCNet-style paragraph-hash dedup signal (Wenzek et al. LREC 2020
+    dedup paragraphs by hash across shards): md5 each 20-token segment,
+    count the corpus-wide DISTINCT-document frequency per hash, and report
+    per document how many of its segments are shared boilerplate (df >= 3
+    docs) plus the boilerplate fraction. High-fraction docs are template
+    farms / mirror shells; the per-hash df table is also exactly what a
+    drop-duplicated-paragraphs pass would anti-join against. Plan: staged
+    posexplode (token_segments), md5 scan-side, one groupBy for df, one
+    1:1 equi-join back (each segment matches exactly one df row — no
+    blowup on hot boilerplate), one per-doc groupBy. Integer counts + one
+    IEEE-exact division; md5-only hashing (engine-agnostic)."""
+    from pdf_extractor_spark.operators.dedup import token_segments
+
+    d = _t(spark, sf, "documents")
+    segs = token_segments(d, seg_tokens=20, n_partitions=_par(spark)).select(
+        F.col("id").alias("doc_id"), F.md5(F.col("seg_text")).alias("seg_h")
+    )
+    dfreq = segs.groupBy("seg_h").agg(F.countDistinct("doc_id").alias("df"))
+    per = (
+        segs.join(dfreq, "seg_h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_segments"),
+            F.sum(F.when(F.col("df") >= 3, 1).otherwise(0)).alias("n_boiler"),
+        )
+    )
+    return per.select(
+        "doc_id",
+        F.col("n_segments").alias("n_segments"),
+        F.col("n_boiler").alias("n_boiler_segments"),
+        F.round(
+            F.col("n_boiler").cast("double") / F.col("n_segments"), 4
+        ).alias("boiler_frac"),
+    )
