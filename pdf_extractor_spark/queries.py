@@ -6707,3 +6707,63 @@ def d_boilerplate_paragraphs(spark: SparkSession, sf: str) -> DataFrame:
             F.col("n_boiler").cast("double") / F.col("n_segments"), 4
         ).alias("boiler_frac"),
     )
+
+
+@query(
+    "d_drop_boilerplate",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOK_SQL} AS toks FROM documents),
+    segs AS (
+      SELECT doc_id,
+             unnest(list_transform(
+               range(cast(floor((len(toks) - 1) / 20) AS BIGINT) + 1),
+               i -> {{'idx': i,
+                     'seg': array_to_string(
+                       list_slice(toks, i * 20 + 1, i * 20 + 20), ' ')}})) AS u
+      FROM t WHERE len(toks) > 0),
+    h AS (SELECT doc_id, u.idx AS idx, u.seg AS seg_text,
+                 md5(u.seg) AS seg_h FROM segs),
+    dfreq AS (SELECT seg_h, count(DISTINCT doc_id) AS df FROM h GROUP BY seg_h),
+    kept AS (
+      SELECT h.doc_id, h.idx, h.seg_text
+      FROM h JOIN dfreq d USING (seg_h) WHERE d.df < 3)
+    SELECT doc_id,
+           cast(count(*) AS BIGINT) AS n_kept_segments,
+           md5(string_agg(seg_text, ' ' ORDER BY idx)) AS clean_md5
+    FROM kept GROUP BY doc_id
+    """,
+)
+def d_drop_boilerplate(spark: SparkSession, sf: str) -> DataFrame:
+    """The cleaning transform behind d_boilerplate_paragraphs: rebuild each
+    document WITHOUT its shared-boilerplate segments (df >= 3 docs dropped),
+    CCNet's drop-duplicated-paragraphs pass (Wenzek et al. LREC 2020).
+    Reassembly is deterministic under any partitioning: collect (idx, seg)
+    structs, array_sort on the unique idx, join with spaces — the md5 of
+    the rebuilt text is the checked output, so the oracle proves the
+    byte-level result, not just counts. Docs that were 100% boilerplate
+    disappear (no row, both engines). Plan: token_segments' staged
+    posexplode, md5 scan-side, df groupBy, 1:1 equi-join + filter, one
+    per-doc collect_list-and-sort aggregate (bounded by a doc's own
+    segment count — no cross-doc state)."""
+    from pdf_extractor_spark.operators.dedup import token_segments
+
+    d = _t(spark, sf, "documents")
+    segs = token_segments(d, seg_tokens=20, n_partitions=_par(spark)).select(
+        F.col("id").alias("doc_id"),
+        "idx",
+        "seg_text",
+        F.md5(F.col("seg_text")).alias("seg_h"),
+    )
+    dfreq = segs.groupBy("seg_h").agg(F.countDistinct("doc_id").alias("df"))
+    kept = segs.join(dfreq, "seg_h").filter(F.col("df") < 3)
+    rebuilt = F.array_join(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("idx", "seg_text"))),
+            lambda x: x["seg_text"],
+        ),
+        " ",
+    )
+    return kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_kept_segments"),
+        F.md5(rebuilt).alias("clean_md5"),
+    )
