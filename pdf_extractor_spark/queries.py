@@ -6677,34 +6677,26 @@ def d_boilerplate_paragraphs(spark: SparkSession, sf: str) -> DataFrame:
     dedup paragraphs by hash across shards): md5 each 20-token segment,
     count the corpus-wide DISTINCT-document frequency per hash, and report
     per document how many of its segments are shared boilerplate (df >= 3
-    docs) plus the boilerplate fraction. High-fraction docs are template
-    farms / mirror shells; the per-hash df table is also exactly what a
-    drop-duplicated-paragraphs pass would anti-join against. Plan: staged
-    posexplode (token_segments), md5 scan-side, one groupBy for df, one
-    1:1 equi-join back (each segment matches exactly one df row — no
-    blowup on hot boilerplate), one per-doc groupBy. Integer counts + one
-    IEEE-exact division; md5-only hashing (engine-agnostic)."""
-    from pdf_extractor_spark.operators.dedup import token_segments
+    docs = df_max 2 exceeded) plus the boilerplate fraction. High-fraction
+    docs are template farms / mirror shells. Delegates to the generic
+    dedup.line_boilerplate_clean operator (one df groupBy, one 1:1
+    equi-join back — no blowup on hot boilerplate, one per-doc groupBy)
+    over token_segments, so the oracle gates the production operator
+    itself; integer counts + one IEEE-exact division, md5-only hashing."""
+    from pdf_extractor_spark.operators.dedup import (
+        line_boilerplate_clean,
+        token_segments,
+    )
 
     d = _t(spark, sf, "documents")
-    segs = token_segments(d, seg_tokens=20, n_partitions=_par(spark)).select(
-        F.col("id").alias("doc_id"), F.md5(F.col("seg_text")).alias("seg_h")
-    )
-    dfreq = segs.groupBy("seg_h").agg(F.countDistinct("doc_id").alias("df"))
-    per = (
-        segs.join(dfreq, "seg_h")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_segments"),
-            F.sum(F.when(F.col("df") >= 3, 1).otherwise(0)).alias("n_boiler"),
-        )
-    )
-    return per.select(
-        "doc_id",
-        F.col("n_segments").alias("n_segments"),
-        F.col("n_boiler").alias("n_boiler_segments"),
+    segs = token_segments(d, seg_tokens=20, n_partitions=_par(spark))
+    out = line_boilerplate_clean(segs, df_max=2, joiner=" ")
+    return out.select(
+        F.col("id").alias("doc_id"),
+        F.col("n_lines").alias("n_segments"),
+        F.col("n_boilerplate_lines").alias("n_boiler_segments"),
         F.round(
-            F.col("n_boiler").cast("double") / F.col("n_segments"), 4
+            F.col("n_boilerplate_lines").cast("double") / F.col("n_lines"), 4
         ).alias("boiler_frac"),
     )
 
@@ -6741,29 +6733,23 @@ def d_drop_boilerplate(spark: SparkSession, sf: str) -> DataFrame:
     structs, array_sort on the unique idx, join with spaces — the md5 of
     the rebuilt text is the checked output, so the oracle proves the
     byte-level result, not just counts. Docs that were 100% boilerplate
-    disappear (no row, both engines). Plan: token_segments' staged
-    posexplode, md5 scan-side, df groupBy, 1:1 equi-join + filter, one
-    per-doc collect_list-and-sort aggregate (bounded by a doc's own
-    segment count — no cross-doc state)."""
-    from pdf_extractor_spark.operators.dedup import token_segments
+    disappear (no row, both engines). Delegates to
+    dedup.line_boilerplate_clean (df groupBy, 1:1 equi-join back, one
+    per-doc collect-and-sort rebuild bounded by the doc's own segment
+    count) over token_segments — the oracle gates the production
+    operator's rebuild byte-for-byte."""
+    from pdf_extractor_spark.operators.dedup import (
+        line_boilerplate_clean,
+        token_segments,
+    )
 
     d = _t(spark, sf, "documents")
-    segs = token_segments(d, seg_tokens=20, n_partitions=_par(spark)).select(
+    segs = token_segments(d, seg_tokens=20, n_partitions=_par(spark))
+    out = line_boilerplate_clean(segs, df_max=2, joiner=" ")
+    return out.filter(F.col("n_lines") > F.col("n_boilerplate_lines")).select(
         F.col("id").alias("doc_id"),
-        "idx",
-        "seg_text",
-        F.md5(F.col("seg_text")).alias("seg_h"),
-    )
-    dfreq = segs.groupBy("seg_h").agg(F.countDistinct("doc_id").alias("df"))
-    kept = segs.join(dfreq, "seg_h").filter(F.col("df") < 3)
-    rebuilt = F.array_join(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("idx", "seg_text"))),
-            lambda x: x["seg_text"],
-        ),
-        " ",
-    )
-    return kept.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_kept_segments"),
-        F.md5(rebuilt).alias("clean_md5"),
+        (F.col("n_lines") - F.col("n_boilerplate_lines"))
+        .cast("bigint")
+        .alias("n_kept_segments"),
+        F.md5(F.col("clean_text")).alias("clean_md5"),
     )
