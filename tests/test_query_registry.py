@@ -1,0 +1,62 @@
+"""Registry-integrity guards for the driver contract surface.
+
+The ``@query`` decorator registers into a plain dict, so a name collision
+silently SHADOWS the earlier query — the oracle check still passes (the
+later body is checked) and nothing errors, which is exactly how a
+duplicate nearly landed in round 3. These tests are pure-Python (no
+SparkSession) so they run in milliseconds.
+"""
+
+import os
+import re
+
+_QUERIES_PY = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "pdf_extractor_spark",
+    "queries.py",
+)
+
+_DECOR_RE = re.compile(r'@query\(\s*\n?\s*"([^"]+)"')
+
+
+def test_no_shadowed_query_registrations():
+    """Every @query decorator call site must register a UNIQUE name, and
+    every registered name must come from a decorator (no side-channel
+    writes into _QUERIES)."""
+    with open(_QUERIES_PY, encoding="utf-8") as fh:
+        names = _DECOR_RE.findall(fh.read())
+    dupes = sorted({n for n in names if names.count(n) > 1})
+    assert not dupes, f"shadowed @query registrations: {dupes}"
+
+    from pdf_extractor_spark.queries import _QUERIES
+
+    assert set(names) == set(_QUERIES), (
+        set(names) ^ set(_QUERIES)
+    )
+
+
+def test_driver_window_is_exactly_the_first_50():
+    """The driver records CORRECTNESS for exactly the first 50 entries of
+    queries(); the pinned window must stay 50 unique registered names and
+    all_queries() must serve them first, in window order."""
+    from pdf_extractor_spark.queries import (
+        _DRIVER_WINDOW,
+        _QUERIES,
+        all_queries,
+    )
+
+    assert len(_DRIVER_WINDOW) == 50
+    assert len(set(_DRIVER_WINDOW)) == 50
+    missing = [n for n in _DRIVER_WINDOW if n not in _QUERIES]
+    assert not missing, f"window names never registered: {missing}"
+    assert list(all_queries())[:50] == _DRIVER_WINDOW
+
+
+def test_every_oracle_has_a_query():
+    """An oracle whose query is missing would err in the driver's
+    side-by-side run; the reverse (query without oracle) is the documented
+    weaker rows-only check and is allowed."""
+    from pdf_extractor_spark.queries import _ORACLES, _QUERIES
+
+    orphans = sorted(set(_ORACLES) - set(_QUERIES))
+    assert not orphans, f"oracles without queries: {orphans}"
