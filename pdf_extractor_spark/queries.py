@@ -47,68 +47,67 @@ def query(name: str, oracle: str | None = None):
 
 
 # The driver records CORRECTNESS rows for exactly the FIRST 50 entries of
-# ``queries()`` (registration order). This explicit window pins the flagship
-# extraction pipelines (M1/M6 — the single most important operators, never
-# driver-graded in rounds 1-2), the 17 queries with no driver row, the 15
-# round-1-green queries that round 2's mid-file insertions rotated out, and
-# every query whose plan changed this round. The back-fill slots are
-# two-rounds-green relational/scalar anchors. New queries MUST be appended
-# AFTER the graded set (i.e. left out of this list) so driver coverage stays
-# stable across rounds (VERDICT r2 "Next round" item 1 / ADVICE r2 item 1).
+# ``queries()`` (registration order). Round-4 rotation (VERDICT r3 "Next
+# round" item 1): the 49 queries with no row in any CORRECTNESS_r0{1,2,3}.json
+# — every round-3 addition plus the five converted SURVEY items
+# (P4/F18/F19/F20/F21) — in registration order, led by the flagship
+# `x_extract_pipeline` as the one continuously-graded anchor. With this window
+# green, the r1–r4 union covers all 131 catalog queries. New queries MUST be
+# appended AFTER the graded set (i.e. left out of this list) so driver
+# coverage stays stable across rounds (VERDICT r2 item 1 / ADVICE r2 item 1).
 _DRIVER_WINDOW: list[str] = [
-    # --- never driver-checked (flagship first) -------------------------------
+    # --- continuously-graded flagship anchor (green r3) ----------------------
     "x_extract_pipeline",
-    "x_extract_spans",
-    "x_extract_pdf_pipeline",
-    "x_curation_pipeline",
-    "m_pack_sequences",
-    "m_chunk_for_training",
-    "m3_reassemble_chunks",
-    "p6_quick_validate",
-    "a1_collect_note_refs",
-    "e_kmeans_clusters",
-    "e_ann_multiprobe",
-    "e_ivf_multiprobe",
-    "mm_image_features",
-    "mm_audio_features",
-    "mm_frame_sample",
-    "t_stratified_sample",
-    "t_quality_weighted_sample",
-    # --- r1-green, rotated out of the r2 window ------------------------------
-    "s_tumbling_window",
-    "s_sessionize",
-    "a_rollup_returns",
-    "t_length_quantiles",
-    "v_statement_normalize",
-    "v_statement_validate",
-    "t_sample_split",
-    "a_kmv_distinct_tokens",
-    "j_asof_last_purchase",
-    "j_interval_attribution",
-    "e_cosine_topk",
-    "e_label_centroid_sim",
-    "e_srp_buckets",
-    "e_cosine_near_dup",
-    "e_ivf_topk",
-    # --- plans changed this round (re-grade) + two-rounds-green anchors ------
-    "d_decontaminate",
-    "d_dup_components",
-    "d_cluster_representatives",
-    "d_lsh_pairs_capped",
-    "d_verified_near_dups",
-    "d_minhash_signature",
-    "d_lsh_pairs",
-    "d_simhash_near_dups",
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_nation_volume",
-    "w1_top_orders_per_customer",
-    "w2_first_last_order_dates",
-    "j_anti_resume",
-    "a10_totals_reconciliation",
-    "f3_numeric_coercion",
-    "f10_json_parse",
-    "t_gopher_filter",
+    # --- the 49 never-driver-checked queries, registration order -------------
+    "t_line_boilerplate_clean",
+    "d_paragraph_dedup",
+    "t_trigram_typicality",
+    "t_target_mix_sample",
+    "u_host_cap",
+    "d_incremental_near_dups",
+    "u_recrawl_stats",
+    "u_bloom_visited",
+    "t_c4_filter",
+    "t_dsir_importance",
+    "d_semdedup",
+    "w_warc_codec",
+    "u_robots_filter",
+    "g_host_pagerank",
+    "t_ccnet_buckets",
+    "d_paragraph_dedup_rewrite",
+    "t_temperature_mix",
+    "m_bpe_train",
+    "t_quality_classifier",
+    "m_bpe_encode",
+    "d_exact_substr_spans",
+    "d_exact_substr_rewrite",
+    "s_first_event_per_key",
+    "w_cdx_index",
+    "u_outlinks",
+    "u_anchor_top_terms",
+    "d_leakage_free_split",
+    "m_mixture_epochs",
+    "f20_format_size",
+    "p4_multi_statement_detect",
+    "f18_schema_drift_repair",
+    "f19_statement_type_split",
+    "f21_parse_validation_report",
+    "e_hard_negatives",
+    "m_ngram_counts",
+    "t_mojibake_fix",
+    "t_quality_rrf",
+    "u_fetch_schedule",
+    "e_diversity_sample",
+    "w_sitemap_parse",
+    "u_crawl_budget",
+    "t_paragraph_langid",
+    "u_outlinks_resolved",
+    "x_extract_tables",
+    "t_bm25_topk",
+    "mm_phash_near_dup",
+    "t_simpson_diversity",
+    "d_boilerplate_paragraphs",
+    "d_drop_boilerplate",
 ]
 
 
@@ -893,6 +892,14 @@ def d_exact(spark: SparkSession, sf: str) -> DataFrame:
 
 
 _TOK_SQL = "regexp_split_to_array(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')"
+# Guarded variant (ADVICE r3): for text that normalizes to empty, DuckDB's
+# regexp_split_to_array('', ' ') yields [''] (one empty term) while Spark's
+# word_tokens yields [] — oracles over per-token aggregates must use this
+# form so an all-punctuation/empty document tokenizes to [] on both engines.
+_TOK_SQL_SAFE = (
+    "CASE WHEN trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) = '' "
+    f"THEN []::VARCHAR[] ELSE {_TOK_SQL} END"
+)
 # first 8 hex nibbles of an md5 column {h} at 1-based offset {p}, as an int
 _HEX8 = " + ".join(
     f"(strpos('0123456789abcdef', substr({{h}}, {{p}} + {i}, 1)) - 1) * {16 ** (7 - i)}"
@@ -3845,9 +3852,13 @@ def t_dsir(spark: SparkSession, sf: str) -> DataFrame:
       SELECT a2.vec_id, cast(a2.cluster AS BIGINT) AS cluster,
              e.embedding::DOUBLE[] AS v
       FROM a2 JOIN embeddings e USING (vec_id)),
+    hot AS (
+      SELECT cluster FROM cl GROUP BY cluster HAVING count(*) > 300),
+    small AS (
+      SELECT * FROM cl WHERE cluster NOT IN (SELECT cluster FROM hot)),
     dropped AS (
       SELECT DISTINCT x.vec_id
-      FROM cl x JOIN cl y ON x.cluster = y.cluster AND x.vec_id > y.vec_id
+      FROM small x JOIN small y ON x.cluster = y.cluster AND x.vec_id > y.vec_id
       WHERE round(list_dot_product(x.v, y.v)
                   / (sqrt(list_dot_product(x.v, x.v))
                      * sqrt(list_dot_product(y.v, y.v))), 6) >= 0.35)
@@ -3864,9 +3875,12 @@ def d_semdedup_q(spark: SparkSession, sf: str) -> DataFrame:
     >= tau, keeping one representative per semantic-duplicate chain.
     tau=0.35 sits at the fixture corpus's observed cosine tail (random
     synthetic vectors top out ~0.47; production embeddings use ~0.95).
-    Candidates-only pairwise: the cluster id is the blocking key."""
+    Candidates-only pairwise: the cluster id is the blocking key. The
+    hot-cluster pair-volume cap (max_cluster=300, VERDICT r3 weak #1) is
+    ON and mirrored by the oracle's HAVING pre-filter: a cluster above the
+    cap skips the quadratic stage and keeps all members."""
     e = _t(spark, sf, "embeddings")
-    return S.semdedup(e, k=4, n_iter=2, threshold=0.35)
+    return S.semdedup(e, k=4, n_iter=2, threshold=0.35, max_cluster=300)
 
 
 @query(
@@ -6591,7 +6605,7 @@ def mm_phash_pairs(spark: SparkSession, sf: str) -> DataFrame:
 @query(
     "t_simpson_diversity",
     f"""
-    WITH tok AS (SELECT doc_id, unnest({_TOK_SQL}) AS term FROM documents),
+    WITH tok AS (SELECT doc_id, unnest({_TOK_SQL_SAFE}) AS term FROM documents),
     cnt AS (SELECT doc_id, term, count(*) AS c FROM tok GROUP BY doc_id, term),
     agg AS (
       SELECT doc_id,
@@ -6649,7 +6663,7 @@ def t_simpson_diversity(spark: SparkSession, sf: str) -> DataFrame:
 @query(
     "d_boilerplate_paragraphs",
     f"""
-    WITH t AS (SELECT doc_id, {_TOK_SQL} AS toks FROM documents),
+    WITH t AS (SELECT doc_id, {_TOK_SQL_SAFE} AS toks FROM documents),
     segs AS (
       SELECT doc_id,
              unnest(list_transform(
@@ -6704,7 +6718,7 @@ def d_boilerplate_paragraphs(spark: SparkSession, sf: str) -> DataFrame:
 @query(
     "d_drop_boilerplate",
     f"""
-    WITH t AS (SELECT doc_id, {_TOK_SQL} AS toks FROM documents),
+    WITH t AS (SELECT doc_id, {_TOK_SQL_SAFE} AS toks FROM documents),
     segs AS (
       SELECT doc_id,
              unnest(list_transform(

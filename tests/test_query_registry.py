@@ -22,7 +22,13 @@ _DECOR_RE = re.compile(r'@query\(\s*\n?\s*"([^"]+)"')
 def test_no_shadowed_query_registrations():
     """Every @query decorator call site must register a UNIQUE name, and
     every registered name must come from a decorator (no side-channel
-    writes into _QUERIES)."""
+    writes into _QUERIES).
+
+    Convention (ADVICE r3): query names must be inline DOUBLE-QUOTED string
+    literals directly after the paren — a name passed via a variable or
+    single quotes is invisible to the shadow-guard regex (the
+    set(names) == set(_QUERIES) cross-check below would still fail loudly,
+    but without naming the duplicate)."""
     with open(_QUERIES_PY, encoding="utf-8") as fh:
         names = _DECOR_RE.findall(fh.read())
     dupes = sorted({n for n in names if names.count(n) > 1})
