@@ -28,16 +28,35 @@ def test_driver_window_first_50():
     assert len(set(_DRIVER_WINDOW)) == 50
     assert names[:50] == _DRIVER_WINDOW
     assert names[0] == "x_extract_pipeline"
-    must_be_graded = {
-        "x_extract_pipeline", "x_extract_spans", "x_extract_pdf_pipeline",
-        "x_curation_pipeline", "m_pack_sequences", "m_chunk_for_training",
-        "m3_reassemble_chunks", "p6_quick_validate", "a1_collect_note_refs",
-        "e_kmeans_clusters", "e_ann_multiprobe", "e_ivf_multiprobe",
-        "mm_image_features", "mm_audio_features", "mm_frame_sample",
-        "t_stratified_sample", "t_quality_weighted_sample",
-        "d_decontaminate", "d_dup_components", "d_cluster_representatives",
-    }
-    assert must_be_graded <= set(names[:50])
+    # r4 rotation policy (VERDICT r3 item 1): every query that has no driver
+    # CORRECTNESS row from a prior round must sit inside the graded window,
+    # so the union of r1..r4 rows covers the whole catalog. Derive the
+    # never-checked set from the committed CORRECTNESS files, not a pin.
+    import json
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    prior_rows: set[str] = set()
+    for n in (1, 2, 3):
+        path = os.path.join(repo, f"CORRECTNESS_r0{n}.json")
+        if os.path.exists(path):
+            with open(path) as fh:
+                prior_rows |= set(json.load(fh))
+    never_checked = {n for n in names if n not in prior_rows}
+    # Queries added during round 4 register AFTER the window (they get their
+    # driver rows in the r5 rotation); the window itself, anchor aside, must
+    # spend every slot on a never-checked query, and every never-checked
+    # query that predates the rotation must be inside it.
+    wasted = set(_DRIVER_WINDOW) - never_checked - {"x_extract_pipeline"}
+    assert not wasted, (
+        f"window slots wasted on already-driver-checked queries: {sorted(wasted)}"
+    )
+    left_out = never_checked - set(_DRIVER_WINDOW)
+    for n in sorted(left_out):
+        # tolerated only for post-rotation registrations (appended after slot 50)
+        assert names.index(n) >= 50, (
+            f"never-driver-checked query {n!r} sits outside the graded window"
+        )
     # oracles, where present, follow the same order as queries
     o = list(E.oracle_sql())
     assert o == [n for n in names if n in set(o)]
