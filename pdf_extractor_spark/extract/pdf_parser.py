@@ -30,10 +30,16 @@ Supported PDF subset (documented per SURVEY.md §7 "hard parts"):
     ObjStm resolves to the new version (classic xref tables need no such
     override — appended updates already win by scan order);
   - header/footer margin bands excluded; up to two columns per page detected
-    by the gutter in line x-starts.
+    by the gutter in line x-starts;
+  - the four axis-aligned text rotations (``Tm`` with b/c != 0, a = d = 0,
+    and the 180-degree a,d < 0 case — routine in scanned statements): runs
+    carry a rotation class, ``Td``/``T*`` displacements go through the full
+    line matrix, and each class is remapped into reading space (inverse
+    quarter-turn + swapped page box) before x/y clustering.
 
 Out of scope (returns best-effort text): font programs (glyph outlines),
-rotated text matrices. Encrypted files (/Encrypt in the trailer) raise
+arbitrary-angle/skew text matrices (non-quarter-turn rotations fall back to
+the upright path). Encrypted files (/Encrypt in the trailer) raise
 ``EncryptedPdfError`` instead of emitting ciphertext-garbage "text" — the
 extraction UDF maps that to an ok=false error row.
 
@@ -969,25 +975,54 @@ def _tokenize_content(data: bytes) -> list[tuple[str, object]]:
 
 
 class _Run:
-    __slots__ = ("x", "y", "text", "page", "src_start", "src_end")
+    __slots__ = ("x", "y", "text", "page", "rot", "src_start", "src_end")
 
-    def __init__(self, x: float, y: float, text: str, page: int) -> None:
+    def __init__(
+        self, x: float, y: float, text: str, page: int, rot: int = 0
+    ) -> None:
         self.x = x
         self.y = y
         self.text = text
         self.page = page
+        self.rot = rot  # axis-aligned rotation class: 0/1/2/3 quarter-turns CCW
         self.src_start = -1
         self.src_end = -1
+
+
+def _rot_class(ta: float, tb: float, tc: float, td: float) -> int:
+    """Axis-aligned rotation class of a text matrix [[a,b],[c,d]].
+
+    0 = upright (incl. pure scale), 1 = 90 deg CCW, 2 = 180, 3 = 270.
+    Arbitrary-angle/skew matrices fall back to 0 (best-effort, as before);
+    only the four scanner rotations get exact handling (VERDICT r3 item 4).
+    """
+    if tb == 0.0 and tc == 0.0:
+        return 2 if (ta < 0.0 and td < 0.0) else 0
+    if ta == 0.0 and td == 0.0:
+        if tb > 0.0 and tc < 0.0:
+            return 1
+        if tb < 0.0 and tc > 0.0:
+            return 3
+    return 0
 
 
 def _interpret(
     content: bytes, page: int, fonts: dict[bytes, _Font] | None = None
 ) -> list[_Run]:
-    """Execute text operators; return glyph runs with origins."""
+    """Execute text operators; return glyph runs with origins.
+
+    The full line matrix [[a,b],[c,d],(e,f)] is tracked so that (1) ``Td``
+    /``T*`` displacements are mapped through the matrix per the PDF spec
+    (text-space, not device-space, units) and (2) each run records its
+    axis-aligned rotation class for reading-space remapping downstream.
+    """
     fonts = fonts or {}
     runs: list[_Run] = []
-    lx = ly = 0.0  # line matrix origin
-    cx = cy = 0.0  # current text position
+    # line matrix: [[ma, mb], [mc, md]] with origin (lx, ly) in device space
+    ma, mb, mc, md = 1.0, 0.0, 0.0, 1.0
+    lx = ly = 0.0
+    cx = cy = 0.0  # current text position (device space)
+    rot = 0
     leading = 12.0
     cur_font = _SIMPLE_FONT
     in_array: list | None = None
@@ -995,7 +1030,13 @@ def _interpret(
     def show(raw: bytes) -> None:
         s = cur_font.decode(raw)
         if s:
-            runs.append(_Run(cx, cy, s, page))
+            runs.append(_Run(cx, cy, s, page, rot))
+
+    def displace(tx: float, ty: float) -> None:
+        nonlocal lx, ly, cx, cy
+        lx += tx * ma + ty * mc
+        ly += tx * mb + ty * md
+        cx, cy = lx, ly
 
     stack: list = []
     for kind, val in _tokenize_content(content):
@@ -1020,37 +1061,35 @@ def _interpret(
             op = val
             try:
                 if op == b"BT":
+                    ma, mb, mc, md = 1.0, 0.0, 0.0, 1.0
                     lx = ly = cx = cy = 0.0
+                    rot = 0
                 elif op == b"Tf" and len(stack) >= 2 and isinstance(stack[-2], bytes):
                     cur_font = fonts.get(stack[-2].lstrip(b"/"), _SIMPLE_FONT)
                 elif op == b"TL" and stack:
                     leading = float(stack[-1])
                 elif op == b"Td" and len(stack) >= 2:
-                    lx += float(stack[-2])
-                    ly += float(stack[-1])
-                    cx, cy = lx, ly
+                    displace(float(stack[-2]), float(stack[-1]))
                 elif op == b"TD" and len(stack) >= 2:
                     leading = -float(stack[-1])
-                    lx += float(stack[-2])
-                    ly += float(stack[-1])
-                    cx, cy = lx, ly
+                    displace(float(stack[-2]), float(stack[-1]))
                 elif op == b"Tm" and len(stack) >= 6:
+                    ma, mb = float(stack[-6]), float(stack[-5])
+                    mc, md = float(stack[-4]), float(stack[-3])
                     lx, ly = float(stack[-2]), float(stack[-1])
                     cx, cy = lx, ly
+                    rot = _rot_class(ma, mb, mc, md)
                 elif op == b"T*":
-                    ly -= leading
-                    cx, cy = lx, ly
+                    displace(0.0, -leading)
                 elif op == b"Tj" and stack and isinstance(stack[-1], bytes):
                     show(stack[-1])
                 elif op == b"TJ" and stack and isinstance(stack[-1], list):
                     show(b"".join(x for x in stack[-1] if isinstance(x, bytes)))
                 elif op == b"'" and stack and isinstance(stack[-1], bytes):
-                    ly -= leading
-                    cx, cy = lx, ly
+                    displace(0.0, -leading)
                     show(stack[-1])
                 elif op == b'"' and stack and isinstance(stack[-1], bytes):
-                    ly -= leading
-                    cx, cy = lx, ly
+                    displace(0.0, -leading)
                     show(stack[-1])
             finally:
                 stack = []
@@ -1289,38 +1328,63 @@ def extract_pdf_one(payload: bytes) -> tuple[str, list[tuple[int, int]], int]:
 
     out_blocks: list[str] = []
     spans: list[tuple[int, int]] = []
-    for runs, page_w, page_h in per_page:
-        # header/footer bands only make sense when a body region remains:
-        # on short pages (labels, receipts, banners — page_h <= 2 bands +
-        # a line) the bands would cover the WHOLE page and silently drop
-        # every run. Runs at exactly (0, 0) were never positioned (content
-        # streams may show text straight after BT without Td/Tm) — they
-        # are body text at the origin, not a footer.
-        short_page = page_h <= 2 * MARGIN_BAND + 12
-        body = [
-            r
-            for r in runs
-            if (
-                short_page
-                or (MARGIN_BAND < r.y < page_h - MARGIN_BAND)
-                or (r.y == 0.0 and r.x == 0.0)
-            )
-            and r.text.strip()
-        ]
-        for column_runs in _split_columns(body, page_w):
-            lines = _group_lines(column_runs)
-            for block_lines in _split_blocks(lines):
-                line_texts = []
-                block_spans: list[tuple[int, int]] = []
-                for _y, rs in block_lines:
-                    line_texts.append(" ".join(r.text for r in rs).strip())
-                    for r in rs:
-                        if block_spans and block_spans[-1][1] == r.src_start:
-                            block_spans[-1] = (block_spans[-1][0], r.src_end)
-                        else:
-                            block_spans.append((r.src_start, r.src_end))
-                text = "\n".join(t for t in line_texts if t)
-                if text:
-                    out_blocks.append(text)
-                    spans.extend(block_spans)
+    for page_runs, page_w, page_h in per_page:
+        for rot in (0, 1, 2, 3):
+            cls = [r for r in page_runs if r.rot == rot]
+            if not cls:
+                continue
+            # Remap device coords into READING space per rotation class
+            # (inverse quarter-turn + shift into [0,rw]x[0,rh]), so the
+            # downstream x/y clustering runs unchanged on rotated pages —
+            # the 90/270 classes also swap the effective page box. rot 0
+            # is the identity (byte-identical to the pre-rotation parser).
+            if rot == 0:
+                rw, rh = page_w, page_h
+            elif rot == 1:  # text runs bottom-up along device +y
+                for r in cls:
+                    r.x, r.y = r.y, page_w - r.x
+                rw, rh = page_h, page_w
+            elif rot == 2:  # upside-down
+                for r in cls:
+                    r.x, r.y = page_w - r.x, page_h - r.y
+                rw, rh = page_w, page_h
+            else:  # rot 3: text runs top-down along device -y
+                for r in cls:
+                    r.x, r.y = page_h - r.y, r.x
+                rw, rh = page_h, page_w
+            runs = cls
+            # header/footer bands only make sense when a body region remains:
+            # on short pages (labels, receipts, banners — page_h <= 2 bands +
+            # a line) the bands would cover the WHOLE page and silently drop
+            # every run. Runs at exactly (0, 0) were never positioned (content
+            # streams may show text straight after BT without Td/Tm) — they
+            # are body text at the origin, not a footer. (Rotated classes
+            # always came from an explicit Tm, so the exception is rot-0 only.)
+            short_page = rh <= 2 * MARGIN_BAND + 12
+            body = [
+                r
+                for r in runs
+                if (
+                    short_page
+                    or (MARGIN_BAND < r.y < rh - MARGIN_BAND)
+                    or (rot == 0 and r.y == 0.0 and r.x == 0.0)
+                )
+                and r.text.strip()
+            ]
+            for column_runs in _split_columns(body, rw):
+                lines = _group_lines(column_runs)
+                for block_lines in _split_blocks(lines):
+                    line_texts = []
+                    block_spans: list[tuple[int, int]] = []
+                    for _y, rs in block_lines:
+                        line_texts.append(" ".join(r.text for r in rs).strip())
+                        for r in rs:
+                            if block_spans and block_spans[-1][1] == r.src_start:
+                                block_spans[-1] = (block_spans[-1][0], r.src_end)
+                            else:
+                                block_spans.append((r.src_start, r.src_end))
+                    text = "\n".join(t for t in line_texts if t)
+                    if text:
+                        out_blocks.append(text)
+                        spans.extend(block_spans)
     return "\n\n".join(out_blocks), spans, len(out_blocks)

@@ -174,13 +174,32 @@ def make_pdf(
     page_h: float = 792,
     compress: bool = True,
     shuffle_runs_rng: random.Random | None = None,
+    rotate: int = 0,
 ) -> bytes:
     """Build a minimal valid PDF from (x, y, text) runs per page.
 
     ``shuffle_runs_rng`` emits the runs in shuffled content-stream order
     (the out-of-order fixture — y/x clustering must restore reading order).
+
+    ``rotate`` (0-3 quarter-turns CCW) emits the same READING-space runs as
+    rotated text matrices on a correspondingly rotated device page box (the
+    scanned-sideways-page fixture — the parser's rotation remap must recover
+    the identical reading order, so extraction output is invariant in it).
     """
     objects: list[bytes] = []  # 1-indexed
+    rotate %= 4
+    # device page box: quarter-turn rotations swap the reading box's axes
+    dev_w, dev_h = (page_w, page_h) if rotate in (0, 2) else (page_h, page_w)
+
+    def tm(x: float, y: float) -> bytes:
+        """Text matrix placing reading-space (x, y) on the rotated page."""
+        if rotate == 0:
+            return b"1 0 0 1 %.2f %.2f Tm" % (x, y)
+        if rotate == 1:  # device (dev_w - y, x), baseline along +y
+            return b"0 1 -1 0 %.2f %.2f Tm" % (dev_w - y, x)
+        if rotate == 2:  # device (dev_w - x, dev_h - y), baseline along -x
+            return b"-1 0 0 -1 %.2f %.2f Tm" % (dev_w - x, dev_h - y)
+        return b"0 -1 1 0 %.2f %.2f Tm" % (y, dev_h - x)  # baseline along -y
 
     def add(obj: bytes) -> int:
         objects.append(obj)
@@ -198,7 +217,7 @@ def make_pdf(
             shuffle_runs_rng.shuffle(emit)
         ops = [b"BT", b"/F1 11 Tf", b"12 TL"]
         for x, y, text in emit:
-            ops.append(b"1 0 0 1 %.2f %.2f Tm" % (x, y))
+            ops.append(tm(x, y))
             ops.append(b"(%s) Tj" % _pdf_escape(text).encode("latin-1", "replace"))
         ops.append(b"ET")
         raw = b"\n".join(ops)
@@ -215,7 +234,7 @@ def make_pdf(
         page_num = add(
             b"<< /Type /Page /Parent 0 0 R /MediaBox [0 0 %d %d] "
             b"/Contents %d 0 R /Resources << /Font << /F1 %d 0 R >> >> >>"
-            % (int(page_w), int(page_h), content_num, font_num)
+            % (int(dev_w), int(dev_h), content_num, font_num)
         )
         page_nums.append(page_num)
     for num, body in content_map:
