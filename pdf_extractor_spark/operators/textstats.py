@@ -526,3 +526,148 @@ def c4_clean(
             joiner, F.transform(F.col("_kept"), lambda s: s.getField("line"))
         ).alias("clean_text"),
     )
+
+
+# --- trained quality classifier (batch perceptron) -----------------------------
+
+
+def quality_training_features(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """Integer (parts-per-million) feature/label table for quality-classifier
+    TRAINING — the data half of the GPT-3/WebText recipe (Brown et al. 2020
+    Appendix A), with the rule-based Gopher filter (Rae et al. 2021 §A1.1)
+    standing in as the labeling teacher: the linear model learns to predict
+    the keep/drop verdict from CHEAP scan-side stats, without seeing the
+    bigram signal the rule itself needs.
+
+    All columns are BIGINT, every ratio an integral ``div`` — bit-exact in
+    any engine, so the whole training trajectory is oracle-replayable.
+    Features are capped at 1e6 to bound weight growth (margins stay far from
+    int64 overflow even at 1e9 training rows). Docs with zero word tokens
+    carry no signal and are excluded (same inner-join semantics as the
+    Gopher rule query).
+
+    Scale shape: one repartition(id) barrier, tokens exploded -> (id, tok)
+    counts with map-side partial agg, one per-doc rollup, then a 1:1 join of
+    two per-doc aggregates. The output is ~40 bytes/doc — the cheap table
+    the training loop re-scans per epoch.
+    """
+    from pdf_extractor_spark.operators.dedup import shingles_from_tokens, word_tokens
+
+    if n_partitions is None:
+        n_partitions = df.sparkSession.sparkContext.defaultParallelism
+    m = F.lit(1000000).cast("bigint")
+    staged = df.select(
+        F.col(id_col),
+        word_tokens(F.col(text_col)).alias("_toks"),
+        F.length(F.col(text_col)).cast("bigint").alias("n_chars"),
+    ).repartition(n_partitions, id_col)
+    counts = (
+        staged.select(id_col, F.explode("_toks").alias("tok"))
+        .groupBy(id_col, "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    uni = counts.groupBy(id_col).agg(
+        F.sum("c").cast("bigint").alias("n_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("d_tokens"),
+        F.max("c").cast("bigint").alias("m_count"),
+    )
+    sh = shingles_from_tokens(F.col("_toks"), 2)
+    big = staged.select(
+        F.col(id_col),
+        F.col("n_chars"),
+        F.size(sh).cast("bigint").alias("n_big"),
+        F.size(F.array_distinct(sh)).cast("bigint").alias("d_big"),
+    )
+    j = uni.join(big, id_col)
+    distinct_ppm = F.expr("(1000000 * d_tokens) div n_tokens")
+    top_ppm = F.expr("(1000000 * m_count) div n_tokens")
+    dup_big_ppm = F.when(F.col("n_big") <= 0, F.lit(0).cast("bigint")).otherwise(
+        F.expr("(1000000 * (n_big - d_big)) div n_big")
+    )
+    keep = (
+        F.col("n_tokens").between(10, 100000)
+        & (distinct_ppm >= 300000)
+        & (top_ppm <= 300000)
+        & (dup_big_ppm <= 300000)
+    )
+    return j.select(
+        F.col(id_col),
+        F.when(keep, F.lit(1).cast("bigint"))
+        .otherwise(F.lit(-1).cast("bigint"))
+        .alias("y"),
+        m.alias("xb"),
+        (F.least(F.col("n_chars"), F.lit(2000).cast("bigint")) * F.lit(500)).alias(
+            "x1"
+        ),
+        distinct_ppm.alias("x2"),
+        top_ppm.alias("x3"),
+        F.least(
+            F.expr("(1000000 * n_chars) div (20 * n_tokens)"), m
+        ).alias("x4"),
+    )
+
+
+PERCEPTRON_FEATURES = ["xb", "x1", "x2", "x3", "x4"]
+
+
+def train_quality_perceptron(
+    feats: DataFrame, n_epochs: int = 4
+) -> tuple[list[int], DataFrame]:
+    """Fixed-iteration batch perceptron over the integer feature table:
+    ``w += sum(y * x over misclassified)`` per epoch (Rosenblatt's rule,
+    batch/subgradient form — deterministic, no learning-rate float).
+
+    This replaces ``t_quality_classifier``'s documented stand-in weights
+    with TRAINED coefficients while keeping the oracle-exactness story: the
+    whole trajectory is integer arithmetic from zero-initialized weights,
+    so a SQL oracle replays it with one unrolled CTE pair per epoch and the
+    final margins match bit-for-bit.
+
+    Driver discipline (same as operators/bpe.bpe_train): each epoch is ONE
+    map-side-combinable aggregate over the cached ~40-byte/doc feature
+    table collapsing to a SINGLE collected row (the 5 gradient sums) — at
+    1e9 training rows that is n_epochs cheap scans, no per-row driver work,
+    no window, no shuffle beyond the partial-agg tree.
+
+    Returns (weights, scored DataFrame): per doc the trained integer margin
+    and keep verdict alongside the teacher label — the distillation-quality
+    readout (agreement rate) falls out of one aggregate over it.
+    """
+    cached = feats.persist()
+    try:
+        w = [0] * len(PERCEPTRON_FEATURES)
+        for _ in range(n_epochs):
+            margin = None
+            for wj, name in zip(w, PERCEPTRON_FEATURES):
+                term = F.lit(wj).cast("bigint") * F.col(name)
+                margin = term if margin is None else margin + term
+            mis = (F.col("y") * margin) <= 0
+            row = cached.select(
+                *[
+                    F.sum(F.when(mis, F.col("y") * F.col(name))).alias(name)
+                    for name in PERCEPTRON_FEATURES
+                ]
+            ).first()
+            w = [
+                wj + int(row[name] or 0)
+                for wj, name in zip(w, PERCEPTRON_FEATURES)
+            ]
+        margin = None
+        for wj, name in zip(w, PERCEPTRON_FEATURES):
+            term = F.lit(wj).cast("bigint") * F.col(name)
+            margin = term if margin is None else margin + term
+        scored = cached.select(
+            *[F.col(c) for c in cached.columns],
+            margin.alias("margin"),
+            (margin > 0).alias("keep"),
+        )
+        return w, scored
+    finally:
+        # persist is lazy; the epoch aggregates materialized it, and the
+        # returned plan re-reads the cached table until the session drops it
+        pass

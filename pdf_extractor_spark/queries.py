@@ -4376,8 +4376,11 @@ def t_qclf(spark: SparkSession, sf: str) -> DataFrame:
     scan-side expression over the engine's feature columns (length
     saturation, distinct/top token fractions, mean word length). Weights
     here are fixed documented stand-ins for trained coefficients — the
-    pipeline shape (features -> margin -> keep, no UDF, no shuffle
-    beyond the feature aggregate) is what carries to 100 TB. The margin
+    TRAINED path lives in t_quality_train (batch-perceptron fit, integer-
+    exact, oracle-replayed); swapping these literals for its learned
+    vector is a one-line change, and the inference plan shape (features ->
+    margin -> keep, no UDF, no shuffle beyond the feature aggregate) is
+    identical and is what carries to 100 TB. The margin
     expression is written in the same left-associated order in both
     engines, so the rounded outputs are bit-equal."""
     d = _t(spark, sf, "documents")
@@ -6766,4 +6769,108 @@ def d_drop_boilerplate(spark: SparkSession, sf: str) -> DataFrame:
         .cast("bigint")
         .alias("n_kept_segments"),
         F.md5(F.col("clean_text")).alias("clean_md5"),
+    )
+
+
+# --- trained quality classifier (VERDICT r3 item 5) ---------------------------
+
+_PTRON_X = ["xb", "x1", "x2", "x3", "x4"]
+_PTRON_W = ["wb", "w1", "w2", "w3", "w4"]
+_PTRON_MARGIN = " + ".join(f"{w}*{x}" for w, x in zip(_PTRON_W, _PTRON_X))
+
+
+def _ptron_epoch_sql(k: int) -> str:
+    """One unrolled batch-perceptron epoch: the 5 gradient sums over the
+    misclassified rows (d{k}) then the weight update (s{k})."""
+    sums = ", ".join(
+        f"coalesce(sum(CASE WHEN y * ({_PTRON_MARGIN}) <= 0 "
+        f"THEN y * {x} END), 0) AS g{j}"
+        for j, x in enumerate(_PTRON_X)
+    )
+    upd = ", ".join(f"{w} + g{j} AS {w}" for j, w in enumerate(_PTRON_W))
+    return f"d{k} AS (SELECT {sums} FROM feats, s{k-1}),\n    s{k} AS (SELECT {upd} FROM s{k-1}, d{k})"
+
+
+_PTRON_FEATS_SQL = f"""
+    t AS (SELECT doc_id, {_TOK_SQL_SAFE} AS toks,
+                 cast(length(text) AS BIGINT) AS n_chars FROM documents),
+    ptok AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+    pc AS (SELECT doc_id, tok, count(*) AS c FROM ptok GROUP BY doc_id, tok),
+    puni AS (SELECT doc_id, cast(sum(c) AS BIGINT) AS n_tokens,
+                    cast(count(*) AS BIGINT) AS d_tokens,
+                    cast(max(c) AS BIGINT) AS m_count
+             FROM pc GROUP BY doc_id),
+    pbig AS (SELECT doc_id, n_chars,
+                    cast(coalesce(array_length(s), 0) AS BIGINT) AS n_big,
+                    cast(coalesce(array_length(list_distinct(s)), 0) AS BIGINT) AS d_big
+             FROM (SELECT doc_id, n_chars,
+                          list_transform(range(1, greatest(len(toks) - 1, 0) + 1),
+                                         i -> array_to_string(list_slice(toks, i, i + 1), ' ')) AS s
+                   FROM t)),
+    feats AS (
+      SELECT u.doc_id,
+             CASE WHEN (n_tokens BETWEEN 10 AND 100000)
+                   AND (1000000 * d_tokens) // n_tokens >= 300000
+                   AND (1000000 * m_count) // n_tokens <= 300000
+                   AND (CASE WHEN n_big <= 0 THEN 0
+                        ELSE (1000000 * (n_big - d_big)) // n_big END) <= 300000
+                  THEN cast(1 AS BIGINT) ELSE cast(-1 AS BIGINT) END AS y,
+             cast(1000000 AS BIGINT) AS xb,
+             least(n_chars, 2000) * 500 AS x1,
+             (1000000 * d_tokens) // n_tokens AS x2,
+             (1000000 * m_count) // n_tokens AS x3,
+             least((1000000 * n_chars) // (20 * n_tokens), 1000000) AS x4
+      FROM puni u JOIN pbig b ON u.doc_id = b.doc_id),
+    s0 AS (SELECT {', '.join(f'cast(0 AS BIGINT) AS {w}' for w in _PTRON_W)})
+"""
+
+
+@query(
+    "t_quality_train",
+    f"""
+    WITH {_PTRON_FEATS_SQL},
+    {_ptron_epoch_sql(1)},
+    {_ptron_epoch_sql(2)},
+    {_ptron_epoch_sql(3)},
+    {_ptron_epoch_sql(4)}
+    SELECT f.doc_id, f.y AS label,
+           ({_PTRON_MARGIN}) AS margin,
+           (({_PTRON_MARGIN}) > 0) AS keep,
+           {', '.join(_PTRON_W)}
+    FROM feats f, s4
+    """,
+)
+def t_quality_train(spark: SparkSession, sf: str) -> DataFrame:
+    """TRAINED quality classifier (VERDICT r3 item 5 — replaces
+    t_quality_classifier's documented stand-in weights with a fitted
+    model): 4 batch-perceptron epochs over integer ppm features, with the
+    rule-based Gopher filter as the labeling teacher (classifier
+    distillation of an expensive rule — the trained model never sees the
+    bigram signal the rule needs). Driver discipline matches m_bpe_train:
+    each epoch is ONE map-side-combinable aggregate collapsing to a single
+    collected 5-number gradient row over the cached ~40-byte/doc feature
+    table; the feature build itself is the usual explode -> (id, tok)
+    partial-agg counts. Everything is BIGINT arithmetic from zero-
+    initialized weights, so the oracle replays the full training
+    trajectory with one unrolled CTE pair per epoch and the margins —
+    and the trained weights themselves, returned as columns — match
+    bit-for-bit across engines."""
+    from pdf_extractor_spark.operators.textstats import (
+        quality_training_features,
+        train_quality_perceptron,
+    )
+
+    feats = quality_training_features(
+        _t(spark, sf, "documents"), "doc_id", "text", n_partitions=_par(spark)
+    )
+    w, scored = train_quality_perceptron(feats, n_epochs=4)
+    return scored.select(
+        "doc_id",
+        F.col("y").alias("label"),
+        "margin",
+        "keep",
+        *[
+            F.lit(wj).cast("bigint").alias(name)
+            for wj, name in zip(w, _PTRON_W)
+        ],
     )
