@@ -671,3 +671,63 @@ def train_quality_perceptron(
         # persist is lazy; the epoch aggregates materialized it, and the
         # returned plan re-reads the cached table until the session drops it
         pass
+
+
+# --- compression-ratio quality signal ------------------------------------------
+
+
+def compression_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    level: int = 6,
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """zlib compression-ratio screen (the RefinedWeb/MassiveText cheap
+    redundancy check: text that DEFLATE shrinks too well is repetitive
+    boilerplate/spam; text that barely shrinks is often binary junk or
+    high-entropy noise). Emits per doc the utf-8 byte count, the
+    deflate(level)-compressed byte count, and the integer ratio in ppm —
+    ``ratio_ppm = (1e6 * n_compressed) div n_bytes`` (0 for empty text).
+
+    Engine shape: one Arrow-batched ``mapInPandas`` over (id, text) — zlib
+    runs at C speed per batch, no per-row Python boxing; the stage is
+    OUTSIDE the extraction hot path (a curation-stage signal), so the
+    single-Arrow-UDF extraction plan invariant is untouched. Pure function
+    of the text bytes: byte-identical across partitionings (pinned by
+    test, like the parsers). DEFLATE has no ANSI-SQL counterpart, so this
+    operator is pytest-golden-gated (UDF == single-process zlib) rather
+    than DuckDB-oracle-checked — the one rows-only entry in the catalog.
+    """
+    import pandas as pd
+
+    if n_partitions is None:
+        n_partitions = df.sparkSession.sparkContext.defaultParallelism
+    id_type = df.schema[id_col].dataType.simpleString()
+    schema = f"{id_col} {id_type}, n_bytes bigint, n_compressed bigint, ratio_ppm bigint"
+
+    def _batches(it):
+        import zlib
+
+        for pdf in it:
+            ids = pdf[id_col]
+            raw = pdf[text_col].fillna("").map(lambda s: s.encode("utf-8"))
+            n_bytes = raw.map(len)
+            n_comp = raw.map(lambda b: len(zlib.compress(b, level)))
+            ratio = [
+                (1000000 * c) // n if n > 0 else 0
+                for c, n in zip(n_comp, n_bytes)
+            ]
+            yield pd.DataFrame(
+                {
+                    id_col: ids,
+                    "n_bytes": n_bytes.astype("int64"),
+                    "n_compressed": pd.Series(n_comp, index=pdf.index).astype("int64"),
+                    "ratio_ppm": pd.Series(ratio, index=pdf.index).astype("int64"),
+                }
+            )
+
+    proj = df.select(F.col(id_col), F.col(text_col))
+    # driver-testdata tables are single-split parquet files: repartition so
+    # the compute-heavy per-row stage actually parallelizes (CLAUDE.md)
+    return proj.repartition(n_partitions, id_col).mapInPandas(_batches, schema)

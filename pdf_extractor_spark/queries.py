@@ -6874,3 +6874,31 @@ def t_quality_train(spark: SparkSession, sf: str) -> DataFrame:
             for wj, name in zip(w, _PTRON_W)
         ],
     )
+
+
+@query("t_compression_ratio")
+def t_compression_ratio(spark: SparkSession, sf: str) -> DataFrame:
+    """Compression-ratio quality screen (VERDICT r3 item 6 — the
+    RefinedWeb/MassiveText cheap redundancy check): zlib-deflate each
+    document once in an Arrow-batched mapInPandas stage and keep docs in
+    the healthy band — too-compressible (< 0.30) is looping boilerplate or
+    keyword spam, barely-compressible (> 0.95) is high-entropy junk. One
+    repartition barrier then a single C-speed batch stage; OUTSIDE the
+    extraction hot path, so the single-Arrow-UDF extraction invariant is
+    untouched. DEFLATE has no ANSI-SQL counterpart, so this is the
+    catalog's one rows-only entry: correctness is pytest-golden-gated
+    instead (distributed UDF == single-process zlib, byte-identical at two
+    parallelism levels — tests/test_compression_ratio.py)."""
+    from pdf_extractor_spark.operators.textstats import compression_stats
+
+    d = _t(spark, sf, "documents")
+    stats = compression_stats(d, "doc_id", "text", n_partitions=_par(spark))
+    return stats.select(
+        "doc_id",
+        "n_bytes",
+        "n_compressed",
+        "ratio_ppm",
+        ((F.col("ratio_ppm") >= 300000) & (F.col("ratio_ppm") <= 950000)).alias(
+            "keep"
+        ),
+    )

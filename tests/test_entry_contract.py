@@ -13,8 +13,11 @@ def test_queries_and_oracles_paired():
     assert len(q) >= 39
     # every oracle key must have a query; rows-only queries are allowed
     assert set(o) <= set(q)
-    # current catalog: everything is oracle-checked
-    assert set(o) == set(q)
+    # everything is oracle-checked except ops with no ANSI-SQL counterpart,
+    # which are pytest-golden-gated instead (each one documented in its
+    # query docstring) — keep this set EXPLICIT so a forgotten oracle fails
+    rows_only = {"t_compression_ratio"}  # zlib DEFLATE: no DuckDB scalar
+    assert set(q) - set(o) == rows_only
 
 
 def test_driver_window_first_50():
