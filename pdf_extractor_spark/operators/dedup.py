@@ -360,6 +360,7 @@ def incremental_near_dups(
     threshold: float = 0.5,
     n_partitions: int | None = None,
     max_bucket: int | None = None,
+    corpus_band_index: DataFrame | None = None,
 ) -> DataFrame:
     """Dedupe a NEW crawl batch against an EXISTING corpus — the
     production-incremental shape: at 100 TB you never re-pair the whole
@@ -378,12 +379,27 @@ def incremental_near_dups(
 
     Returns (new_id, corpus_id, jaccard >= threshold): every new doc that
     near-duplicates an existing corpus doc, with the match.
+
+    ``corpus_band_index`` is the production path: a PRE-MATERIALIZED
+    (id, band, key) table for the committed corpus — built once per
+    snapshot with ``with_minhash_bands`` (SAME k/bands/shingle_n — the
+    index is only valid for the parameters it was built with) and written
+    bucketed on (band, key) via ``sources.bucketed.write_bucketed``. With
+    it, a refresh never recomputes corpus signatures, and the probe join
+    plans with NO Exchange on the corpus side (only the batch shuffles to
+    the bucket layout) — plan-asserted in tests/test_refresh_job.py.
+    Without it (None), the index is derived from ``corpus_df`` inline —
+    the self-contained small-scale path.
     """
     banded_new = with_minhash_bands(
         new_df, id_col, text_col, k, bands, shingle_n, n_partitions
     )
-    banded_corpus = with_minhash_bands(
-        corpus_df, id_col, text_col, k, bands, shingle_n, n_partitions
+    banded_corpus = (
+        corpus_band_index
+        if corpus_band_index is not None
+        else with_minhash_bands(
+            corpus_df, id_col, text_col, k, bands, shingle_n, n_partitions
+        )
     )
     if max_bucket is not None:
         hot = (

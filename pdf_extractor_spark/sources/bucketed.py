@@ -31,23 +31,26 @@ def write_bucketed(
     df: DataFrame,
     table: str,
     path: str,
-    key: str,
+    key: str | list[str],
     n_buckets: int,
     sort: bool = True,
 ) -> None:
-    """Write ``df`` as an external parquet table bucketed by ``key``.
+    """Write ``df`` as an external parquet table bucketed by ``key``
+    (one column or a composite — e.g. the LSH band index buckets on
+    ``["band", "key"]`` so incremental probes join it shuffle-free).
 
     ``sort=True`` additionally sort-buckets the files so bucketed joins
     skip the per-task sort (SortMergeJoin reads pre-sorted runs).
     """
+    keys = [key] if isinstance(key, str) else list(key)
     writer = (
         df.write.format("parquet")
         .mode("overwrite")
         .option("path", path)
-        .bucketBy(n_buckets, key)
+        .bucketBy(n_buckets, *keys)
     )
     if sort:
-        writer = writer.sortBy(key)
+        writer = writer.sortBy(*keys)
     writer.saveAsTable(table)
 
 

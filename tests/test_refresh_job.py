@@ -76,3 +76,72 @@ def test_refresh_job_bootstrap_empty_corpus(spark, tmp_path):
     assert m["snapshot"] == 1
     assert m["rows"] == 8
     assert m["near_dup_dropped"] == 0
+
+
+def test_refresh_probe_bucketed_band_index_no_corpus_exchange(spark, tmp_path):
+    """VERDICT r3 item 8: the stated 100-TB refresh posture is that the
+    committed corpus side of the near-dup probe is a PRE-BUCKETED band
+    index that never reshuffles per ingest. Assert it on the real plan:
+    with the (band, key)-bucketed index table as the corpus side, the
+    probe join's ONLY Exchange is the batch side shuffling to the bucket
+    layout — the corpus scan reads bucketed and exchange-free — and the
+    matches equal the inline (index-recomputed) path exactly."""
+    import re
+
+    from pdf_extractor_spark.operators.dedup import (
+        incremental_near_dups,
+        with_minhash_bands,
+    )
+    from pdf_extractor_spark.sources.bucketed import read_table, write_bucketed
+
+    corpus = spark.createDataFrame(
+        [(f"https://c/{i}", make_document_row(i)["text"]) for i in range(60)],
+        "url string, text string",
+    )
+    # batch: 3 mirrors (near-dup text of corpus docs) + 3 fresh
+    mirrors = [
+        (f"https://m/{i}", make_document_row(i)["text"] + " tail tweak")
+        for i in range(3)
+    ]
+    fresh = [(f"https://n/{i}", make_document_row(1000 + i)["text"]) for i in range(3)]
+    batch = spark.createDataFrame(mirrors + fresh, "url string, text string")
+
+    index = with_minhash_bands(corpus, id_col="url", n_partitions=4)
+    write_bucketed(
+        index, "band_index", str(tmp_path / "bandidx"), ["band", "key"], 8
+    )
+    try:
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            # --- plan: a pre-banded probe against the bucketed index ---
+            probe = spark.createDataFrame(
+                [("u0", 0, "k0"), ("u1", 1, "k1")], "id string, band int, key string"
+            )
+            joined = probe.join(read_table(spark, "band_index"), ["band", "key"])
+            plan = joined._sc._jvm.PythonSQLUtils.explainString(
+                joined._jdf.queryExecution(), "formatted"
+            )
+            assert re.search(r"\(\d+\) SortMergeJoin", plan), plan
+            assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
+            assert "Bucketed: true" in plan, plan
+            # --- behavior: indexed probe == inline probe, bit-for-bit ---
+            with_index = incremental_near_dups(
+                batch,
+                corpus,
+                id_col="url",
+                text_col="text",
+                n_partitions=4,
+                corpus_band_index=read_table(spark, "band_index"),
+            )
+            inline = incremental_near_dups(
+                batch, corpus, id_col="url", text_col="text", n_partitions=4
+            )
+            got = {(r["new_id"], r["corpus_id"]) for r in with_index.collect()}
+            want = {(r["new_id"], r["corpus_id"]) for r in inline.collect()}
+            assert got == want
+            assert {n for n, _ in got} == {f"https://m/{i}" for i in range(3)}
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS band_index")
