@@ -221,6 +221,44 @@ def time_heavy_queries(
     return out
 
 
+HEAVY_SF1 = [
+    "d_dup_components",
+    "d_cluster_representatives",
+    "d_semdedup",
+    "e_kmeans_clusters",
+    "d_leakage_free_split",
+]
+
+
+def heavy_sf1() -> int:
+    """`python bench.py --heavy-sf1`: the r3 top-5 heaviest queries at sf1
+    (50k docs / 20k embeddings, tools/make_sf1.py) and two parallelism
+    levels. sf0.1 walls of ~4s sit in the scheduling-overhead regime where
+    c32 cannot beat c8 no matter the plan (three rounds of inconclusive
+    'toy-scale overhead' readings on d_dup_components); sf1 walls are 10s+,
+    out of that regime, so this run is the evidence (VERDICT r3 item 3).
+    Writes bench_full_sf1.json."""
+    sys.path.insert(0, os.path.join(_REPO, "tools"))
+    import make_sf1
+
+    sf1_dir = make_sf1.build()
+    calib = cpu_calibration()
+    _log(f"bench: calibration {calib}")
+    scaling = time_heavy_queries(HEAVY_SF1, sf1_dir, (max(4, CPUS // 4), CPUS))
+    result = {
+        "metric": "heavy_query_wall_sec_at_sf1",
+        "sf": "1(synth:tools/make_sf1.py)",
+        "docs": make_sf1.N_DOCS,
+        "embeddings": make_sf1.N_EMB,
+        "heavy_query_scaling": scaling,
+        "cpu_calibration": calib,
+    }
+    with open(os.path.join(_REPO, "bench_full_sf1.json"), "w") as fh:
+        json.dump(result, fh, indent=1, sort_keys=True)
+    print(json.dumps(result))
+    return 0
+
+
 def main() -> int:
     total_t0 = time.perf_counter()
     corpus = build_corpus()
@@ -296,4 +334,6 @@ def main() -> int:
 
 
 if __name__ == "__main__":
+    if "--heavy-sf1" in sys.argv[1:]:
+        raise SystemExit(heavy_sf1())
     raise SystemExit(main())
