@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 
 
@@ -47,6 +48,13 @@ def main(argv: list[str] | None = None) -> int:
         "--near-dup-threshold", type=float, default=0.5,
         help="refresh mode: Jaccard threshold for dropping a new doc as a "
         "near-duplicate of a committed one",
+    )
+    ap.add_argument(
+        "--band-index", action="store_true",
+        help="refresh mode: maintain the corpus LSH band index as a "
+        "bucketed table under <output>/_band_index — probed shuffle-free "
+        "on the corpus side and appended per committed batch, instead of "
+        "recomputing corpus signatures inline every refresh",
     )
     ap.add_argument(
         "--curate", action="store_true",
@@ -141,6 +149,11 @@ def main(argv: list[str] | None = None) -> int:
                 n_partitions=args.partitions,
                 context=context,
                 near_dup_threshold=args.near_dup_threshold,
+                band_index_path=(
+                    os.path.join(args.output, "_band_index")
+                    if args.band_index
+                    else None
+                ),
             )
             print(json.dumps(metrics))
             return 0

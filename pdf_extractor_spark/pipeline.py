@@ -112,6 +112,16 @@ def _commit_with_lineage(sized: DataFrame, output_table: str) -> dict:
     return {"snapshot": snap_id, "rows": n_rows, "marker": marker}
 
 
+_BAND_INDEX_DDL = "id STRING, band INT, key STRING"
+_BAND_INDEX_KEYS = ["band", "key"]
+
+
+def _band_index_table(path: str) -> str:
+    import hashlib
+
+    return "pes_band_index_" + hashlib.md5(path.encode("utf-8")).hexdigest()[:12]
+
+
 def run_refresh_job(
     spark: SparkSession,
     batch_df: DataFrame,
@@ -120,6 +130,8 @@ def run_refresh_job(
     context: ExtractContext | None = None,
     near_dup_threshold: float = 0.5,
     max_bucket: int | None = None,
+    band_index_path: str | None = None,
+    band_index_buckets: int = 8,
 ) -> dict:
     """Incremental corpus REFRESH: ingest a new crawl batch into an
     existing corpus table. Three gates, cheapest first:
@@ -138,8 +150,41 @@ def run_refresh_job(
     repair loop owns them, not the dedup gate). The whole-corpus pair
     generation is never re-run: cost scales with the BATCH, which is what
     makes continuous corpus maintenance viable at 10^12 docs.
+
+    ``band_index_path`` upgrades gate 3 to the full 100-TB posture: the
+    corpus's LSH band index is MATERIALIZED at that path as a
+    (band, key)-bucketed table — built once from the committed corpus,
+    re-registered per session (``register_bucketed``: Spark's in-memory
+    catalog forgets specs between spark-submit runs), probed shuffle-free
+    on the corpus side, and APPENDED with each committed batch's bands.
+    Without it, corpus signatures are recomputed inline per refresh —
+    fine at test scale, a full corpus re-scan per ingest at 10^12 docs.
     """
-    from pdf_extractor_spark.operators.dedup import incremental_near_dups
+    from pdf_extractor_spark.operators.dedup import (
+        incremental_near_dups,
+        with_minhash_bands,
+    )
+    from pdf_extractor_spark.sources.bucketed import (
+        append_bucketed,
+        read_table,
+        register_bucketed,
+        write_bucketed,
+    )
+
+    corpus_band_index = None
+    idx_table = None
+    if band_index_path is not None:
+        idx_table = _band_index_table(band_index_path)
+        if os.path.exists(os.path.join(band_index_path, "_SUCCESS")):
+            register_bucketed(
+                spark,
+                idx_table,
+                band_index_path,
+                _BAND_INDEX_DDL,
+                _BAND_INDEX_KEYS,
+                band_index_buckets,
+            )
+            corpus_band_index = read_table(spark, idx_table)
 
     todo = catalog.remaining(spark, batch_df, output_table)
     extracted = extract_documents(todo, n_partitions=n_partitions, context=context)
@@ -163,6 +208,7 @@ def run_refresh_job(
                 threshold=near_dup_threshold,
                 n_partitions=n_partitions,
                 max_bucket=max_bucket,
+                corpus_band_index=corpus_band_index,
             )
             dup_urls = matches.select(
                 F.col("new_id").alias("url")
@@ -170,6 +216,38 @@ def run_refresh_job(
             keep = sized.join(dup_urls, "url", "left_anti").persist()
             near_dropped = after_resume - keep.count()
         metrics = _commit_with_lineage(keep, output_table)
+        if band_index_path is not None:
+            if corpus_band_index is None:
+                # first build: index the FULL committed corpus (includes
+                # this run's snapshot), so later refreshes probe everything
+                committed = catalog.read_committed(spark, output_table)
+                if committed is not None:
+                    bands = with_minhash_bands(
+                        committed.filter(F.col("ok")).select("url", "text"),
+                        id_col="url",
+                        n_partitions=n_partitions,
+                    )
+                    write_bucketed(
+                        bands,
+                        idx_table,
+                        band_index_path,
+                        _BAND_INDEX_KEYS,
+                        band_index_buckets,
+                    )
+            elif metrics["rows"] > 0:
+                # incremental maintenance: only the committed batch's bands
+                bands = with_minhash_bands(
+                    keep.filter(F.col("ok")).select("url", "text"),
+                    id_col="url",
+                    n_partitions=n_partitions,
+                )
+                append_bucketed(
+                    bands,
+                    idx_table,
+                    band_index_path,
+                    _BAND_INDEX_KEYS,
+                    band_index_buckets,
+                )
         metrics.update(
             {
                 "batch_in": batch_in,

@@ -59,3 +59,52 @@ def read_table(spark: SparkSession, table: str) -> DataFrame:
     reading the parquet path directly would drop the spec and reintroduce
     the join shuffle)."""
     return spark.table(table)
+
+
+def register_bucketed(
+    spark: SparkSession,
+    table: str,
+    path: str,
+    schema_ddl: str,
+    key: str | list[str],
+    n_buckets: int,
+) -> None:
+    """Re-attach a bucket spec to an existing bucketed-parquet directory.
+
+    Spark's default in-memory catalog forgets table metadata when the
+    session ends, and reading the parquet path directly drops the bucket
+    spec (reintroducing the join shuffle). ``CREATE TABLE ... CLUSTERED BY
+    ... LOCATION`` re-registers the spec over the files already on disk —
+    idempotent, metadata-only — so a NEW session (the next spark-submit
+    run) probes the index shuffle-free again. At real scale a Hive
+    metastore/Iceberg catalog makes this durable automatically; this is
+    the explicit, catalog-free equivalent.
+    """
+    keys = [key] if isinstance(key, str) else list(key)
+    cols = ", ".join(keys)
+    spark.sql(
+        f"CREATE TABLE IF NOT EXISTS {table} ({schema_ddl}) USING parquet "
+        f"CLUSTERED BY ({cols}) SORTED BY ({cols}) INTO {n_buckets} BUCKETS "
+        f"LOCATION '{path}'"
+    )
+
+
+def append_bucketed(
+    df: DataFrame,
+    table: str,
+    path: str,
+    key: str | list[str],
+    n_buckets: int,
+) -> None:
+    """Append to a bucketed table with the SAME spec (each new fileset is
+    bucket-laid-out; reads stay Exchange-free — with several files per
+    bucket Spark re-sorts within tasks, it never reshuffles)."""
+    keys = [key] if isinstance(key, str) else list(key)
+    (
+        df.write.format("parquet")
+        .mode("append")
+        .option("path", path)
+        .bucketBy(n_buckets, *keys)
+        .sortBy(*keys)
+        .saveAsTable(table)
+    )

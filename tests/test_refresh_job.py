@@ -145,3 +145,51 @@ def test_refresh_probe_bucketed_band_index_no_corpus_exchange(spark, tmp_path):
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     finally:
         spark.sql("DROP TABLE IF EXISTS band_index")
+
+
+def test_refresh_maintained_band_index_across_refreshes(spark, tmp_path):
+    """The maintained-index path end-to-end: refresh #1 seeds the bucketed
+    band index from the committed corpus; refresh #2 probes THAT index
+    (not a recompute) and still drops mirrors of docs committed in #1;
+    the index grows by exactly the committed batch's bands."""
+    from pdf_extractor_spark.pipeline import _band_index_table, run_refresh_job
+
+    table = str(tmp_path / "corpus")
+    idx_path = str(tmp_path / "corpus" / "_band_index")
+    base = spark.createDataFrame(_rows(range(30)), SCHEMA)
+    run_extraction_job(spark, base, table, n_partitions=4)
+
+    try:
+        # refresh #1: 5 new docs; index doesn't exist yet -> seeded from the
+        # FULL committed corpus (30 + 5 docs) after commit
+        b1 = spark.createDataFrame(_rows(range(30, 35)), SCHEMA)
+        m1 = run_refresh_job(
+            spark, b1, table, n_partitions=4, band_index_path=idx_path
+        )
+        assert m1["rows"] == 5
+        idx = spark.table(_band_index_table(idx_path))
+        n_idx_1 = idx.count()
+        ids_1 = {r["id"] for r in idx.select("id").distinct().collect()}
+        assert len(ids_1) == 35  # whole corpus indexed, not just the batch
+
+        # refresh #2: mirrors of docs 31-32 (committed by refresh #1, so
+        # only the INDEX knows them as bands) + 2 fresh docs
+        mirrors = _rows(
+            [31, 32], url_override=lambda i: f"https://mirror.example/m/{i}"
+        )
+        fresh = _rows(range(35, 37))
+        b2 = spark.createDataFrame(mirrors + fresh, SCHEMA)
+        m2 = run_refresh_job(
+            spark, b2, table, n_partitions=4, band_index_path=idx_path
+        )
+        assert m2["near_dup_dropped"] == 2
+        assert m2["rows"] == 2
+
+        # index maintenance: exactly the 2 committed docs' bands appended
+        idx2 = spark.table(_band_index_table(idx_path))
+        ids_2 = {r["id"] for r in idx2.select("id").distinct().collect()}
+        assert ids_2 - ids_1 == {r[0] for r in fresh}
+        per_doc_bands = n_idx_1 // 35
+        assert idx2.count() == n_idx_1 + 2 * per_doc_bands
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {_band_index_table(idx_path)}")
