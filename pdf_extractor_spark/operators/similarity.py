@@ -490,3 +490,73 @@ def semdedup(
         F.col("cluster").cast("bigint").alias("cluster"),
         F.coalesce(~F.col("_dup"), F.lit(True)).alias("keep"),
     )
+
+
+def mine_bitext_pairs(
+    df: DataFrame,
+    src_label: int,
+    tgt_label: int,
+    n_planes: int = 6,
+    min_sim: float = 0.5,
+    margin: float = 1.05,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Parallel-pair (bitext) mining over a multilingual embedding space —
+    the margin criterion of Artetxe & Schwenk (ACL 2019, "Margin-based
+    Parallel Corpus Mining"), in its ratio form reduced to the top-2
+    neighborhood: for each SOURCE-language vector, take the best
+    TARGET-language candidate by cosine and keep the pair only when the
+    best similarity clears ``min_sim`` AND towers over the runner-up by
+    ``margin`` (best >= margin * second). A translation pair is a lone
+    spike; a dense neighborhood is a topic cluster, not a translation.
+    Labels stand in for languages (the embeddings table's domain key).
+
+    Scale shape: same as hard_negative_pairs — SRP-bucket blocking, exact
+    cosine only on in-bucket (src, tgt) candidates, then ONE window pass
+    partitioned by source id computing rank and the runner-up similarity
+    (lead) together; the |src| x |tgt| product never materializes and no
+    task sees more than one source's candidate list. The margin test
+    multiplies the ALREADY-ROUNDED similarities (margin * second), so the
+    mined flag is bit-stable across engines and partitionings.
+    """
+    from pyspark.sql import Window
+
+    dim_row = df.select(F.size(F.col(vec_col)).alias("d")).first()
+    planes = hyperplanes(n_planes, dim_row["d"])
+    keyed = df.select(
+        F.col(id_col).alias("id"),
+        F.col(label_col).alias("label"),
+        F.col(vec_col).alias("v"),
+        norm(F.col(vec_col)).alias("n"),
+        srp_bucket(F.col(vec_col), planes).alias("bucket"),
+    )
+    src = keyed.filter(F.col("label") == src_label).alias("a")
+    tgt = keyed.filter(F.col("label") == tgt_label).alias("b")
+    denom = F.col("a.n") * F.col("b.n")
+    pair_cos = F.when(denom == 0, F.lit(0.0)).otherwise(
+        dot(F.col("a.v"), F.col("b.v")) / denom
+    )
+    cand = src.join(tgt, F.col("a.bucket") == F.col("b.bucket")).select(
+        F.col("a.id").alias("src_id"),
+        F.col("b.id").alias("tgt_id"),
+        F.round(pair_cos, 6).alias("cosine_sim"),
+    )
+    w = Window.partitionBy("src_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("tgt_id")
+    )
+    ranked = cand.select(
+        "src_id",
+        "tgt_id",
+        "cosine_sim",
+        F.row_number().over(w).alias("_rk"),
+        F.lead("cosine_sim").over(w).alias("second_sim"),
+    ).filter(F.col("_rk") == 1)
+    mined = (F.col("cosine_sim") >= min_sim) & (
+        F.col("second_sim").isNull()
+        | (F.col("cosine_sim") >= F.lit(margin) * F.col("second_sim"))
+    )
+    return ranked.select(
+        "src_id", "tgt_id", "cosine_sim", "second_sim", mined.alias("mined")
+    )

@@ -6902,3 +6902,134 @@ def t_compression_ratio(spark: SparkSession, sf: str) -> DataFrame:
             "keep"
         ),
     )
+
+
+@query(
+    "e_bitext_mine",
+    """
+    WITH planes AS (
+      SELECT p, d,
+             (((strpos('0123456789abcdef', substr(md5(concat(p, '_', d)), 1, 1)) - 1) * 4096
+             + (strpos('0123456789abcdef', substr(md5(concat(p, '_', d)), 2, 1)) - 1) * 256
+             + (strpos('0123456789abcdef', substr(md5(concat(p, '_', d)), 3, 1)) - 1) * 16
+             + (strpos('0123456789abcdef', substr(md5(concat(p, '_', d)), 4, 1)) - 1))
+              / 32768.0) - 1.0 AS w
+      FROM range(6) t1(p), range(64) t2(d)),
+    e2 AS (
+      SELECT vec_id, unnest(embedding)::DOUBLE AS v,
+             generate_subscripts(embedding, 1) - 1 AS d
+      FROM embeddings),
+    proj AS (
+      SELECT e2.vec_id, planes.p, sum(e2.v * planes.w) AS s
+      FROM e2 JOIN planes USING (d) GROUP BY e2.vec_id, planes.p),
+    b AS (
+      SELECT vec_id,
+             cast(sum(CASE WHEN s >= 0 THEN power(2, p)::bigint ELSE 0 END) AS BIGINT)
+               AS bucket
+      FROM proj GROUP BY vec_id),
+    k AS (SELECT b.vec_id AS id, label, bucket, embedding AS v
+          FROM b JOIN embeddings ON b.vec_id = embeddings.vec_id),
+    cand AS (
+      SELECT a.id AS src_id, bb.id AS tgt_id,
+             round(list_dot_product(a.v::DOUBLE[], bb.v::DOUBLE[])
+                   / (sqrt(list_dot_product(a.v::DOUBLE[], a.v::DOUBLE[]))
+                      * sqrt(list_dot_product(bb.v::DOUBLE[], bb.v::DOUBLE[]))), 6)
+               AS cosine_sim
+      FROM k a JOIN k bb ON a.bucket = bb.bucket
+      WHERE a.label = 0 AND bb.label = 1),
+    r AS (
+      SELECT src_id, tgt_id, cosine_sim,
+             row_number() OVER w AS rk,
+             lead(cosine_sim) OVER w AS second_sim
+      FROM cand
+      WINDOW w AS (PARTITION BY src_id ORDER BY cosine_sim DESC, tgt_id))
+    SELECT src_id, tgt_id, cosine_sim, second_sim,
+           (cosine_sim >= 0.5 AND
+            (second_sim IS NULL OR cosine_sim >= 1.05 * second_sim)) AS mined
+    FROM r WHERE rk = 1
+    """,
+)
+def e_bitext_mine(spark: SparkSession, sf: str) -> DataFrame:
+    """Bitext / parallel-pair mining (Artetxe & Schwenk ACL 2019 margin
+    criterion, ratio form over the top-2 neighborhood): per label-0
+    ("source language") vector, the best label-1 ("target language")
+    candidate by cosine, mined when it clears min_sim AND towers over the
+    runner-up by the margin ratio — the step that turns a multilingual
+    embedding space into translation-pair training data. SRP-bucket
+    blocking + in-bucket exact rescore + one source-partitioned window
+    (rank + lead together); see operators/similarity.mine_bitext_pairs
+    for the 100-TB notes. The margin test multiplies already-rounded
+    similarities, so the mined flag hashes identically across engines."""
+    from pdf_extractor_spark.operators.similarity import mine_bitext_pairs
+
+    e = _t(spark, sf, "embeddings")
+    return mine_bitext_pairs(
+        e, src_label=0, tgt_label=1, n_planes=6, min_sim=0.5, margin=1.05
+    )
+
+
+@query(
+    "t_readability",
+    """
+    WITH f AS (
+      SELECT doc_id,
+             cast(CASE WHEN trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) = ''
+                  THEN 0 ELSE len(regexp_split_to_array(
+                    trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '))
+                  END AS BIGINT) AS n_words,
+             greatest(cast(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT), 1)
+               AS n_sentences,
+             cast(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT)
+               AS n_syllables
+      FROM documents)
+    SELECT doc_id, n_words, n_sentences, n_syllables,
+           206835 - (1015 * n_words) // n_sentences
+                  - (84600 * n_syllables) // n_words AS flesch_milli,
+           CASE WHEN 206835 - (1015 * n_words) // n_sentences
+                       - (84600 * n_syllables) // n_words >= 60000 THEN 'easy'
+                WHEN 206835 - (1015 * n_words) // n_sentences
+                       - (84600 * n_syllables) // n_words >= 30000 THEN 'medium'
+                ELSE 'hard' END AS band
+    FROM f WHERE n_words > 0
+    """,
+)
+def t_readability(spark: SparkSession, sf: str) -> DataFrame:
+    """Readability quality signal (Flesch reading ease, Flesch 1948 — the
+    classic curation-side complexity screen; e.g. FineWeb-Edu buckets by
+    an educational-readability score): words via the engine tokenizer,
+    sentences as terminal-punctuation runs (min 1), syllables as vowel
+    GROUPS — the standard dictionary-free approximation. The score is
+    kept in integer MILLI-points (206835 - 1015*W//S - 84600*Syl//W):
+    every term an integral division of counts, so both engines hash
+    bit-identically with no float in sight. Pure scan-side expressions —
+    three regexp counts per row, no shuffle at all."""
+    from pdf_extractor_spark.operators.dedup import word_tokens
+
+    d = _t(spark, sf, "documents")
+    f = d.select(
+        "doc_id",
+        F.size(word_tokens(F.col("text"))).cast("bigint").alias("n_words"),
+        F.greatest(
+            F.regexp_count(F.col("text"), F.lit(r"[.!?]+")).cast("bigint"),
+            F.lit(1).cast("bigint"),
+        ).alias("n_sentences"),
+        F.regexp_count(F.lower(F.col("text")), F.lit(r"[aeiouy]+"))
+        .cast("bigint")
+        .alias("n_syllables"),
+    ).filter(F.col("n_words") > 0)
+    flesch = (
+        F.lit(206835).cast("bigint")
+        - F.expr("(1015 * n_words) div n_sentences")
+        - F.expr("(84600 * n_syllables) div n_words")
+    )
+    return f.select(
+        "doc_id",
+        "n_words",
+        "n_sentences",
+        "n_syllables",
+        flesch.alias("flesch_milli"),
+        F.when(flesch >= 60000, F.lit("easy"))
+        .when(flesch >= 30000, F.lit("medium"))
+        .otherwise(F.lit("hard"))
+        .alias("band"),
+    )

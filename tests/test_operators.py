@@ -1458,3 +1458,58 @@ def test_global_rank_desc_matches_unpartitioned_window(spark):
             ).collect()
         }
         assert got == ref, f"seed={seed}"
+
+
+def test_bitext_margin_semantics(spark):
+    """A towering one-best match mines; a dense two-best neighborhood does
+    not (ratio margin, Artetxe & Schwenk 2019)."""
+    from pdf_extractor_spark.operators.similarity import mine_bitext_pairs
+
+    base = [1.0] + [0.0] * 63
+
+    def v(scale, tilt=0.0):
+        out = [x * scale for x in base]
+        out[1] = tilt
+        return out
+
+    rows = [
+        # src 0: one target near-identical, the other orthogonal-ish -> mined
+        (0, v(1.0), 0),
+        (10, v(1.0), 1),
+        (11, [0.1] + [0.5] * 63, 1),
+        # src 1: two near-equal targets -> ambiguous, NOT mined
+        (1, v(1.0, 0.3), 0),
+        (20, v(1.0, 0.301), 1),
+        (21, v(1.0, 0.299), 1),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    got = {
+        r["src_id"]: r
+        for r in mine_bitext_pairs(df, 0, 1, n_planes=2, margin=1.05).collect()
+    }
+    assert got[0]["mined"] is True
+    assert got[0]["tgt_id"] == 10
+    if 1 in got:  # same SRP bucket (2 planes keep them together or apart)
+        assert got[1]["mined"] is False or got[1]["second_sim"] is None
+
+
+def test_readability_band_ordering(spark):
+    """Short simple sentences score 'easier' than long vowel-heavy prose."""
+    from pdf_extractor_spark.queries import _QUERIES
+
+    rows = [
+        (0, "The cat sat. The dog ran. It was fun. We all sat."),
+        (1, "Extraordinarily polysyllabic vocabulary continuously aggregating "
+            "unreasonably elongated clauses without terminal punctuation "
+            "meandering interminably onward perpetually unabated regardless"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    import os
+    import tempfile
+
+    # drive the registered query itself (it reads {sf_dir}/documents.parquet)
+    with tempfile.TemporaryDirectory() as td:
+        df.write.parquet(os.path.join(td, "documents.parquet"))
+        out = {r["doc_id"]: r for r in _QUERIES["t_readability"](spark, td).collect()}
+    assert out[0]["flesch_milli"] > out[1]["flesch_milli"]
+    assert out[0]["n_sentences"] == 4
