@@ -111,3 +111,53 @@ def process_in_batches(
         )
         cur = nxt
     return out
+
+
+def stream_refresh_to_catalog(
+    spark: SparkSession,
+    input_path: str,
+    schema: str,
+    output_table: str,
+    checkpoint: str,
+    n_partitions: int | None = None,
+    near_dup_threshold: float = 0.5,
+    band_index_path: str | None = None,
+):
+    """Continuous corpus REFRESH as a stream: readStream over the crawl
+    feed -> ``foreachBatch`` running the full three-gate refresh
+    (pipeline.run_refresh_job) per micro-batch — exact resume, extraction
+    of survivors, near-dup probe of the committed corpus, snapshot commit
+    with lineage. A micro-batch is a static DataFrame inside foreachBatch,
+    so the BATCH job and the STREAMING job are literally the same code
+    path: one semantics, two triggers (the same unification as
+    stream_extract_to_catalog, extended to the dedup gate).
+
+    Exactly-once: the catalog anti-join absorbs replayed epochs (at-least-
+    once foreachBatch window) — a re-delivered batch finds all its urls
+    committed and commits nothing; the near-dup gate is naturally
+    idempotent (dropped docs never enter the corpus, so a replay re-drops
+    them). With ``band_index_path``, each committed micro-batch's bands
+    append to the bucketed corpus index, so probe cost stays O(batch) for
+    the stream's whole lifetime — the shape a 10^12-doc continuous-ingest
+    deployment needs. Returns a DataStreamWriter; call ``.start()``.
+    """
+    from pdf_extractor_spark.pipeline import run_refresh_job
+
+    stream = spark.readStream.schema(schema).parquet(input_path)
+
+    def _refresh(batch_df: DataFrame, epoch_id: int) -> None:
+        batch_df = batch_df.dropDuplicates(["url"])
+        run_refresh_job(
+            batch_df.sparkSession,
+            batch_df,
+            output_table,
+            n_partitions=n_partitions,
+            near_dup_threshold=near_dup_threshold,
+            band_index_path=band_index_path,
+        )
+
+    return (
+        stream.writeStream.foreachBatch(_refresh)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+    )

@@ -341,3 +341,66 @@ def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
         for r in spark.table("ssj_eq").collect()
     }
     assert streamed == batch
+
+
+def test_stream_refresh_three_gates_and_replay(spark, tmp_path):
+    """Streaming refresh (stream_refresh_to_catalog): per micro-batch the
+    full three-gate refresh runs — wave 2's exact re-crawls resume away,
+    its mirror docs (same content, new url) are dropped by the corpus
+    near-dup probe against the maintained band index, fresh docs commit —
+    and a forced epoch replay (checkpoint deleted) commits nothing new."""
+    import shutil
+
+    from pdf_extractor_spark.fixtures.synth import make_document_row
+    from pdf_extractor_spark.pipeline import _band_index_table
+    from pdf_extractor_spark.sources import catalog
+    from pdf_extractor_spark.streaming.incremental import stream_refresh_to_catalog
+
+    schema = "url string, warc_ts timestamp, html binary, lang string"
+    src = str(tmp_path / "src")
+    table = str(tmp_path / "table")
+    ckpt = str(tmp_path / "ckpt")
+    idx = str(tmp_path / "table" / "_band_index")
+
+    def wave(rows):
+        spark.createDataFrame(rows, schema).write.mode("append").parquet(src)
+
+    def row(i, url=None):
+        r = make_document_row(i)
+        return (url or r["url"], r["warc_ts"].replace(tzinfo=None), r["html"], r["lang"])
+
+    def run_stream():
+        q = stream_refresh_to_catalog(
+            spark, src, schema, table, ckpt, n_partitions=4, band_index_path=idx
+        ).start()
+        q.awaitTermination(240)
+
+    try:
+        wave([row(i) for i in range(25)])
+        run_stream()
+        # wave 2: 10 exact re-crawls + 3 mirrors of committed docs + 4 fresh
+        wave(
+            [row(i) for i in range(10)]
+            + [row(i, url=f"https://mirror.example/s/{i}") for i in range(3)]
+            + [row(i) for i in range(25, 29)]
+        )
+        run_stream()
+
+        done = catalog.read_committed(spark, table)
+        urls = {r["url"] for r in done.select("url").collect()}
+        assert len(urls) == 29  # 25 + 4 fresh; mirrors dropped, re-crawls resumed
+        assert not any(u.startswith("https://mirror.example/") for u in urls)
+
+        # maintained index covers every committed ok doc
+        n_ok = done.filter("ok").count()
+        idx_ids = spark.table(_band_index_table(idx)).select("id").distinct().count()
+        assert idx_ids == n_ok
+
+        # forced replay: reprocess everything; catalog + dedup gates absorb it
+        shutil.rmtree(ckpt)
+        run_stream()
+        done2 = catalog.read_committed(spark, table)
+        counts = done2.groupBy("url").count().collect()
+        assert len(counts) == 29 and all(r["count"] == 1 for r in counts)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {_band_index_table(idx)}")
