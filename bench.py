@@ -201,11 +201,22 @@ def time_heavy_queries(
                 for name in names:
                     spark.catalog.clearCache()
                     spark._jvm.System.gc()
-                    t0 = time.perf_counter()
-                    qs[name](spark, sf_dir).write.format("noop").mode(
-                        "overwrite"
-                    ).save()
-                    dt = time.perf_counter() - t0
+                    # min of TWO back-to-back runs per (sweep, level): the
+                    # first run carries parallelism-INDEPENDENT one-time
+                    # cost (whole-stage codegen JIT, Python worker spinup,
+                    # plan analysis) that an sf1 decomposition measured at
+                    # several seconds — timing only cold runs reads as a
+                    # fake serial floor and caps apparent efficiency. The
+                    # steady-state wall is what a real per-job cluster run
+                    # amortizes to.
+                    dt = None
+                    for _ in range(2):
+                        t0 = time.perf_counter()
+                        qs[name](spark, sf_dir).write.format("noop").mode(
+                            "overwrite"
+                        ).save()
+                        run = time.perf_counter() - t0
+                        dt = run if dt is None else min(dt, run)
                     d = out.setdefault(name, {})
                     key = f"wall_sec_c{cpus}"
                     d[key] = round(min(d.get(key, float("inf")), dt), 3)

@@ -560,3 +560,109 @@ def mine_bitext_pairs(
     return ranked.select(
         "src_id", "tgt_id", "cosine_sim", "second_sim", mined.alias("mined")
     )
+
+
+def l2sq(a: Column, b: Column) -> Column:
+    """Squared euclidean distance between two array columns (sequential
+    left-to-right aggregate — deterministic summation order)."""
+    return F.aggregate(
+        F.zip_with(
+            a,
+            b,
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def pq_encode(
+    df: DataFrame,
+    m: int = 2,
+    k: int = 4,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product quantization (Jegou, Douze & Schmid, TPAMI 2011 — the PQ
+    half of an IVF-PQ index): split each vector into ``m`` subspaces,
+    train an independent k-codeword euclidean quantizer per subspace with
+    ``n_iter`` Lloyd's rounds, and emit each vector's code word per
+    subspace plus its final squared quantization error. The codes are the
+    compressed representation an ANN index stores (m * log2(k) bits per
+    vector instead of dim floats); the error column is the calibration
+    readout a recall budget is set from.
+
+    Determinism mirrors kmeans_iterations: seeds are the k lowest-id
+    vectors' sub-vectors, distances round to 6 dp before the argmin, ties
+    break toward the smaller codeword via a least-over-structs, empty
+    codewords keep their previous centroid. Scale shape, per subspace and
+    round: one codegen'd projection scoring k broadcast centroid literals
+    (k * dim/m floats in the plan) + one groupBy-avg whose collect is k
+    rows — the corpus never shuffles on anything wider than the cluster
+    id, and the m subspaces reuse the same scan.
+    """
+    dim_row = df.select(F.size(F.col(vec_col)).alias("d")).first()
+    dim = dim_row["d"]
+    if dim % m != 0:
+        raise ValueError(f"pq_encode: dim {dim} not divisible by m={m}")
+    sub = dim // m
+    out = None
+    for s in range(m):
+        sdf = df.select(
+            F.col(id_col).alias("id"),
+            F.slice(F.col(vec_col), s * sub + 1, sub).alias("sv"),
+        )
+        seed_rows = sdf.orderBy("id").select("sv").limit(k).collect()
+        cents: list[list[float]] = [
+            [float(x) for x in r["sv"]] for r in seed_rows
+        ]
+        if len(cents) < k:
+            raise ValueError(
+                f"pq_encode: k={k} but input has only {len(cents)} rows"
+            )
+        assigned = None
+        for _ in range(n_iter):
+            dists = [
+                F.round(
+                    l2sq(F.col("sv"), F.array(*[F.lit(c) for c in cent])), 6
+                ).alias(f"_d{j}")
+                for j, cent in enumerate(cents)
+            ]
+            scored = sdf.select("id", "sv", *dists)
+            best = F.least(
+                *[
+                    F.struct(
+                        F.col(f"_d{j}").alias("dd"), F.lit(j).alias("cc")
+                    )
+                    for j in range(len(cents))
+                ]
+            )
+            assigned = scored.select(
+                "id",
+                "sv",
+                best.getField("cc").alias("code"),
+                best.getField("dd").alias("err"),
+            )
+            new_rows = (
+                assigned.groupBy("code")
+                .agg(
+                    *[
+                        F.avg(F.col("sv")[i].cast("double")).alias(f"c{i}")
+                        for i in range(sub)
+                    ]
+                )
+                .collect()
+            )
+            by_code = {
+                r["code"]: [r[f"c{i}"] for i in range(sub)] for r in new_rows
+            }
+            cents = [by_code.get(j, cents[j]) for j in range(len(cents))]
+        part = assigned.select(
+            "id",
+            F.col("code").cast("int").alias(f"code_{s}"),
+            F.col("err").alias(f"err_{s}"),
+        )
+        out = part if out is None else out.join(part, "id")
+    return out

@@ -1323,7 +1323,12 @@ def d_components(spark: SparkSession, sf: str) -> DataFrame:
     including adversarial long chains where min-label propagation needs
     diameter-many rounds. comp = min doc_id per cluster — the
     representative a dedup pass keeps. The oracle computes the same
-    labeling via a recursive CTE."""
+    labeling via a recursive CTE. Scale note (BENCH.md sf1 decomposition):
+    this contract query runs CC on UNCAPPED candidate pairs to keep the
+    textbook semantics the oracle defines; a production run at corpus
+    scale feeds CC the max_bucket-capped pairs instead (d_lsh_pairs_capped
+    is that guard, driver-green) so degenerate buckets cannot inflate the
+    edge list quadratically."""
     d = _t(spark, sf, "documents")
     pairs = D.minhash_lsh_pairs(
         d, k=4, bands=2, shingle_n=2, n_partitions=_par(spark)
@@ -7032,4 +7037,173 @@ def t_readability(spark: SparkSession, sf: str) -> DataFrame:
         .when(flesch >= 30000, F.lit("medium"))
         .otherwise(F.lit("hard"))
         .alias("band"),
+    )
+
+
+@query(
+    "m_span_corruption",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOK_SQL_SAFE} AS toks FROM documents),
+    p AS (SELECT doc_id, unnest(range(len(toks))) AS pos
+          FROM t WHERE len(toks) > 0),
+    hx AS (SELECT doc_id, pos,
+                  md5(concat('span:', doc_id, ':', pos)) AS h FROM p),
+    s AS (SELECT doc_id, pos,
+                 (({_HEX8.format(h="h", p="1")}) / 4294967296.0 < 0.05)
+                   AS is_start
+          FROM hx),
+    c AS (SELECT doc_id, pos, is_start,
+                 max(CASE WHEN is_start THEN 1 ELSE 0 END) OVER (
+                   PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) = 1 AS covered
+          FROM s),
+    i AS (SELECT doc_id, covered,
+                 (covered AND NOT coalesce(
+                   lag(covered) OVER (PARTITION BY doc_id ORDER BY pos),
+                   FALSE)) AS island
+          FROM c),
+    agg AS (SELECT doc_id,
+                   cast(count(*) AS BIGINT) AS n_tokens,
+                   cast(sum(CASE WHEN covered THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_masked,
+                   cast(sum(CASE WHEN island THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_spans
+            FROM i GROUP BY doc_id)
+    SELECT doc_id, n_tokens, n_masked, n_spans,
+           n_tokens - n_masked + n_spans AS input_len,
+           n_masked + n_spans + 1 AS target_len,
+           (1000000 * n_masked) // n_tokens AS mask_ppm
+    FROM agg
+    """,
+)
+def m_span_corruption(spark: SparkSession, sf: str) -> DataFrame:
+    """T5-style span-corruption accounting (Raffel et al. JMLR 2020 §3.1.4:
+    mask contiguous spans, replace each with one sentinel): deterministic
+    span starts from an md5 coin per (doc, position) (~5% start density x
+    3-token spans ~= the 15% noise budget), coverage via a 3-row
+    doc-partitioned window max, sentinel (island) starts via lag — then
+    per doc the exact INPUT and TARGET sequence lengths a T5-objective
+    batch builder must budget for (inputs = tokens - masked + sentinels;
+    targets = masked + sentinels + EOS). Every value integer, every
+    window bounded by the document's own length, the md5 coin partition-
+    invariant — bit-identical across engines and layouts."""
+    from pyspark.sql import Window
+
+    from pdf_extractor_spark.operators.dedup import word_tokens
+    from pdf_extractor_spark.operators.sampling import _hash_frac
+
+    d = _t(spark, sf, "documents")
+    staged = d.select(
+        "doc_id", word_tokens(F.col("text")).alias("_t")
+    ).repartition(_par(spark), "doc_id")
+    pos = staged.filter(F.size("_t") > 0).select(
+        "doc_id", F.posexplode("_t").alias("pos", "_tok")
+    )
+    key = F.concat(
+        F.col("doc_id").cast("string"), F.lit(":"), F.col("pos").cast("string")
+    )
+    s = pos.select(
+        "doc_id", "pos", (_hash_frac(key, "span") < 0.05).alias("is_start")
+    )
+    w3 = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(-2, 0)
+    wl = Window.partitionBy("doc_id").orderBy("pos")
+    c = s.select(
+        "doc_id",
+        "pos",
+        (F.max(F.when(F.col("is_start"), 1).otherwise(0)).over(w3) == 1).alias(
+            "covered"
+        ),
+    )
+    i = c.select(
+        "doc_id",
+        "covered",
+        (
+            F.col("covered")
+            & ~F.coalesce(F.lag("covered").over(wl), F.lit(False))
+        ).alias("island"),
+    )
+    agg = i.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+        F.sum(F.when(F.col("covered"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_masked"),
+        F.sum(F.when(F.col("island"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_spans"),
+    )
+    return agg.select(
+        "doc_id",
+        "n_tokens",
+        "n_masked",
+        "n_spans",
+        (F.col("n_tokens") - F.col("n_masked") + F.col("n_spans")).alias(
+            "input_len"
+        ),
+        (F.col("n_masked") + F.col("n_spans") + F.lit(1)).alias("target_len"),
+        F.expr("(1000000 * n_masked) div n_tokens").alias("mask_ppm"),
+    )
+
+
+def _pq_sub_sql(s: int, lo: int, hi: int) -> str:
+    """CTE chain for one PQ subspace: seed -> 2 Lloyd's rounds (assign by
+    rounded L2, struct-min tie-break, mean update with empty-codeword
+    carry) -> final code + quantization error."""
+    return f"""
+    sub{s} AS (SELECT vec_id, v, d FROM (
+                 SELECT vec_id, unnest(embedding)::DOUBLE AS v,
+                        generate_subscripts(embedding, 1) AS d
+                 FROM embeddings)
+               WHERE d BETWEEN {lo} AND {hi}),
+    c0_{s} AS (SELECT vec_id AS code, d, v AS cv FROM sub{s} WHERE vec_id < 4),
+    d1_{s} AS (SELECT b.vec_id, c.code,
+                      round(sum((b.v - c.cv) * (b.v - c.cv)), 6) AS dd
+               FROM sub{s} b JOIN c0_{s} c USING (d)
+               GROUP BY b.vec_id, c.code),
+    a1_{s} AS (SELECT vec_id, min(struct_pack(dd := dd, cc := code)).cc AS code
+               FROM d1_{s} GROUP BY vec_id),
+    c1_{s} AS (SELECT a.code, b.d, avg(b.v) AS cv
+               FROM a1_{s} a JOIN sub{s} b USING (vec_id)
+               GROUP BY a.code, b.d),
+    c1f_{s} AS (SELECT * FROM c1_{s}
+                UNION ALL
+                SELECT c0.code, c0.d, c0.cv FROM c0_{s} c0
+                WHERE c0.code NOT IN (SELECT DISTINCT code FROM c1_{s})),
+    d2_{s} AS (SELECT b.vec_id, c.code,
+                      round(sum((b.v - c.cv) * (b.v - c.cv)), 6) AS dd
+               FROM sub{s} b JOIN c1f_{s} c USING (d)
+               GROUP BY b.vec_id, c.code),
+    a2_{s} AS (SELECT vec_id,
+                      cast(min(struct_pack(dd := dd, cc := code)).cc AS INTEGER)
+                        AS code_{s},
+                      min(struct_pack(dd := dd, cc := code)).dd AS err_{s}
+               FROM d2_{s} GROUP BY vec_id)"""
+
+
+@query(
+    "e_pq_encode",
+    f"""
+    WITH {_pq_sub_sql(0, 1, 32)},
+    {_pq_sub_sql(1, 33, 64)}
+    SELECT a2_0.vec_id, a2_0.code_0, a2_0.err_0, a2_1.code_1, a2_1.err_1
+    FROM a2_0 JOIN a2_1 USING (vec_id)
+    """,
+)
+def e_pq_encode(spark: SparkSession, sf: str) -> DataFrame:
+    """Product quantization (Jegou et al. TPAMI 2011 — the PQ half of
+    IVF-PQ, completing the IVF story the catalog already carries): 2
+    subspaces x 4 euclidean codewords, 2 Lloyd's rounds each, emitting
+    every vector's code word per subspace plus its final squared
+    quantization error. Seeds are the lowest-id vectors' sub-vectors
+    (driver-table vec_ids are 0-based, so the SQL seed filter is
+    vec_id < 4); distances round to 6 dp before the struct-min argmin, so
+    both engines replay the identical training trajectory. See
+    operators/similarity.pq_encode for the per-round plan shape (k
+    broadcast centroid literals per subspace, k-row collects, no wide
+    shuffle)."""
+    from pdf_extractor_spark.operators.similarity import pq_encode
+
+    e = _t(spark, sf, "embeddings")
+    out = pq_encode(e, m=2, k=4, n_iter=2)
+    return out.select(
+        F.col("id").alias("vec_id"), "code_0", "err_0", "code_1", "err_1"
     )
