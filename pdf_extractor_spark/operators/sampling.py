@@ -444,3 +444,90 @@ def temperature_mix_sample(
         .filter(_hash_frac(F.col(key_col), salt) < F.col("_rate"))
         .drop("_rate")
     )
+
+
+def curriculum_interleave(
+    df: DataFrame,
+    score_col: str,
+    lang_col: str = "lang",
+    id_col: str = "doc_id",
+    bucket_width: int = 10_000,
+) -> DataFrame:
+    """Curriculum ordering for training data (Bengio et al. ICML 2009;
+    the data-ordering step of curriculum recipes): every document gets a
+    GLOBAL position that goes easy -> hard (descending ``score_col``)
+    while round-robin interleaving languages, so early training sees easy
+    examples from every language instead of one dominant language's easy
+    head.
+
+    No global window anywhere (an unpartitioned ``row_number`` serializes
+    the corpus on one task). Two tricks instead:
+
+    1. Within-language rank via the two-level shard pattern
+       (m_pack_sequences discipline): rank inside (lang, score-bucket)
+       partitions — buckets are trunc(score / bucket_width), monotone in
+       score — then add per-(lang, bucket) prefix offsets computed from a
+       collected counts table (|langs| x |buckets| rows, bounded).
+    2. The interleave position in CLOSED FORM from the |langs|-row count
+       table: a doc at within-language rank r in language L sits at
+       1 + sum_l min(r-1, n_l) + |{l < L : n_l >= r}| — docs of smaller
+       rank from every language precede it, plus same-rank docs from
+       lexicographically earlier languages. No second ranking pass at all.
+    """
+    from pyspark.sql import Window
+
+    base = df.select(
+        F.col(id_col), F.col(lang_col).alias("lang"), F.col(score_col)
+    )
+    bucket = F.expr(f"{score_col} div {bucket_width}").alias("_bk")
+    staged = base.select("*", bucket)
+    w = Window.partitionBy("lang", "_bk").orderBy(
+        F.col(score_col).desc(), F.col(id_col)
+    )
+    ranked = staged.select(
+        "*", F.row_number().over(w).cast("long").alias("_rk")
+    )
+    counts = (
+        staged.groupBy("lang", "_bk").agg(F.count(F.lit(1)).alias("n")).collect()
+    )
+    # prefix offsets: easy-first = HIGHER buckets first within each lang
+    by_lang: dict[str, list] = {}
+    for r in counts:
+        by_lang.setdefault(r["lang"], []).append((r["_bk"], r["n"]))
+    offsets = []
+    lang_totals: dict[str, int] = {}
+    for lang, rows in by_lang.items():
+        acc = 0
+        for bk, n in sorted(rows, key=lambda t: -t[0]):
+            offsets.append((lang, bk, acc))
+            acc += n
+        lang_totals[lang] = acc
+    spark = df.sparkSession
+    off_df = spark.createDataFrame(
+        offsets, "lang string, _bk long, _off long"
+    )
+    r = (
+        ranked.join(F.broadcast(off_df), ["lang", "_bk"])
+        .select(
+            id_col,
+            "lang",
+            score_col,
+            (F.col("_off") + F.col("_rk")).alias("lang_rank"),
+        )
+    )
+    # closed-form interleave position from the |langs|-row totals
+    pos = F.lit(1).cast("long")
+    for lang, n_l in sorted(lang_totals.items()):
+        pos = pos + F.least(
+            F.col("lang_rank") - 1, F.lit(n_l).cast("long")
+        )
+        pos = pos + F.when(
+            (F.lit(lang) < F.col("lang"))
+            & (F.lit(n_l) >= F.col("lang_rank")),
+            1,
+        ).otherwise(0)
+    # the doc's own language contributes min(r-1, n_l) of ITSELF — correct:
+    # its earlier-ranked docs precede it; same-rank same-lang is itself.
+    return r.select(
+        id_col, "lang", score_col, "lang_rank", pos.alias("curriculum_pos")
+    )

@@ -7207,3 +7207,73 @@ def e_pq_encode(spark: SparkSession, sf: str) -> DataFrame:
     return out.select(
         F.col("id").alias("vec_id"), "code_0", "err_0", "code_1", "err_1"
     )
+
+
+@query(
+    "m_curriculum_order",
+    """
+    WITH f AS (
+      SELECT doc_id, lang,
+             cast(CASE WHEN trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) = ''
+                  THEN 0 ELSE len(regexp_split_to_array(
+                    trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '))
+                  END AS BIGINT) AS n_words,
+             greatest(cast(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT), 1)
+               AS n_sentences,
+             cast(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT)
+               AS n_syllables
+      FROM documents),
+    s AS (SELECT doc_id, lang,
+                 206835 - (1015 * n_words) // n_sentences
+                        - (84600 * n_syllables) // n_words AS flesch_milli
+          FROM f WHERE n_words > 0),
+    r AS (SELECT doc_id, lang, flesch_milli,
+                 cast(row_number() OVER (
+                   PARTITION BY lang
+                   ORDER BY flesch_milli DESC, doc_id) AS BIGINT) AS lang_rank
+          FROM s)
+    SELECT doc_id, lang, flesch_milli, lang_rank,
+           cast(row_number() OVER (ORDER BY lang_rank, lang) AS BIGINT)
+             AS curriculum_pos
+    FROM r
+    """,
+)
+def m_curriculum_order(spark: SparkSession, sf: str) -> DataFrame:
+    """Curriculum data ordering (Bengio et al. ICML 2009): a global
+    easy-to-hard training order by readability, round-robin interleaved
+    across languages so early steps see every language's easy head. The
+    ORACLE defines the order with two plain windows (one of them an
+    unpartitioned global row_number — fine for DuckDB's single process);
+    the ENGINE computes the identical order with no global window at all:
+    two-level (lang, score-bucket) ranks + broadcast prefix offsets for
+    the within-language rank, then a CLOSED-FORM interleave position from
+    the |langs|-row totals table (1 + sum_l min(r-1, n_l) + earlier-lang
+    same-rank count) — see operators/sampling.curriculum_interleave.
+    Integer score (Flesch milli-points, as t_readability), integer
+    positions: bit-exact across engines and layouts."""
+    from pdf_extractor_spark.operators.dedup import word_tokens
+    from pdf_extractor_spark.operators.sampling import curriculum_interleave
+
+    d = _t(spark, sf, "documents")
+    f = d.select(
+        "doc_id",
+        "lang",
+        F.size(word_tokens(F.col("text"))).cast("bigint").alias("n_words"),
+        F.greatest(
+            F.regexp_count(F.col("text"), F.lit(r"[.!?]+")).cast("bigint"),
+            F.lit(1).cast("bigint"),
+        ).alias("n_sentences"),
+        F.regexp_count(F.lower(F.col("text")), F.lit(r"[aeiouy]+"))
+        .cast("bigint")
+        .alias("n_syllables"),
+    ).filter(F.col("n_words") > 0)
+    scored = f.select(
+        "doc_id",
+        "lang",
+        (
+            F.lit(206835).cast("bigint")
+            - F.expr("(1015 * n_words) div n_sentences")
+            - F.expr("(84600 * n_syllables) div n_words")
+        ).alias("flesch_milli"),
+    ).repartition(_par(spark), "doc_id")
+    return curriculum_interleave(scored, "flesch_milli", "lang", "doc_id")

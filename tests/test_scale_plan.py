@@ -515,3 +515,29 @@ def test_no_inlined_lambda_in_filters(spark, tmp_path):
     ).collect()
     for r in rows:
         assert r["a"] == r["b"], (r["a"], r["b"])
+
+
+def test_curriculum_order_windows_are_bucket_sharded(spark):
+    """m_curriculum_order's engine plan may contain NO unpartitioned (global)
+    window and no lang-only window: its one Window must partition by
+    (lang, _bk) — the interleave position is closed-form arithmetic, not a
+    second ranking pass (operators/sampling.curriculum_interleave)."""
+    import re
+
+    from pdf_extractor_spark.queries import all_queries
+
+    df = all_queries()["m_curriculum_order"](spark, "/root/testdata/sf0.001")
+    plan = _explain(df)
+    lines = plan.splitlines()
+    n_windows = 0
+    for i, ln in enumerate(lines):
+        if re.fullmatch(r"\(\d+\) Window", ln.strip()):
+            n_windows += 1
+            detail = next(
+                d for d in lines[i + 1 : i + 8] if d.startswith("Arguments:")
+            )
+            m = re.search(r"\], \[(.*?)\], \[", detail)
+            assert m is not None, detail
+            part_spec = m.group(1)
+            assert "_bk" in part_spec and "lang" in part_spec, detail
+    assert n_windows == 1  # the within-(lang,bucket) rank; nothing global
