@@ -145,6 +145,10 @@ def test_every_driver_collect_is_bounded():
         ("plans/partitioning.py",): "heavy-host aggregate (top-k rows)",
         ("operators/similarity.py",): "IVF centroid table (k x dim floats)",
         ("operators/retrieval.py",): "BM25 global stats (single-row agg)",
+        ("operators/sampling.py",): (
+            "curriculum prefix-offset table (|langs| x |score-buckets| "
+            "rows — bucket count bounded by score range / bucket_width)"
+        ),
     }
     allowed_files = {f for key in allowed for f in key}
     offenders = []
