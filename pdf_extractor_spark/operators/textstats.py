@@ -638,39 +638,38 @@ def train_quality_perceptron(
     and keep verdict alongside the teacher label — the distillation-quality
     readout (agreement rate) falls out of one aggregate over it.
     """
+    # persist is lazy; the first epoch aggregate materializes it, and the
+    # RETURNED scored plan keeps reading the cached table — so no unpersist
+    # here (the session's cache manager owns its lifetime)
     cached = feats.persist()
-    try:
-        w = [0] * len(PERCEPTRON_FEATURES)
-        for _ in range(n_epochs):
-            margin = None
-            for wj, name in zip(w, PERCEPTRON_FEATURES):
-                term = F.lit(wj).cast("bigint") * F.col(name)
-                margin = term if margin is None else margin + term
-            mis = (F.col("y") * margin) <= 0
-            row = cached.select(
-                *[
-                    F.sum(F.when(mis, F.col("y") * F.col(name))).alias(name)
-                    for name in PERCEPTRON_FEATURES
-                ]
-            ).first()
-            w = [
-                wj + int(row[name] or 0)
-                for wj, name in zip(w, PERCEPTRON_FEATURES)
-            ]
-        margin = None
-        for wj, name in zip(w, PERCEPTRON_FEATURES):
+
+    def _margin(weights: list[int]):
+        out = None
+        for wj, name in zip(weights, PERCEPTRON_FEATURES):
             term = F.lit(wj).cast("bigint") * F.col(name)
-            margin = term if margin is None else margin + term
-        scored = cached.select(
-            *[F.col(c) for c in cached.columns],
-            margin.alias("margin"),
-            (margin > 0).alias("keep"),
-        )
-        return w, scored
-    finally:
-        # persist is lazy; the epoch aggregates materialized it, and the
-        # returned plan re-reads the cached table until the session drops it
-        pass
+            out = term if out is None else out + term
+        return out
+
+    w = [0] * len(PERCEPTRON_FEATURES)
+    for _ in range(n_epochs):
+        mis = (F.col("y") * _margin(w)) <= 0
+        row = cached.select(
+            *[
+                F.sum(F.when(mis, F.col("y") * F.col(name))).alias(name)
+                for name in PERCEPTRON_FEATURES
+            ]
+        ).first()
+        w = [
+            wj + int(row[name] or 0)
+            for wj, name in zip(w, PERCEPTRON_FEATURES)
+        ]
+    margin = _margin(w)
+    scored = cached.select(
+        *[F.col(c) for c in cached.columns],
+        margin.alias("margin"),
+        (margin > 0).alias("keep"),
+    )
+    return w, scored
 
 
 # --- compression-ratio quality signal ------------------------------------------
