@@ -577,31 +577,23 @@ def l2sq(a: Column, b: Column) -> Column:
     )
 
 
-def pq_encode(
+def pq_train(
     df: DataFrame,
     m: int = 2,
     k: int = 4,
     n_iter: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-) -> DataFrame:
-    """Product quantization (Jegou, Douze & Schmid, TPAMI 2011 — the PQ
-    half of an IVF-PQ index): split each vector into ``m`` subspaces,
-    train an independent k-codeword euclidean quantizer per subspace with
-    ``n_iter`` Lloyd's rounds, and emit each vector's code word per
-    subspace plus its final squared quantization error. The codes are the
-    compressed representation an ANN index stores (m * log2(k) bits per
-    vector instead of dim floats); the error column is the calibration
-    readout a recall budget is set from.
+) -> tuple[DataFrame, list[list[list[float]]]]:
+    """Train the product quantizer and return ``(codes, codebooks)``.
 
-    Determinism mirrors kmeans_iterations: seeds are the k lowest-id
-    vectors' sub-vectors, distances round to 6 dp before the argmin, ties
-    break toward the smaller codeword via a least-over-structs, empty
-    codewords keep their previous centroid. Scale shape, per subspace and
-    round: one codegen'd projection scoring k broadcast centroid literals
-    (k * dim/m floats in the plan) + one groupBy-avg whose collect is k
-    rows — the corpus never shuffles on anything wider than the cluster
-    id, and the m subspaces reuse the same scan.
+    ``codes`` is the per-vector (id, code_s, err_s) frame ``pq_encode``
+    emits; ``codebooks[s][j]`` is the centroid of codeword ``j`` in
+    subspace ``s`` AS USED FOR THE FINAL ASSIGNMENT (i.e. the codebook the
+    codes index into — NOT the post-final-round mean update, which no code
+    references). ADC search needs exactly this codebook to build its
+    lookup tables. Determinism and per-round plan shape are documented on
+    ``pq_encode``.
     """
     dim_row = df.select(F.size(F.col(vec_col)).alias("d")).first()
     dim = dim_row["d"]
@@ -609,6 +601,7 @@ def pq_encode(
         raise ValueError(f"pq_encode: dim {dim} not divisible by m={m}")
     sub = dim // m
     out = None
+    books: list[list[list[float]]] = []
     for s in range(m):
         sdf = df.select(
             F.col(id_col).alias("id"),
@@ -623,7 +616,9 @@ def pq_encode(
                 f"pq_encode: k={k} but input has only {len(cents)} rows"
             )
         assigned = None
+        final_cents = cents
         for _ in range(n_iter):
+            final_cents = [list(c) for c in cents]
             dists = [
                 F.round(
                     l2sq(F.col("sv"), F.array(*[F.lit(c) for c in cent])), 6
@@ -665,4 +660,95 @@ def pq_encode(
             F.col("err").alias(f"err_{s}"),
         )
         out = part if out is None else out.join(part, "id")
+        books.append(final_cents)
+    return out, books
+
+
+def pq_encode(
+    df: DataFrame,
+    m: int = 2,
+    k: int = 4,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product quantization (Jegou, Douze & Schmid, TPAMI 2011 — the PQ
+    half of an IVF-PQ index): split each vector into ``m`` subspaces,
+    train an independent k-codeword euclidean quantizer per subspace with
+    ``n_iter`` Lloyd's rounds, and emit each vector's code word per
+    subspace plus its final squared quantization error. The codes are the
+    compressed representation an ANN index stores (m * log2(k) bits per
+    vector instead of dim floats); the error column is the calibration
+    readout a recall budget is set from.
+
+    Determinism mirrors kmeans_iterations: seeds are the k lowest-id
+    vectors' sub-vectors, distances round to 6 dp before the argmin, ties
+    break toward the smaller codeword via a least-over-structs, empty
+    codewords keep their previous centroid. Scale shape, per subspace and
+    round: one codegen'd projection scoring k broadcast centroid literals
+    (k * dim/m floats in the plan) + one groupBy-avg whose collect is k
+    rows — the corpus never shuffles on anything wider than the cluster
+    id, and the m subspaces reuse the same scan.
+    """
+    out, _ = pq_train(df, m=m, k=k, n_iter=n_iter, id_col=id_col, vec_col=vec_col)
     return out
+
+
+def _round_half_up(x: float, nd: int = 6) -> float:
+    """round() half-AWAY-from-zero for non-negative floats — the rounding
+    Spark's ``F.round`` and DuckDB's ``round`` share; Python's built-in
+    rounds half-to-even and would diverge on exact .5 boundaries."""
+    scale = 10**nd
+    return math.floor(x * scale + 0.5) / scale
+
+
+def pq_adc_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    topk: int = 10,
+    m: int = 2,
+    k: int = 4,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_id: int | None = None,
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes — the search half of
+    IVF-PQ (Jegou, Douze & Schmid, TPAMI 2011 §V: the query stays
+    unquantized; each database vector is represented only by its m code
+    words). The driver builds one k-entry lookup table per subspace —
+    LUT_s[j] = ||q_s - codebook_s[j]||² — and the scan ranks every vector
+    by ``sum_s LUT_s[code_s]``: two array-literal lookups and an add per
+    row, never touching the original embedding column.
+
+    Scale shape: after the (already k-row-collect-bounded) training pass,
+    search is ONE scan of the (id, codes) table — at 100 TB that table is
+    ~1/100th the embedding bytes (m·log2(k) bits vs dim floats per
+    vector) — with the m·k LUT floats riding in the plan as literals,
+    finishing in a TakeOrderedAndProject. No shuffle, no join, no
+    embedding reads. Determinism: LUT entries round half-up to 6 dp on
+    the driver (matching F.round/DuckDB round), so the summed distance is
+    an exact two-term sum of 6-dp values in every engine.
+    """
+    codes, books = pq_train(
+        df, m=m, k=k, n_iter=n_iter, id_col=id_col, vec_col=vec_col
+    )
+    sub = len(books[0][0])
+    adc = F.lit(0.0)
+    for s, book in enumerate(books):
+        qs = query_vec[s * sub : (s + 1) * sub]
+        lut = [
+            _round_half_up(sum((qx - cx) ** 2 for qx, cx in zip(qs, book[j])))
+            for j in range(k)
+        ]
+        adc = adc + F.element_at(
+            F.array(*[F.lit(v) for v in lut]), F.col(f"code_{s}") + 1
+        )
+    scored = codes.select(
+        F.col("id").alias(id_col),
+        *[F.col(f"code_{s}") for s in range(m)],
+        F.round(adc, 6).alias("adc_dist"),
+    )
+    if exclude_id is not None:
+        scored = scored.filter(F.col(id_col) != exclude_id)
+    return scored.orderBy(F.asc("adc_dist"), F.col(id_col)).limit(topk)

@@ -7277,3 +7277,44 @@ def m_curriculum_order(spark: SparkSession, sf: str) -> DataFrame:
         ).alias("flesch_milli"),
     ).repartition(_par(spark), "doc_id")
     return curriculum_interleave(scored, "flesch_milli", "lang", "doc_id")
+
+
+@query(
+    "e_adc_topk",
+    f"""
+    WITH {_pq_sub_sql(0, 1, 32)},
+    {_pq_sub_sql(1, 33, 64)},
+    lut0 AS (SELECT c.code, round(sum((q.v - c.cv) * (q.v - c.cv)), 6) AS ld
+             FROM c1f_0 c JOIN sub0 q ON q.d = c.d AND q.vec_id = 0
+             GROUP BY c.code),
+    lut1 AS (SELECT c.code, round(sum((q.v - c.cv) * (q.v - c.cv)), 6) AS ld
+             FROM c1f_1 c JOIN sub1 q ON q.d = c.d AND q.vec_id = 0
+             GROUP BY c.code)
+    SELECT a2_0.vec_id, a2_0.code_0, a2_1.code_1,
+           round(l0.ld + l1.ld, 6) AS adc_dist
+    FROM a2_0 JOIN a2_1 USING (vec_id)
+    JOIN lut0 l0 ON l0.code = a2_0.code_0
+    JOIN lut1 l1 ON l1.code = a2_1.code_1
+    WHERE vec_id != 0
+    ORDER BY adc_dist ASC, vec_id LIMIT 10
+    """,
+)
+def e_adc_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Asymmetric-distance PQ search (Jegou et al. TPAMI 2011 §V) — the
+    search half of IVF-PQ, completing the encode half e_pq_encode carries:
+    top-10 nearest to embedding #0 ranked by sum of per-subspace lookup
+    distances LUT_s[code_s], the query unquantized and the database
+    represented only by its 2x4 PQ codes. The oracle replays the identical
+    training trajectory (_pq_sub_sql CTEs, shared with e_pq_encode), builds
+    the same LUTs against the final-assignment codebook c1f_s, and ranks by
+    the same two-term sum of 6-dp-rounded entries — bit-exact across
+    engines because each LUT entry rounds half-up to 6 dp before the add.
+    Scale shape: one scan of the codes table (m*log2(k) bits/vector, no
+    embedding reads), m array-literal lookups per row, finishing in a
+    TakeOrderedAndProject — see operators/similarity.pq_adc_topk."""
+    from pdf_extractor_spark.operators.similarity import pq_adc_topk
+
+    e = _t(spark, sf, "embeddings")
+    return pq_adc_topk(
+        e, _query_vec(spark, sf), topk=10, m=2, k=4, n_iter=2, exclude_id=0
+    )

@@ -1513,3 +1513,76 @@ def test_readability_band_ordering(spark):
         out = {r["doc_id"]: r for r in _QUERIES["t_readability"](spark, td).collect()}
     assert out[0]["flesch_milli"] > out[1]["flesch_milli"]
     assert out[0]["n_sentences"] == 4
+
+
+# --- product quantization / ADC ----------------------------------------------
+
+
+def _pq_vecs(spark, n=12, dim=4):
+    # deterministic spread: two tight groups per subspace so 2 codewords
+    # per subspace have real structure to find
+    rows = []
+    for i in range(n):
+        base = 10.0 if i % 2 else 0.0
+        rows.append(
+            (i, [base + (i % 3) * 0.1 + d * 0.01 for d in range(dim)])
+        )
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_pq_adc_matches_lut_reconstruction(spark):
+    """adc_dist must equal the sum of per-subspace LUT entries computed
+    serially from the returned codebooks — validates the array-literal
+    lookup wiring end to end."""
+    from pdf_extractor_spark.operators.similarity import (
+        _round_half_up,
+        pq_adc_topk,
+        pq_train,
+    )
+
+    df = _pq_vecs(spark)
+    q = [0.05, 1.0, 9.8, 10.1]
+    m, k = 2, 2
+    codes_df, books = pq_train(df, m=m, k=k, n_iter=2)
+    sub = len(books[0][0])
+    codes = {r["id"]: (r["code_0"], r["code_1"]) for r in codes_df.collect()}
+    got = pq_adc_topk(df, q, topk=12, m=m, k=k, n_iter=2).collect()
+    assert len(got) == 12
+    for r in got:
+        want = 0.0
+        for s in range(m):
+            qs = q[s * sub : (s + 1) * sub]
+            cent = books[s][codes[r["vec_id"]][s]]
+            want += _round_half_up(
+                sum((qx - cx) ** 2 for qx, cx in zip(qs, cent))
+            )
+        assert abs(r["adc_dist"] - want) < 1e-9, r
+    # ascending-distance, id-tiebreak order
+    dists = [(r["adc_dist"], r["vec_id"]) for r in got]
+    assert dists == sorted(dists)
+
+
+def test_pq_adc_partition_invariance(spark):
+    from pdf_extractor_spark.operators.similarity import pq_adc_topk
+
+    df = _pq_vecs(spark, n=16)
+    q = [5.0, 5.0, 5.0, 5.0]
+    a = pq_adc_topk(df.repartition(1), q, topk=5, m=2, k=2, n_iter=2).collect()
+    b = pq_adc_topk(df.repartition(7), q, topk=5, m=2, k=2, n_iter=2).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
+def test_pq_adc_exact_codeword_query_ranks_first(spark):
+    """A query equal to one vector's reconstruction must rank that vector's
+    code cell at distance == that vector's own quantization error pattern:
+    with a query ON a codebook centroid, every vector carrying that code
+    has LUT entry 0 in that subspace."""
+    from pdf_extractor_spark.operators.similarity import pq_adc_topk, pq_train
+
+    df = _pq_vecs(spark)
+    _, books = pq_train(df, m=2, k=2, n_iter=2)
+    q = list(books[0][0]) + list(books[1][0])
+    got = pq_adc_topk(df, q, topk=12, m=2, k=2, n_iter=2).collect()
+    best = got[0]
+    assert best["code_0"] == 0 and best["code_1"] == 0
+    assert abs(best["adc_dist"]) < 1e-9
