@@ -75,6 +75,67 @@ def kmv_distinct(
     )
 
 
+def hll_distinct(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+) -> DataFrame:
+    """HyperLogLog distinct-count sketch per group (Flajolet, Fusy,
+    Gandouet & Meunier, AofA 2007) -> (group, registers_hit, hll_sum,
+    hll_est). The mergeable-register complement to ``kmv_distinct``:
+    16 registers (p=4), register index = first md5 hex nibble, register
+    value = 1 + leading-zero BITS of the next 48 hash bits. Registers
+    merge under max, so the groupBy is map-side combinable and two
+    corpora's sketches union by taking per-register maxima — the property
+    that makes the sketch a 128-byte mergeable accumulator at 100 TB
+    (count distinct tokens across shards without ever shuffling tokens).
+
+    Deterministic cross-engine contract: rank arithmetic is pure string /
+    integer ops on the md5 hex (no engine HLL, no FP hashing); the
+    harmonic sum adds dyadic rationals 2^-r (exact in IEEE double in any
+    order), unhit registers contribute 2^0 = 1 each; the estimate
+    alpha_16 * 16^2 / sum is one multiply + one divide (exact-rounded
+    IEEE), rounded to 2 dp. No bias correction branch: raw-estimate-only
+    keeps the contract free of cross-engine ln()/ulp drift — the consumer
+    applies corrections downstream if it wants them.
+    """
+    hx = F.md5(F.concat(F.lit("hll:"), F.col(value_col).cast("string")))
+    keyed = df.select(
+        F.col(group_col),
+        F.conv(F.substring(hx, 1, 1), 16, 10).cast("int").alias("_reg"),
+        F.expr(
+            f"trim(LEADING '0' FROM substring(md5(concat('hll:', "
+            f"cast({value_col} AS STRING))), 2, 12))"
+        ).alias("_stripped"),
+    )
+    first = F.substring(F.col("_stripped"), 1, 1)
+    extra = (
+        F.when(first == "1", 3)
+        .when(first.isin("2", "3"), 2)
+        .when(first.isin("4", "5", "6", "7"), 1)
+        .otherwise(0)
+    )
+    rank = F.when(F.col("_stripped") == "", F.lit(49)).otherwise(
+        (F.lit(12) - F.length("_stripped")) * 4 + extra + 1
+    )
+    regs = (
+        keyed.select(group_col, "_reg", rank.alias("_rank"))
+        .groupBy(group_col, "_reg")
+        .agg(F.max("_rank").alias("_mr"))
+    )
+    agg = regs.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("int").alias("registers_hit"),
+        F.sum(F.pow(F.lit(2.0), -F.col("_mr"))).alias("_hs"),
+    )
+    hll_sum = F.col("_hs") + (F.lit(16) - F.col("registers_hit"))
+    return agg.select(
+        group_col,
+        "registers_hit",
+        F.round(hll_sum, 6).alias("hll_sum"),
+        F.round(F.lit(0.673 * 256.0) / hll_sum, 2).alias("hll_est"),
+    )
+
+
 def stratified_rate_expr(
     rates: dict[str, float], strata_col: str, default_rate: float = 0.0
 ) -> Column:

@@ -7318,3 +7318,50 @@ def e_adc_topk(spark: SparkSession, sf: str) -> DataFrame:
     return pq_adc_topk(
         e, _query_vec(spark, sf), topk=10, m=2, k=4, n_iter=2, exclude_id=0
     )
+
+
+@query(
+    "a_hll_distinct",
+    f"""
+    WITH tok AS (SELECT lang, unnest({_TOK_SQL_SAFE}) AS t FROM documents),
+    h AS (SELECT lang, md5(concat('hll:', t)) AS hx FROM tok),
+    r AS (SELECT lang,
+            strpos('0123456789abcdef', substr(hx, 1, 1)) - 1 AS reg,
+            ltrim(substr(hx, 2, 12), '0') AS stripped
+          FROM h),
+    rk AS (SELECT lang, reg,
+            CASE WHEN stripped = '' THEN 49
+                 ELSE (12 - len(stripped)) * 4
+                      + CASE WHEN substr(stripped, 1, 1) = '1' THEN 3
+                             WHEN substr(stripped, 1, 1) IN ('2', '3') THEN 2
+                             WHEN substr(stripped, 1, 1) IN ('4', '5', '6', '7')
+                               THEN 1
+                             ELSE 0 END
+                      + 1 END AS rank
+           FROM r),
+    m AS (SELECT lang, reg, max(rank) AS mr FROM rk GROUP BY lang, reg),
+    s AS (SELECT lang, cast(count(*) AS INTEGER) AS registers_hit,
+                 sum(power(2.0, -mr)) AS hs
+          FROM m GROUP BY lang)
+    SELECT lang, registers_hit,
+           round(hs + (16 - registers_hit), 6) AS hll_sum,
+           round((0.673 * 256) / (hs + (16 - registers_hit)), 2) AS hll_est
+    FROM s
+    """,
+)
+def a_hll_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    """HyperLogLog distinct-token sketch per language (Flajolet et al.
+    2007) — the mergeable-REGISTER complement to a_kmv_distinct_tokens:
+    16 registers under max-merge, so shard sketches union without ever
+    shuffling tokens (the 128-byte accumulator shape a 100 TB
+    distinct-count wants). Register index/rank are pure md5-hex string
+    arithmetic, the harmonic sum adds exact dyadic rationals, and the
+    raw estimate avoids any cross-engine ln() ulp drift — the oracle
+    checks the EXACT sketch, not an approximation band. See
+    operators/sampling.hll_distinct."""
+    from pdf_extractor_spark.operators.dedup import word_tokens
+    from pdf_extractor_spark.operators.sampling import hll_distinct
+
+    d = _t(spark, sf, "documents")
+    toks = d.select("lang", F.explode(word_tokens(F.col("text"))).alias("tok"))
+    return hll_distinct(toks, "lang", "tok")

@@ -1586,3 +1586,51 @@ def test_pq_adc_exact_codeword_query_ranks_first(spark):
     best = got[0]
     assert best["code_0"] == 0 and best["code_1"] == 0
     assert abs(best["adc_dist"]) < 1e-9
+
+
+# --- HyperLogLog ---------------------------------------------------------------
+
+
+def test_hll_distinct_estimate_within_band(spark):
+    """16 registers give ~26% standard error; 500 distinct values must
+    estimate within a generous 3-sigma band and be exactly reproducible."""
+    from pdf_extractor_spark.operators.sampling import hll_distinct
+
+    rows = [("g", f"tok{i}") for i in range(500)]
+    df = spark.createDataFrame(rows, "grp string, v string")
+    got = hll_distinct(df, "grp", "v").collect()
+    assert len(got) == 1
+    est = got[0]["hll_est"]
+    assert 150 < est < 1000, est
+    again = hll_distinct(df.repartition(5), "grp", "v").collect()
+    assert [tuple(r) for r in again] == [tuple(r) for r in got]
+
+
+def test_hll_registers_merge_under_max(spark):
+    """The union sketch must equal the per-register max of the part
+    sketches — the property that lets shard accumulators merge without
+    reshuffling values."""
+    from pdf_extractor_spark.operators.sampling import hll_distinct
+
+    a = [("g", f"a{i}") for i in range(200)]
+    b = [("g", f"b{i}") for i in range(200)]
+    fa = spark.createDataFrame(a, "grp string, v string")
+    fb = spark.createDataFrame(b, "grp string, v string")
+    union_sketch = hll_distinct(fa.union(fb), "grp", "v").collect()[0]
+    merged = hll_distinct(
+        fa.union(fb).dropDuplicates(["v"]), "grp", "v"
+    ).collect()[0]
+    # duplicates never move a max-register: sketch(union) == sketch(distinct union)
+    assert tuple(union_sketch) == tuple(merged)
+
+
+def test_hll_duplicate_insensitive(spark):
+    from pdf_extractor_spark.operators.sampling import hll_distinct
+
+    base = [("g", f"t{i}") for i in range(100)]
+    df1 = spark.createDataFrame(base, "grp string, v string")
+    df5 = spark.createDataFrame(base * 5, "grp string, v string")
+    assert (
+        hll_distinct(df1, "grp", "v").collect()[0]["hll_est"]
+        == hll_distinct(df5, "grp", "v").collect()[0]["hll_est"]
+    )
