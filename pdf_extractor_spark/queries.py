@@ -7365,3 +7365,112 @@ def a_hll_distinct(spark: SparkSession, sf: str) -> DataFrame:
     d = _t(spark, sf, "documents")
     toks = d.select("lang", F.explode(word_tokens(F.col("text"))).alias("tok"))
     return hll_distinct(toks, "lang", "tok")
+
+
+@query(
+    "m_fim_transform",
+    f"""
+    WITH b AS (
+      SELECT doc_id, text, len(text) AS n,
+             ({_HEX8.format(h="md5(concat('fim:', doc_id))", p="1")})
+               / 4294967296.0 < 0.5 AS coin,
+             ({_HEX8.format(h="md5(concat('fim1:', doc_id))", p="1")}) AS h1,
+             ({_HEX8.format(h="md5(concat('fim2:', doc_id))", p="1")}) AS h2
+      FROM documents),
+    s AS (
+      SELECT doc_id, text, n, (coin AND n > 0) AS fim_applied,
+             CASE WHEN n > 0 THEN least(1 + h1 % n, 1 + h2 % n) ELSE 1 END AS lo,
+             CASE WHEN n > 0 THEN greatest(1 + h1 % n, 1 + h2 % n) ELSE 1 END AS hi
+      FROM b)
+    SELECT doc_id, fim_applied,
+           cast(CASE WHEN fim_applied THEN lo - 1 ELSE n END AS BIGINT)
+             AS prefix_len,
+           cast(CASE WHEN fim_applied THEN hi - lo ELSE 0 END AS BIGINT)
+             AS middle_len,
+           cast(CASE WHEN fim_applied THEN n - hi + 1 ELSE 0 END AS BIGINT)
+             AS suffix_len,
+           md5(CASE WHEN fim_applied
+                    THEN concat('<PRE>', substr(text, 1, lo - 1),
+                                '<SUF>', substr(text, hi),
+                                '<MID>', substr(text, lo, hi - lo))
+                    ELSE text END) AS fim_md5
+    FROM s
+    """,
+)
+def m_fim_transform(spark: SparkSession, sf: str) -> DataFrame:
+    """Fill-in-the-middle training transform (Bavarian et al. 2022,
+    "Efficient Training of Language Models to Fill in the Middle"): for a
+    deterministic md5-coin half of the corpus, pick two md5-derived split
+    points, cut the document into prefix/middle/suffix, and emit the
+    PSM-reordered document (<PRE>prefix<SUF>suffix<MID>middle) — the
+    augmentation an infilling-capable LM trains on. Pure scan-side
+    projection: integer hash mod for the cut points, three substrings and
+    a concat per row — no shuffle, no UDF; at 100 TB this runs at scan
+    bandwidth with the md5 coin making reruns and engine ports bit-exact
+    (fim_md5 checks the reordered BYTES, lengths check the accounting).
+    Documents that normalize to empty pass through untransformed."""
+    d = _t(spark, sf, "documents")
+    h1 = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("fim1:"), F.col("doc_id").cast("string"))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    h2 = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("fim2:"), F.col("doc_id").cast("string"))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    from pdf_extractor_spark.operators.sampling import _hash_frac
+
+    n = F.length("text")
+    b = d.select(
+        "doc_id",
+        "text",
+        n.alias("n"),
+        (_hash_frac(F.col("doc_id"), "fim") < 0.5).alias("coin"),
+        h1.alias("h1"),
+        h2.alias("h2"),
+    )
+    s = b.select(
+        "doc_id",
+        "text",
+        "n",
+        (F.col("coin") & (F.col("n") > 0)).alias("fim_applied"),
+        F.when(
+            F.col("n") > 0,
+            F.least(
+                1 + F.col("h1") % F.col("n"), 1 + F.col("h2") % F.col("n")
+            ),
+        )
+        .otherwise(F.lit(1))
+        .alias("lo"),
+        F.when(
+            F.col("n") > 0,
+            F.greatest(
+                1 + F.col("h1") % F.col("n"), 1 + F.col("h2") % F.col("n")
+            ),
+        )
+        .otherwise(F.lit(1))
+        .alias("hi"),
+    )
+    fim = F.col("fim_applied")
+    psm = F.concat(
+        F.lit("<PRE>"),
+        F.expr("substring(text, 1, lo - 1)"),
+        F.lit("<SUF>"),
+        F.expr("substring(text, hi)"),
+        F.lit("<MID>"),
+        F.expr("substring(text, lo, hi - lo)"),
+    )
+    return s.select(
+        "doc_id",
+        "fim_applied",
+        F.when(fim, F.col("lo") - 1).otherwise(F.col("n")).cast("bigint").alias("prefix_len"),
+        F.when(fim, F.col("hi") - F.col("lo")).otherwise(F.lit(0)).cast("bigint").alias("middle_len"),
+        F.when(fim, F.col("n") - F.col("hi") + 1).otherwise(F.lit(0)).cast("bigint").alias("suffix_len"),
+        F.md5(F.when(fim, psm).otherwise(F.col("text"))).alias("fim_md5"),
+    )

@@ -1634,3 +1634,57 @@ def test_hll_duplicate_insensitive(spark):
         hll_distinct(df1, "grp", "v").collect()[0]["hll_est"]
         == hll_distinct(df5, "grp", "v").collect()[0]["hll_est"]
     )
+
+
+# --- fill-in-the-middle --------------------------------------------------------
+
+
+def test_fim_transform_accounting_and_bytes(spark):
+    """Span lengths must sum to the document length, and the PSM bytes
+    must equal a serial Python replay of the same md5 cut-point rule."""
+    import hashlib
+
+    from pdf_extractor_spark.queries import _QUERIES
+
+    docs = [
+        (0, "the quick brown fox jumps over the lazy dog", "en"),
+        (1, "", "en"),
+        (2, "ab", "fr"),
+        (3, "x" * 257 + " tail words here", "de"),
+        (7, "unicode snowman ☃ and accents éè", "en"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string, lang string")
+    df.createOrReplaceTempView("_fim_docs")
+    # drive the registered query body against this frame via its callable
+    import pdf_extractor_spark.queries as Q
+
+    orig_t = Q._t
+    try:
+        Q._t = lambda spark_, sf_, name_: df
+        out = {r["doc_id"]: r for r in Q._QUERIES["m_fim_transform"](spark, "x").collect()}
+    finally:
+        Q._t = orig_t
+
+    def frac(salt, i):
+        return int(hashlib.md5(f"{salt}:{i}".encode()).hexdigest()[:8], 16) / 16**8
+
+    def hint(salt, i):
+        return int(hashlib.md5(f"{salt}:{i}".encode()).hexdigest()[:8], 16)
+
+    for doc_id, text, _ in docs:
+        r = out[doc_id]
+        n = len(text)
+        assert r["prefix_len"] + r["middle_len"] + r["suffix_len"] == n
+        applied = frac("fim", doc_id) < 0.5 and n > 0
+        assert r["fim_applied"] == applied
+        if applied:
+            p1, p2 = 1 + hint("fim1", doc_id) % n, 1 + hint("fim2", doc_id) % n
+            lo, hi = min(p1, p2), max(p1, p2)
+            psm = (
+                "<PRE>" + text[: lo - 1] + "<SUF>" + text[hi - 1 :]
+                + "<MID>" + text[lo - 1 : hi - 1]
+            )
+            want = hashlib.md5(psm.encode()).hexdigest()
+        else:
+            want = hashlib.md5(text.encode()).hexdigest()
+        assert r["fim_md5"] == want, (doc_id, text)
