@@ -136,6 +136,70 @@ def hll_distinct(
     )
 
 
+def _hash_mod(col: Column, salt: str, width: int) -> Column:
+    """md5-derived integer bucket in [0, width): first 8 hex nibbles mod width."""
+    h = F.md5(F.concat(F.lit(salt + ":"), col.cast("string")))
+    return (
+        F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint") % width
+    ).cast("int")
+
+
+def cms_heavy_hitters(
+    df: DataFrame,
+    value_col: str,
+    depth: int = 4,
+    width: int = 64,
+    min_frac: float = 0.005,
+) -> DataFrame:
+    """Count-Min-Sketch heavy hitters (Cormode & Muthukrishnan, J.Alg 2005)
+    -> (value, cms_est, exact_n) for every distinct value whose sketch
+    estimate is >= min_frac of the stream length.
+
+    The sketch is ``depth`` rows of ``width`` counters; each occurrence
+    increments one counter per row (bucket = md5-derived hash mod width),
+    and a value's estimate is the MIN of its ``depth`` counters — an upper
+    bound on the true count (one-sided error, never an undercount). All
+    integer arithmetic: the oracle checks the EXACT sketch, not a band.
+
+    Scale shape: building the sketch is ``depth`` map-side-combinable
+    aggregates collapsing to depth*width cells TOTAL (256 ints here) — the
+    fixed-size mergeable accumulator that answers frequency queries over
+    100 TB without per-value state; sketches from two corpora merge by
+    cell-wise ADDITION. Probing broadcasts those cells back against the
+    candidate values (depth tiny broadcast joins + least()); ``exact_n``
+    (one groupBy on the value) is the verification readout showing the
+    one-sided overestimate — at production scale you keep the sketch and
+    drop that column.
+    """
+    vals = df.select(F.col(value_col).alias("v"))
+    keyed = vals.select(
+        "v", *[_hash_mod(F.col("v"), f"cms{j}", width).alias(f"b{j}") for j in range(depth)]
+    )
+    total_row = vals.count()
+    threshold = max(1, int(total_row * min_frac))
+    cand = keyed.groupBy("v", *[f"b{j}" for j in range(depth)]).agg(
+        F.count(F.lit(1)).cast("bigint").alias("exact_n")
+    )
+    est = None
+    out = cand
+    for j in range(depth):
+        cells = (
+            keyed.groupBy(f"b{j}")
+            .agg(F.count(F.lit(1)).cast("bigint").alias(f"c{j}"))
+        )
+        out = out.join(F.broadcast(cells), f"b{j}")
+        ej = F.col(f"c{j}")
+        est = ej if est is None else F.least(est, ej)
+    return (
+        out.select(
+            F.col("v").alias(value_col),
+            est.alias("cms_est"),
+            F.col("exact_n"),
+        )
+        .filter(F.col("cms_est") >= threshold)
+    )
+
+
 def stratified_rate_expr(
     rates: dict[str, float], strata_col: str, default_rate: float = 0.0
 ) -> Column:

@@ -7474,3 +7474,54 @@ def m_fim_transform(spark: SparkSession, sf: str) -> DataFrame:
         F.when(fim, F.col("n") - F.col("hi") + 1).otherwise(F.lit(0)).cast("bigint").alias("suffix_len"),
         F.md5(F.when(fim, psm).otherwise(F.col("text"))).alias("fim_md5"),
     )
+
+
+_CMS_B = "({hex}) % 64"
+
+
+@query(
+    "a_cms_heavy_hitters",
+    f"""
+    WITH tok AS (SELECT unnest({_TOK_SQL_SAFE}) AS v FROM documents),
+    tot AS (SELECT greatest(cast(floor(count(*) * 0.002) AS BIGINT), 1) AS th
+            FROM tok),
+    k AS (SELECT v,
+            {_CMS_B.format(hex=_HEX8.format(h="md5(concat('cms0:', v))", p="1"))} AS b0,
+            {_CMS_B.format(hex=_HEX8.format(h="md5(concat('cms1:', v))", p="1"))} AS b1,
+            {_CMS_B.format(hex=_HEX8.format(h="md5(concat('cms2:', v))", p="1"))} AS b2,
+            {_CMS_B.format(hex=_HEX8.format(h="md5(concat('cms3:', v))", p="1"))} AS b3
+          FROM tok),
+    c0 AS (SELECT b0 AS b, cast(count(*) AS BIGINT) AS c FROM k GROUP BY b0),
+    c1 AS (SELECT b1 AS b, cast(count(*) AS BIGINT) AS c FROM k GROUP BY b1),
+    c2 AS (SELECT b2 AS b, cast(count(*) AS BIGINT) AS c FROM k GROUP BY b2),
+    c3 AS (SELECT b3 AS b, cast(count(*) AS BIGINT) AS c FROM k GROUP BY b3),
+    cand AS (SELECT v, b0, b1, b2, b3, cast(count(*) AS BIGINT) AS exact_n
+             FROM k GROUP BY v, b0, b1, b2, b3)
+    SELECT cand.v AS token,
+           least(c0.c, c1.c, c2.c, c3.c) AS cms_est, exact_n
+    FROM cand
+    JOIN c0 ON cand.b0 = c0.b
+    JOIN c1 ON cand.b1 = c1.b
+    JOIN c2 ON cand.b2 = c2.b
+    JOIN c3 ON cand.b3 = c3.b, tot
+    WHERE least(c0.c, c1.c, c2.c, c3.c) >= tot.th
+    """,
+)
+def a_cms_heavy_hitters(spark: SparkSession, sf: str) -> DataFrame:
+    """Count-Min-Sketch heavy hitters (Cormode & Muthukrishnan 2005):
+    tokens whose 4x64 sketch estimate reaches 0.2% of the corpus token
+    stream. The sketch is 256 integers built by four map-side-combinable
+    aggregates and merges across corpora by cell-wise addition — the
+    fixed-size accumulator that answers "is this token frequent?" over
+    100 TB with no per-token state; the probe is four 64-row broadcast
+    joins + least(). exact_n is the verification readout showing CMS's
+    one-sided overestimate (cms_est >= exact_n always). All-integer
+    arithmetic: the oracle replays the exact sketch. See
+    operators/sampling.cms_heavy_hitters."""
+    from pdf_extractor_spark.operators.dedup import word_tokens
+    from pdf_extractor_spark.operators.sampling import cms_heavy_hitters
+
+    d = _t(spark, sf, "documents")
+    toks = d.select(F.explode(word_tokens(F.col("text"))).alias("tok"))
+    out = cms_heavy_hitters(toks, "tok", depth=4, width=64, min_frac=0.002)
+    return out.select(F.col("tok").alias("token"), "cms_est", "exact_n")

@@ -1688,3 +1688,30 @@ def test_fim_transform_accounting_and_bytes(spark):
         else:
             want = hashlib.md5(text.encode()).hexdigest()
         assert r["fim_md5"] == want, (doc_id, text)
+
+
+# --- count-min sketch ----------------------------------------------------------
+
+
+def test_cms_estimate_upper_bounds_exact(spark):
+    from pdf_extractor_spark.operators.sampling import cms_heavy_hitters
+
+    rows = [("hot",)] * 50 + [("warm",)] * 20 + [(f"cold{i}",) for i in range(30)]
+    df = spark.createDataFrame(rows, "v string")
+    got = {r["v"]: r for r in cms_heavy_hitters(df, "v", min_frac=0.1).collect()}
+    # 100 values, threshold 10: hot and warm qualify; no cold value's
+    # 4-way min can reach 10 unless all four of its counters collide hot
+    assert "hot" in got and got["hot"]["exact_n"] == 50
+    assert got["hot"]["cms_est"] >= 50  # one-sided error
+    for r in got.values():
+        assert r["cms_est"] >= r["exact_n"]
+
+
+def test_cms_partition_invariance(spark):
+    from pdf_extractor_spark.operators.sampling import cms_heavy_hitters
+
+    rows = [(f"t{i % 7}",) for i in range(140)]
+    df = spark.createDataFrame(rows, "v string")
+    a = sorted(tuple(r) for r in cms_heavy_hitters(df.repartition(1), "v", min_frac=0.05).collect())
+    b = sorted(tuple(r) for r in cms_heavy_hitters(df.repartition(9), "v", min_frac=0.05).collect())
+    assert a == b and len(a) == 7
