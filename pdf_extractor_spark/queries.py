@@ -7525,3 +7525,92 @@ def a_cms_heavy_hitters(spark: SparkSession, sf: str) -> DataFrame:
     toks = d.select(F.explode(word_tokens(F.col("text"))).alias("tok"))
     out = cms_heavy_hitters(toks, "tok", depth=4, width=64, min_frac=0.002)
     return out.select(F.col("tok").alias("token"), "cms_est", "exact_n")
+
+
+@query(
+    "w_wet_codec",
+    r"""
+    WITH rec AS (
+      SELECT doc_id,
+             concat('https://docs.example/', cast(doc_id AS VARCHAR)) AS url,
+             strftime(TIMESTAMP '2024-01-01 00:00:00' + to_seconds(doc_id),
+                      '%Y-%m-%dT%H:%M:%SZ') AS wdate,
+             text,
+             strlen(text) AS plen
+      FROM documents),
+    full_rec AS (
+      SELECT doc_id, url, plen,
+             concat('WARC/1.0', chr(13), chr(10),
+                    'WARC-Type: conversion', chr(13), chr(10),
+                    'WARC-Target-URI: ', url, chr(13), chr(10),
+                    'WARC-Date: ', wdate, chr(13), chr(10),
+                    'WARC-Record-ID: <urn:md5:',
+                    md5(concat(url, '|', wdate, '|wet')), '>', chr(13), chr(10),
+                    'WARC-Refers-To: <urn:md5:',
+                    md5(concat(url, '|', wdate)), '>', chr(13), chr(10),
+                    'Content-Type: text/plain', chr(13), chr(10),
+                    'Content-Length: ', cast(plen AS VARCHAR),
+                    chr(13), chr(10), chr(13), chr(10),
+                    text, chr(13), chr(10), chr(13), chr(10)) AS record
+      FROM rec)
+    SELECT doc_id, url, md5(record) AS record_md5,
+           cast(strlen(record) AS BIGINT) AS n_bytes,
+           true AS roundtrip_ok
+    FROM full_rec
+    """,
+)
+def w_wet_codec(spark: SparkSession, sf: str) -> DataFrame:
+    """WET codec contract (sources/warc.py build_wet_conversion/wet_rows):
+    the extracted-text sibling of w_warc_codec. Every document's text is
+    serialized as a WARC/1.0 ``conversion`` record (Common Crawl's
+    *.warc.wet framing: no HTTP envelope, text/plain body, WARC-Refers-To
+    linking back to the response record's md5 id) by the REAL python
+    writer and parsed back by the REAL parser inside mapInPandas; the
+    oracle reconstructs the exact record bytes in SQL and hashes them —
+    the codec's bytes are the public WET framing, not just
+    self-consistent."""
+    import hashlib as _hl
+    import pandas as _pd
+    from pdf_extractor_spark.sources import warc as W
+
+    base = __import__("datetime").datetime(2024, 1, 1)
+
+    def gen(batches):
+        for pdf in batches:
+            out = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                url = f"https://docs.example/{doc_id}"
+                date = base + __import__("datetime").timedelta(
+                    seconds=int(doc_id)
+                )
+                rec = W.build_wet_conversion(url, date, text.encode("utf-8"))
+                rows = list(W.wet_rows(rec))
+                ok = (
+                    len(rows) == 1
+                    and rows[0]["url"] == url
+                    and rows[0]["warc_ts"] == date
+                    and rows[0]["text"] == text
+                )
+                out.append(
+                    {
+                        "doc_id": int(doc_id),
+                        "url": url,
+                        "record_md5": _hl.md5(rec).hexdigest(),
+                        "n_bytes": len(rec),
+                        "roundtrip_ok": bool(ok),
+                    }
+                )
+            yield _pd.DataFrame(
+                out,
+                columns=[
+                    "doc_id", "url", "record_md5", "n_bytes", "roundtrip_ok",
+                ],
+            )
+
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    d = d.repartition(_par(spark), "doc_id")
+    return d.mapInPandas(
+        gen,
+        schema="doc_id bigint, url string, record_md5 string, "
+        "n_bytes bigint, roundtrip_ok boolean",
+    )

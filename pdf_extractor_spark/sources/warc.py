@@ -77,6 +77,75 @@ def build_warc_response(
     return CRLF.join(headers) + CRLF + CRLF + http + CRLF + CRLF
 
 
+def build_wet_conversion(
+    url: str,
+    date: datetime.datetime,
+    text: bytes,
+) -> bytes:
+    """One WET ``conversion`` record — the Common Crawl extracted-text
+    sibling of the response record (same ISO 28500 framing; WET files are
+    what CC publishes as *.warc.wet.gz). No HTTP envelope: the body IS the
+    extracted text, ``Content-Type: text/plain``, plus a
+    ``WARC-Refers-To`` pointing at the response record the text was
+    converted from (same (url, date) md5 id rule, so the two sides link
+    deterministically)."""
+    wdate = date.strftime(_WARC_DATE_FMT)
+    rid = hashlib.md5(f"{url}|{wdate}|wet".encode()).hexdigest()
+    refers = hashlib.md5(f"{url}|{wdate}".encode()).hexdigest()
+    headers = [
+        b"WARC/1.0",
+        b"WARC-Type: conversion",
+        b"WARC-Target-URI: " + url.encode("ascii"),
+        b"WARC-Date: " + wdate.encode("ascii"),
+        b"WARC-Record-ID: <urn:md5:" + rid.encode("ascii") + b">",
+        b"WARC-Refers-To: <urn:md5:" + refers.encode("ascii") + b">",
+        b"Content-Type: text/plain",
+        b"Content-Length: " + str(len(text)).encode("ascii"),
+    ]
+    return CRLF.join(headers) + CRLF + CRLF + text + CRLF + CRLF
+
+
+def build_wet(
+    records: Iterable[tuple[str, datetime.datetime, bytes]],
+    gzip_members: bool = True,
+    warcinfo_filename: str | None = None,
+) -> bytes:
+    """Serialize (url, date, text_bytes) tuples to a .warc.wet /
+    .warc.wet.gz byte string (one gzip member per record, Common Crawl
+    style)."""
+    raws: list[bytes] = []
+    if warcinfo_filename is not None:
+        raws.append(build_warcinfo(warcinfo_filename))
+    for url, date, text in records:
+        raws.append(build_wet_conversion(url, date, text))
+    if not gzip_members:
+        return b"".join(raws)
+    return b"".join(_gzip_member(r) for r in raws)
+
+
+def wet_rows(data: bytes) -> Iterator[dict]:
+    """(url, warc_ts, text) rows from WET archive bytes: ``conversion``
+    records only, body decoded utf-8 (replace — a conversion record is
+    text by contract, but one mojibake record must not kill the task)."""
+    for headers, body in iter_warc_records(data):
+        if headers.get("warc-type") != "conversion":
+            continue
+        url = headers.get("warc-target-uri")
+        if not url:
+            continue
+        try:
+            ts = datetime.datetime.strptime(
+                headers.get("warc-date", ""), _WARC_DATE_FMT
+            )
+        except ValueError:
+            continue
+        yield {
+            "url": url,
+            "warc_ts": ts,
+            "text": body.decode("utf-8", "replace"),
+        }
+
+
 def build_warcinfo(filename: str) -> bytes:
     """A ``warcinfo`` leading record (real archives carry one; the reader
     must skip it)."""
@@ -292,6 +361,46 @@ def read_warc(
             yield pd.DataFrame(buf, columns=cols)
 
     return files.mapInPandas(gen, schema=_ROW_SCHEMA)
+
+
+def read_wet(
+    spark: SparkSession,
+    path: str,
+    glob: str = "*.wet*",
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """Directory of .warc.wet / .warc.wet.gz files -> (url, warc_ts, text)
+    rows. Same scale posture as ``read_warc`` (one task per ~1 GB archive,
+    member-by-member decompression, bounded row batches) — WET is the
+    already-extracted side of a crawl, so rows go straight to curation
+    operators with no extraction pass."""
+    import pandas as pd
+
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", glob)
+        .load(path)
+        .select("content")
+    )
+    if n_partitions:
+        files = files.repartition(n_partitions)
+
+    def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        cols = ["url", "warc_ts", "text"]
+        buf: list[dict] = []
+        for pdf in batches:
+            for content in pdf["content"]:
+                for row in wet_rows(bytes(content)):
+                    buf.append(row)
+                    if len(buf) >= _BATCH_ROWS:
+                        yield pd.DataFrame(buf, columns=cols)
+                        buf = []
+        if buf:
+            yield pd.DataFrame(buf, columns=cols)
+
+    return files.mapInPandas(
+        gen, schema="url string, warc_ts timestamp, text string"
+    )
 
 
 def synth_warc_archive(

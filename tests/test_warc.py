@@ -165,3 +165,67 @@ def test_cdx_reader_tolerates_malformed_lines(spark, tmp_path):
     old = by_key["org,old)/"]
     assert old["length"] is None and old["warc_ts"] is not None
     assert by_key[""]["warc_ts"] is None  # header line -> null fields
+
+
+# --- WET (conversion records) ---------------------------------------------------
+
+
+def _wet_recs(n=5):
+    base = datetime.datetime(2024, 1, 1, 0, 0, 0)
+    return [
+        (
+            f"https://host{i}.example/page/{i}",
+            base + datetime.timedelta(seconds=i),
+            f"extracted text body {i} — with unicode ☃".encode("utf-8"),
+        )
+        for i in range(n)
+    ]
+
+
+def test_wet_roundtrip_plain_and_gzip():
+    recs = _wet_recs()
+    for gz in (False, True):
+        data = W.build_wet(recs, gzip_members=gz, warcinfo_filename="t.wet")
+        rows = list(W.wet_rows(data))
+        assert [r["url"] for r in rows] == [r[0] for r in recs]
+        assert [r["warc_ts"] for r in rows] == [r[1] for r in recs]
+        assert [r["text"].encode("utf-8") for r in rows] == [r[2] for r in recs]
+
+
+def test_wet_refers_to_links_response_record():
+    """The conversion record's WARC-Refers-To must equal the response
+    record's WARC-Record-ID for the same (url, date)."""
+    url = "https://a.example/x"
+    date = datetime.datetime(2024, 6, 1)
+    resp = W.build_warc_response(url, date, b"<html/>", "text/html")
+    wet = W.build_wet_conversion(url, date, b"text")
+    resp_id = [
+        line for line in resp.split(b"\r\n") if line.startswith(b"WARC-Record-ID")
+    ][0].split(b": ", 1)[1]
+    refers = [
+        line for line in wet.split(b"\r\n") if line.startswith(b"WARC-Refers-To")
+    ][0].split(b": ", 1)[1]
+    assert refers == resp_id
+
+
+def test_wet_rows_skips_non_conversion_records():
+    url = "https://a.example/x"
+    date = datetime.datetime(2024, 6, 1)
+    mixed = (
+        W.build_warcinfo("f.wet")
+        + W.build_warc_response(url, date, b"<html/>", "text/html")
+        + W.build_wet_conversion(url, date, b"the text")
+    )
+    rows = list(W.wet_rows(mixed))
+    assert len(rows) == 1 and rows[0]["text"] == "the text"
+
+
+def test_read_wet_spark_reader(spark, tmp_path):
+    recs = _wet_recs(8)
+    p = tmp_path / "a.warc.wet.gz"
+    p.write_bytes(W.build_wet(recs, gzip_members=True, warcinfo_filename="a"))
+    got = W.read_wet(spark, str(tmp_path)).orderBy("url").collect()
+    assert [r["url"] for r in got] == sorted(r[0] for r in recs)
+    by_url = {r[0]: r[2] for r in recs}
+    for r in got:
+        assert r["text"].encode("utf-8") == by_url[r["url"]]
