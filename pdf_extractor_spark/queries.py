@@ -7614,3 +7614,84 @@ def w_wet_codec(spark: SparkSession, sf: str) -> DataFrame:
         schema="doc_id bigint, url string, record_md5 string, "
         "n_bytes bigint, roundtrip_ok boolean",
     )
+
+
+@query(
+    "m_tokenizer_fertility",
+    f"""
+    WITH wf AS (
+      SELECT tok AS word, cast(count(*) AS BIGINT) AS freq
+      FROM (SELECT unnest({_TOK_SQL}) AS tok FROM documents)
+      GROUP BY tok),
+    w0 AS (
+      SELECT word, freq,
+             '||' || array_to_string(
+               list_concat(
+                 list_transform(range(1, length(word) + 1),
+                                i -> substring(word, i, 1)),
+                 ['_']), '||') || '||' AS syms
+      FROM wf),
+    {_bpe_round_sql(1)},
+    {_bpe_round_sql(2)},
+    {_bpe_round_sql(3)},
+    v AS (SELECT word,
+                 cast(array_length(string_split(trim(syms, '|'), '||'))
+                      AS BIGINT) AS n_syms
+          FROM w3),
+    tok AS (SELECT lang, unnest({_TOK_SQL}) AS tok FROM documents)
+    SELECT lang,
+           cast(count(*) AS BIGINT) AS n_words,
+           cast(sum(v.n_syms) AS BIGINT) AS n_bpe_tokens,
+           cast(sum(length(tok.tok)) AS BIGINT) AS n_chars,
+           (1000000 * cast(sum(v.n_syms) AS BIGINT)) // count(*)
+             AS fertility_ppm,
+           (1000000 * cast(sum(length(tok.tok)) AS BIGINT))
+             // cast(sum(v.n_syms) AS BIGINT) AS chars_per_token_ppm
+    FROM tok JOIN v ON tok.tok = v.word
+    GROUP BY lang
+    """,
+)
+def m_tokenizer_fertility(spark: SparkSession, sf: str) -> DataFrame:
+    """Tokenizer fertility per language — the multilingual tokenizer-equity
+    readout (tokens emitted per word, chars per token) a mixture planner
+    checks before fixing a vocab (cf. the fertility tables in XLM-R /
+    NLLB): languages a tokenizer over-fragments pay more sequence budget
+    per word. Composes the trained corpus BPE (m_bpe_train's 3 merges,
+    applied to the vocab-bounded DISTINCT word table) with one
+    broadcast-join + per-lang map-side-combinable rollup; ratios are
+    integer ppm (floor division), so the contract is bit-exact in any
+    engine. Scale: the only per-corpus work is the token-stream groupBy —
+    the BPE apply never leaves the vocab table."""
+    from pdf_extractor_spark.operators.bpe import bpe_train, word_frequencies
+
+    d = _t(spark, sf, "documents")
+    wf = word_frequencies(d, n_partitions=_par(spark))
+    trained, _merges = bpe_train(wf, n_merges=3)
+    vocab = trained.select("word", F.col("n_syms").cast("long").alias("n_syms"))
+    # spread the explode+join work by doc_id (NOT lang: |langs| partitions
+    # would serialize the scan); the lang groupBy is map-side combinable,
+    # so its shuffle moves only |langs| x n_tasks partial rows
+    toks = (
+        d.select("doc_id", "lang", D.word_tokens(F.col("text")).alias("_t"))
+        .repartition(_par(spark), "doc_id")
+        .select("lang", F.explode("_t").alias("word"))
+    )
+    agg = (
+        toks.join(F.broadcast(vocab), "word")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum("n_syms").cast("long").alias("n_bpe_tokens"),
+            F.sum(F.length("word")).cast("long").alias("n_chars"),
+        )
+    )
+    return agg.select(
+        "lang",
+        "n_words",
+        "n_bpe_tokens",
+        "n_chars",
+        F.expr("(1000000 * n_bpe_tokens) div n_words").alias("fertility_ppm"),
+        F.expr("(1000000 * n_chars) div n_bpe_tokens").alias(
+            "chars_per_token_ppm"
+        ),
+    )
