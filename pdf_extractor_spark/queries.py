@@ -7695,3 +7695,78 @@ def m_tokenizer_fertility(spark: SparkSession, sf: str) -> DataFrame:
             "chars_per_token_ppm"
         ),
     )
+
+
+def _global_rank_asc(
+    df: DataFrame, val_col: str, bucket: "F.Column", id_col: str = "doc_id"
+) -> DataFrame:
+    """Ascending twin of ``_global_rank_desc`` (exact global row_number over
+    (value ASC, id ASC) with a partitioned window + broadcast bucket
+    offsets, never an unpartitioned window); returns (id, value, rank)."""
+    keyed = df.select(id_col, F.col(val_col).alias("_v"), bucket.alias("_b"))
+    w_in = Window.partitionBy("_b").orderBy(F.col("_v").asc(), F.col(id_col))
+    ranked = keyed.withColumn("_rn", F.row_number().over(w_in))
+    counts = keyed.groupBy("_b").agg(F.count(F.lit(1)).alias("_cnt"))
+    x, y = counts.alias("x"), counts.alias("y")
+    offsets = (
+        x.join(F.broadcast(y), F.col("y._b") < F.col("x._b"), "left")
+        .groupBy(F.col("x._b").alias("_b"))
+        .agg(F.coalesce(F.sum("y._cnt"), F.lit(0)).alias("_off"))
+    )
+    return ranked.join(F.broadcast(offsets), "_b").select(
+        id_col,
+        F.col("_v"),
+        (F.col("_off") + F.col("_rn")).cast("bigint").alias("rank"),
+    )
+
+
+@query(
+    "a_range_bounds",
+    """
+    WITH s AS (SELECT doc_id, length(text) AS n_chars FROM documents),
+    r AS (SELECT doc_id, n_chars,
+                 cast(row_number() OVER (ORDER BY n_chars, doc_id) AS BIGINT)
+                   AS rk
+          FROM s),
+    n AS (SELECT count(*) AS n FROM s),
+    p AS (SELECT cast(i AS INT) AS bound_idx, (i * n.n) // 8 AS pos
+          FROM range(1, 8) t(i), n
+          WHERE (i * n.n) // 8 >= 1)
+    SELECT p.bound_idx,
+           cast(r.n_chars AS BIGINT) AS boundary_value,
+           r.doc_id AS boundary_id,
+           p.pos AS rows_below
+    FROM p JOIN r ON r.rk = p.pos
+    """,
+)
+def a_range_bounds(spark: SparkSession, sf: str) -> DataFrame:
+    """Balanced range-partitioner boundaries — the sampling step of a
+    100 TB global sort / sorted write, done EXACTLY: the 7 cut keys that
+    split the corpus into 8 equal-count ranges by (doc length, doc_id).
+    Spark's own RangePartitioner samples and can mis-balance under skew;
+    this contract computes exact equal-frequency bounds with the
+    two-level bucket-rank + broadcast-offsets plan (_global_rank_asc — no
+    unpartitioned window), then picks ranks i*N/8 with a 7-row broadcast
+    join. At scale: one partitioned window + two broadcast joins; the
+    boundary table is what a writer passes to repartitionByRange or a
+    bucketed sink."""
+    d = _t(spark, sf, "documents")
+    s = d.select("doc_id", F.length("text").cast("bigint").alias("n_chars"))
+    ranked = _global_rank_asc(
+        s, "n_chars", (F.col("n_chars") / 256).cast("int"), "doc_id"
+    )
+    n = s.count()
+    k = 8
+    pos_rows = [
+        (i, (i * n) // k) for i in range(1, k) if (i * n) // k >= 1
+    ]
+    pos = spark.createDataFrame(pos_rows, "bound_idx int, pos bigint")
+    return (
+        ranked.join(F.broadcast(pos), ranked["rank"] == pos["pos"])
+        .select(
+            "bound_idx",
+            F.col("_v").alias("boundary_value"),
+            F.col("doc_id").alias("boundary_id"),
+            F.col("pos").alias("rows_below"),
+        )
+    )

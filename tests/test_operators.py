@@ -1715,3 +1715,59 @@ def test_cms_partition_invariance(spark):
     a = sorted(tuple(r) for r in cms_heavy_hitters(df.repartition(1), "v", min_frac=0.05).collect())
     b = sorted(tuple(r) for r in cms_heavy_hitters(df.repartition(9), "v", min_frac=0.05).collect())
     assert a == b and len(a) == 7
+
+
+def test_global_rank_asc_matches_unpartitioned_window(spark):
+    """Ascending twin of the desc test: two-level rank == bare
+    row_number() OVER (ORDER BY v, id), under ties / boundary-straddling /
+    single-bucket inputs."""
+    import random
+
+    from pyspark.sql import Window, functions as F
+
+    from pdf_extractor_spark.queries import _global_rank_asc
+
+    for seed, scale in [(1, 100.0), (2, 1.0), (3, 0.0)]:
+        rng = random.Random(seed)
+        rows = [
+            (i, round(rng.random() * scale - scale / 3, 3)) for i in range(500)
+        ]
+        rows = [(i, 1.5 if i % 7 == 0 else v) for i, v in rows]
+        df = spark.createDataFrame(rows, ["doc_id", "v"]).repartition(7)
+        got = {
+            (r["doc_id"], r["rank"])
+            for r in _global_rank_asc(
+                df, "v", F.floor(F.col("v") * 4).cast("int")
+            ).collect()
+        }
+        w = Window.orderBy(F.col("v").asc(), F.col("doc_id"))
+        ref = {
+            (r["doc_id"], r["rank"])
+            for r in df.select(
+                "doc_id", F.row_number().over(w).cast("bigint").alias("rank")
+            ).collect()
+        }
+        assert got == ref, f"seed={seed}"
+
+
+def test_range_bounds_are_balanced(spark):
+    """Every boundary's rows_below must equal floor(i*N/8) and boundary
+    values must be non-decreasing — the equal-frequency property a range
+    partitioner needs."""
+    import pdf_extractor_spark.queries as Q
+
+    rows = [(i, "x" * ((i * 37) % 400), "en") for i in range(160)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    orig_t = Q._t
+    try:
+        Q._t = lambda s_, sf_, n_: df
+        got = sorted(
+            (r["bound_idx"], r["rows_below"], r["boundary_value"])
+            for r in Q._QUERIES["a_range_bounds"](spark, "x").collect()
+        )
+    finally:
+        Q._t = orig_t
+    assert [b for b, _, _ in got] == list(range(1, 8))
+    assert [n for _, n, _ in got] == [(i * 160) // 8 for i in range(1, 8)]
+    vals = [v for _, _, v in got]
+    assert vals == sorted(vals)
