@@ -7770,3 +7770,62 @@ def a_range_bounds(spark: SparkSession, sf: str) -> DataFrame:
             F.col("pos").alias("rows_below"),
         )
     )
+
+
+def _z16_sql(a: str, b: str, div: str = "//") -> str:
+    """Morton/Z-order bit interleave of two 16-bit values as pure integer
+    arithmetic (floor-div/mod/multiply — no engine bit operators; the one
+    dialect difference is the integer-division token: DuckDB spells it
+    ``//``, Spark SQL ``div``): bit i of ``a`` lands at position 2i, bit
+    i of ``b`` at 2i+1."""
+    terms = []
+    for i in range(16):
+        terms.append(f"(({a} {div} {2 ** i}) % 2) * {2 ** (2 * i)}")
+        terms.append(f"(({b} {div} {2 ** i}) % 2) * {2 ** (2 * i + 1)}")
+    return " + ".join(terms)
+
+
+@query(
+    "a_zorder_key",
+    f"""
+    WITH s AS (
+      SELECT event_id,
+             user_id % 65536 AS a,
+             (dayofyear(ts) * 24 + hour(ts)) % 65536 AS b
+      FROM events)
+    SELECT event_id, cast(a AS BIGINT) AS a, cast(b AS BIGINT) AS b,
+           cast({_z16_sql("a", "b")} AS BIGINT) AS zkey,
+           cast(({_z16_sql("a", "b")}) // 67108864 AS BIGINT) AS zbucket
+    FROM s
+    """,
+)
+def a_zorder_key(spark: SparkSession, sf: str) -> DataFrame:
+    """Z-order (Morton) clustering key — the multi-dimensional storage
+    layout a 100 TB table wants when queries prune on TWO axes (here
+    user and time-of-year): interleaving the bits of both keys makes
+    rows close in EITHER dimension land in the same file, so min/max
+    file statistics prune for user-range AND time-range predicates
+    simultaneously (the Delta/Iceberg OPTIMIZE ZORDER idea, computed
+    exactly). Pure scan-side integer arithmetic — the 32-term interleave
+    is generated by one helper whose text runs verbatim in BOTH engines,
+    so the contract is bit-exact by construction. ``zbucket`` (top 6
+    bits, 64 buckets) is what a writer passes to repartitionByRange /
+    partitionBy for the clustered write."""
+    e = _t(spark, sf, "events")
+    s = e.select(
+        "event_id",
+        (F.col("user_id") % 65536).alias("a"),
+        ((F.dayofyear("ts") * 24 + F.hour("ts")) % 65536)
+        .cast("bigint")
+        .alias("b"),
+    )
+    z = F.expr(_z16_sql("a", "b", div="div")).cast("bigint")
+    return s.select(
+        "event_id",
+        F.col("a").cast("bigint").alias("a"),
+        F.col("b").cast("bigint").alias("b"),
+        z.alias("zkey"),
+        F.expr(f"({_z16_sql('a', 'b', div='div')}) div 67108864")
+        .cast("bigint")
+        .alias("zbucket"),
+    )

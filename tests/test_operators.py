@@ -1771,3 +1771,31 @@ def test_range_bounds_are_balanced(spark):
     assert [n for _, n, _ in got] == [(i * 160) // 8 for i in range(1, 8)]
     vals = [v for _, _, v in got]
     assert vals == sorted(vals)
+
+
+def test_zorder_interleave_matches_python_bits(spark):
+    """The arithmetic interleave must equal Python's bit-twiddled Morton
+    code, and locality must hold: adjacent a-values with equal b differ
+    only in low interleaved bits."""
+    from pdf_extractor_spark.queries import _z16_sql
+
+    import duckdb
+
+    def morton(a, b):
+        z = 0
+        for i in range(16):
+            z |= ((a >> i) & 1) << (2 * i)
+            z |= ((b >> i) & 1) << (2 * i + 1)
+        return z
+
+    cases = [(0, 0), (1, 0), (0, 1), (65535, 65535), (12345, 54321), (256, 255)]
+    expr = _z16_sql("a", "b")
+    for a, b in cases:
+        got = duckdb.sql(f"SELECT {expr} AS z FROM (SELECT {a} AS a, {b} AS b)").fetchone()[0]
+        assert got == morton(a, b), (a, b)
+    df = spark.createDataFrame(cases, "a long, b long")
+    from pyspark.sql import functions as F
+
+    rows = df.select("a", "b", F.expr(_z16_sql("a", "b", div="div")).alias("z")).collect()
+    for r in rows:
+        assert r["z"] == morton(r["a"], r["b"])
