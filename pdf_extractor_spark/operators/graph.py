@@ -113,3 +113,89 @@ def pagerank_integer(
             .localCheckpoint(eager=False)
         )
     return ranks.select("node", "rank")
+
+
+def hits_integer(
+    edges: DataFrame,
+    n_iter: int = 2,
+    scale: int = 1_000_000,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Fixed-point HITS (Kleinberg, JACM 1999) -> (node, hub, auth).
+
+    The complement of PageRank for crawl seeding: authorities are pages
+    many good hubs point AT (fetch these), hubs are pages that point at
+    many good authorities (mine these for outlinks). Per iteration:
+
+      auth_raw(v) = Σ_{u→v} hub(u);   auth(v) = scale·auth_raw(v) DIV Σ auth_raw
+      hub_raw(u)  = Σ_{u→v} auth(v);  hub(u)  = scale·hub_raw(u)  DIV Σ hub_raw
+
+    i.e. the standard mutual-reinforcement update with L1 (mass)
+    normalization done in integer rank units — every step is integer
+    multiply/divide, so the fixpoint is bit-identical across engines and
+    partitionings (same discipline as ``pagerank_integer``; HITS's usual
+    L2 norm would force cross-engine sqrt, L1 preserves the ordering).
+
+    Scale shape per iteration: two edge⋈score equi-joins + two
+    map-side-combinable groupBy sums over |V|-row score tables; only the
+    two one-row normalization totals touch the driver. ``localCheckpoint``
+    truncates lineage per round.
+    """
+    e = (
+        edges.select(
+            F.col(src_col).cast("long").alias("src"),
+            F.col(dst_col).cast("long").alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint()
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    n = nodes.count()
+    if n == 0:
+        return nodes.select(
+            "node",
+            F.lit(0).cast("long").alias("hub"),
+            F.lit(0).cast("long").alias("auth"),
+        )
+    hub = nodes.select("node", F.lit(scale // n).cast("long").alias("hub"))
+    auth = None
+
+    def _normalized(raw: DataFrame, out_col: str) -> DataFrame:
+        total = int(
+            raw.agg(F.coalesce(F.sum("raw"), F.lit(0)).cast("long").alias("t"))
+            .first()["t"]
+        )
+        joined = nodes.join(raw, "node", "left")
+        if total <= 0:
+            score = F.lit(0).cast("long")
+        else:
+            score = F.expr(
+                f"(CAST({scale} AS BIGINT) * coalesce(raw, 0)) DIV {total}"
+            ).cast("long")
+        return joined.select("node", score.alias(out_col)).localCheckpoint(
+            eager=False
+        )
+
+    for _ in range(n_iter):
+        a_raw = (
+            e.join(hub.select(F.col("node").alias("src"), "hub"), "src")
+            .groupBy("dst")
+            .agg(F.sum("hub").cast("long").alias("raw"))
+            .select(F.col("dst").alias("node"), "raw")
+        )
+        auth = _normalized(a_raw, "auth")
+        h_raw = (
+            e.join(auth.select(F.col("node").alias("dst"), "auth"), "dst")
+            .groupBy("src")
+            .agg(F.sum("auth").cast("long").alias("raw"))
+            .select(F.col("src").alias("node"), "raw")
+        )
+        hub = _normalized(h_raw, "hub")
+    return hub.join(auth, "node").select("node", "hub", "auth")

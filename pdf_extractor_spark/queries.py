@@ -7829,3 +7829,70 @@ def a_zorder_key(spark: SparkSession, sf: str) -> DataFrame:
         .cast("bigint")
         .alias("zbucket"),
     )
+
+
+def _hits_iter_sql(i: int) -> str:
+    """One HITS round: hub-weighted in-sums -> L1-normalized integer auth,
+    then auth-weighted out-sums -> normalized integer hub (mirrors
+    operators/graph.hits_integer bit for bit)."""
+    p = i - 1
+    return f"""
+    ar{i} AS (SELECT e.dst AS node, sum(h{p}.hub) AS raw
+              FROM e JOIN h{p} ON e.src = h{p}.node GROUP BY e.dst),
+    at{i} AS (SELECT coalesce(sum(raw), 0) AS t FROM ar{i}),
+    a{i} AS (SELECT nodes.node,
+                    coalesce((1000000 * ar{i}.raw) // nullif(at{i}.t, 0), 0)
+                      AS auth
+             FROM nodes LEFT JOIN ar{i} USING (node) CROSS JOIN at{i}),
+    hr{i} AS (SELECT e.src AS node, sum(a{i}.auth) AS raw
+              FROM e JOIN a{i} ON e.dst = a{i}.node GROUP BY e.src),
+    ht{i} AS (SELECT coalesce(sum(raw), 0) AS t FROM hr{i}),
+    h{i} AS (SELECT nodes.node,
+                    coalesce((1000000 * hr{i}.raw) // nullif(ht{i}.t, 0), 0)
+                      AS hub
+             FROM nodes LEFT JOIN hr{i} USING (node) CROSS JOIN ht{i})"""
+
+
+@query(
+    "g_host_hits",
+    f"""
+    WITH e0 AS (
+      SELECT doc_id % 20 AS src, (doc_id * 7 + 3) % 20 AS dst FROM documents
+      UNION ALL
+      SELECT doc_id % 20, (doc_id * 13 + 5) % 20 FROM documents),
+    e AS (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst),
+    nodes AS (SELECT DISTINCT node FROM
+              (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+    nn AS (SELECT count(*) AS n FROM nodes),
+    h0 AS (SELECT node, (1000000 // nn.n) AS hub FROM nodes CROSS JOIN nn),
+    {_hits_iter_sql(1)},
+    {_hits_iter_sql(2)}
+    SELECT h2.node AS host, cast(h2.hub AS BIGINT) AS hub,
+           cast(a2.auth AS BIGINT) AS auth
+    FROM h2 JOIN a2 USING (node)
+    """,
+)
+def g_host_hits(spark: SparkSession, sf: str) -> DataFrame:
+    """Host-graph HITS hubs & authorities (Kleinberg JACM 1999 —
+    operators/graph.hits_integer): the crawl-seeding complement to
+    g_host_pagerank over the same deterministic synthetic host edges.
+    Two mutual-reinforcement rounds in integer rank units with L1 mass
+    normalization (integer multiply/divide only — no cross-engine sqrt),
+    every round replayed CTE-for-CTE by the oracle. Per-round plan: two
+    edge⋈score equi-joins + two map-side-combinable sums; only the
+    one-row normalization totals touch the driver."""
+    from pdf_extractor_spark.operators.graph import hits_integer
+
+    d = _t(spark, sf, "documents")
+    e = d.select(
+        (F.col("doc_id") % 20).alias("src"),
+        ((F.col("doc_id") * 7 + 3) % 20).alias("dst"),
+    ).unionByName(
+        d.select(
+            (F.col("doc_id") % 20).alias("src"),
+            ((F.col("doc_id") * 13 + 5) % 20).alias("dst"),
+        )
+    )
+    return hits_integer(e, n_iter=2).select(
+        F.col("node").alias("host"), "hub", "auth"
+    )

@@ -1799,3 +1799,47 @@ def test_zorder_interleave_matches_python_bits(spark):
     rows = df.select("a", "b", F.expr(_z16_sql("a", "b", div="div")).alias("z")).collect()
     for r in rows:
         assert r["z"] == morton(r["a"], r["b"])
+
+
+# --- HITS ----------------------------------------------------------------------
+
+
+def test_hits_identifies_hub_and_authority(spark):
+    """The star-in target is the best authority, and the best hubs are
+    exactly the nodes pointing AT it (mutual reinforcement — NOT the
+    highest-outdegree node, whose targets nobody endorses)."""
+    from pdf_extractor_spark.operators.graph import hits_integer
+
+    # node 0 fans out to 1..4 (high outdegree, worthless targets);
+    # 1 and 5..8 all point at 9 (the consensus authority)
+    edges = [(0, i) for i in range(1, 5)] + [(i, 9) for i in range(5, 9)]
+    edges.append((1, 9))
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: (r["hub"], r["auth"]) for r in hits_integer(df, n_iter=2).collect()}
+    best_auth = max(got, key=lambda k: got[k][1])
+    assert best_auth == 9
+    pointers_at_9 = {1, 5, 6, 7, 8}
+    top_hub_score = max(v[0] for v in got.values())
+    best_hubs = {k for k, v in got.items() if v[0] == top_hub_score}
+    assert best_hubs == pointers_at_9
+    assert got[0][0] < top_hub_score
+    # L1 normalization: masses stay within integer-floor slack of scale
+    assert sum(v[0] for v in got.values()) <= 1_000_000
+    assert sum(v[1] for v in got.values()) <= 1_000_000
+
+
+def test_hits_partition_invariance(spark):
+    from pdf_extractor_spark.operators.graph import hits_integer
+
+    edges = [(i % 7, (i * 3 + 1) % 7) for i in range(30)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    a = sorted(tuple(r) for r in hits_integer(df.repartition(1), n_iter=2).collect())
+    b = sorted(tuple(r) for r in hits_integer(df.repartition(8), n_iter=2).collect())
+    assert a == b
+
+
+def test_hits_empty_graph(spark):
+    from pdf_extractor_spark.operators.graph import hits_integer
+
+    df = spark.createDataFrame([], "src long, dst long")
+    assert hits_integer(df, n_iter=2).count() == 0
