@@ -140,6 +140,40 @@ TABLE_CELLS_SCHEMA = ArrayType(
 )
 
 
+OUTLINE_SCHEMA = ArrayType(
+    StructType(
+        [
+            StructField("heading_idx", IntegerType()),
+            StructField("level", IntegerType()),
+            StructField("title", StringType()),
+            StructField("path", StringType()),
+        ]
+    )
+)
+
+
+@F.pandas_udf(OUTLINE_SCHEMA)
+def outline_udf(payload: pd.Series) -> pd.Series:
+    """Arrow-batched document-outline extraction: Series[bytes] -> Series[
+    list[{heading_idx, level, title, path}]] via the pure heading-tree
+    parser (extract/outline.py). Same boundary discipline as
+    table_cells_udf: batch-local Python only, total parser, never a task
+    failure."""
+    from pdf_extractor_spark.extract.outline import extract_outline_one
+
+    return pd.Series(
+        [
+            []
+            if p is None
+            else [
+                {"heading_idx": i, "level": lv, "title": t, "path": pa}
+                for i, lv, t, pa in extract_outline_one(p)
+            ]
+            for p in payload
+        ]
+    )
+
+
 @F.pandas_udf(TABLE_CELLS_SCHEMA)
 def table_cells_udf(payload: pd.Series) -> pd.Series:
     """Arrow-batched table-structure extraction: Series[bytes] -> Series[

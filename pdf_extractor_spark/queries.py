@@ -7896,3 +7896,70 @@ def g_host_hits(spark: SparkSession, sf: str) -> DataFrame:
     return hits_integer(e, n_iter=2).select(
         F.col("node").alias("host"), "hub", "auth"
     )
+
+
+@query(
+    "x_extract_outline",
+    """
+    SELECT doc_id, cast(0 AS INT) AS heading_idx, cast(1 AS INT) AS level,
+           'Chapter ' || cast(doc_id % 7 AS VARCHAR) AS title,
+           '' AS path
+    FROM documents
+    UNION ALL
+    SELECT doc_id, 1, 2,
+           'Part & ' || cast(doc_id % 3 AS VARCHAR),
+           'Chapter ' || cast(doc_id % 7 AS VARCHAR)
+    FROM documents
+    UNION ALL
+    SELECT doc_id, 2, 3,
+           'Sub ' || cast(doc_id % 5 AS VARCHAR),
+           'Chapter ' || cast(doc_id % 7 AS VARCHAR)
+             || '/Part & ' || cast(doc_id % 3 AS VARCHAR)
+    FROM documents
+    UNION ALL
+    SELECT doc_id, 3, 2,
+           'Part ' || cast(doc_id % 4 AS VARCHAR),
+           'Chapter ' || cast(doc_id % 7 AS VARCHAR)
+    FROM documents
+    """,
+)
+def x_extract_outline(spark: SparkSession, sf: str) -> DataFrame:
+    """Document-OUTLINE extraction (heading hierarchy with ancestor
+    paths — the structural signal chunkers/TOC builders/retrieval key
+    sections on): every h1..h6 in the page payload becomes (heading_idx,
+    level, title, path) via the real heading-tree parser
+    (extract/outline.py: outline nesting rule, entity unescape, inline
+    markup tolerated), Arrow-batched through ONE pandas UDF and exploded
+    inline. Pages here are synthesized regular — h1 > h2 > h3 then a
+    SIBLING h2 (exercising the ancestor-stack pop) — so the oracle states
+    the expected tree closed-form from doc_id; malformed/edge cases are
+    pinned by tests/test_outline_extract.py."""
+    from pdf_extractor_spark.extract.udfs import outline_udf
+
+    d = _t(spark, sf, "documents")
+    did = F.col("doc_id")
+    html = F.concat(
+        F.lit("<html><body><h1>Chapter "),
+        (did % 7).cast("string"),
+        F.lit("</h1><p>intro text</p><h2>Part &amp; "),
+        (did % 3).cast("string"),
+        F.lit("</h2><p>body</p><h3>Sub "),
+        (did % 5).cast("string"),
+        F.lit("</h3><p>deep</p><h2>Part "),
+        (did % 4).cast("string"),
+        F.lit("</h2><p>tail</p></body></html>"),
+    )
+    page = d.select("doc_id", html.alias("html")).repartition(
+        _par(spark), "doc_id"
+    )
+    rows = page.select(
+        "doc_id",
+        F.explode(outline_udf(F.encode(F.col("html"), "UTF-8"))).alias("h"),
+    )
+    return rows.select(
+        "doc_id",
+        F.col("h.heading_idx").alias("heading_idx"),
+        F.col("h.level").alias("level"),
+        F.col("h.title").alias("title"),
+        F.col("h.path").alias("path"),
+    )
