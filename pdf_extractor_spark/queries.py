@@ -7963,3 +7963,83 @@ def x_extract_outline(spark: SparkSession, sf: str) -> DataFrame:
         F.col("h.title").alias("title"),
         F.col("h.path").alias("path"),
     )
+
+
+@query(
+    "d_cdc_chunks",
+    f"""
+    WITH s AS (SELECT doc_id, text, len(text) AS n FROM documents),
+    cand AS (SELECT doc_id, text, unnest(range(8, n + 1)) AS i
+             FROM s WHERE n >= 8),
+    ends0 AS (
+      SELECT doc_id, i
+      FROM cand
+      WHERE ({_HEX8.format(h="md5(substr(text, i - 7, 8))", p="1")}) % 64 = 0
+      UNION
+      SELECT doc_id, n FROM s WHERE n >= 1),
+    r AS (SELECT doc_id, i AS e,
+                 coalesce(lag(i) OVER (PARTITION BY doc_id ORDER BY i), 0) + 1
+                   AS st,
+                 cast(row_number() OVER (PARTITION BY doc_id ORDER BY i) - 1
+                      AS INT) AS chunk_idx
+          FROM ends0)
+    SELECT r.doc_id, r.chunk_idx,
+           cast(r.e - r.st + 1 AS BIGINT) AS chunk_len,
+           md5(substr(s.text, r.st, r.e - r.st + 1)) AS chunk_md5
+    FROM r JOIN s USING (doc_id)
+    """,
+)
+def d_cdc_chunks(spark: SparkSession, sf: str) -> DataFrame:
+    """Content-defined chunking (the rolling-window boundary idea behind
+    LBFS/FastCDC, here with a deterministic md5 window so both engines
+    agree bit-for-bit): a chunk boundary falls wherever the hash of the
+    8-char window ending at that position is ≡ 0 mod 64 (expected chunk
+    ~64 chars), plus a forced boundary at end-of-document. Because
+    boundaries depend only on LOCAL content, an insertion early in a
+    document shifts only the chunks it touches — unlike fixed-size
+    blocks — so chunk_md5 equality across documents finds shared content
+    at sub-document granularity (storage dedup, delta sync, partial
+    near-dup evidence). Plan: boundary detection is a scan-side
+    higher-order filter into a per-doc ends array (text evaluated once
+    per row — attribute, not a re-inlined subtree), exploded INLINE (a
+    non-attribute generator child, so no inferred filter); then one
+    doc-partitioned lag/row_number window over ~n/64 boundary rows per
+    doc and a join back to the text for the chunk hash. Per-doc window
+    input is bounded by doc length — never corpus-scale."""
+    d = _t(spark, sf, "documents")
+    n = F.length("text")
+
+    def is_boundary(i):
+        win = F.substring(F.col("text"), i - 7, F.lit(8))
+        h = F.conv(F.substring(F.md5(win), 1, 8), 16, 10).cast("bigint")
+        return h % 64 == 0
+
+    bpos = F.when(
+        n >= 8,
+        F.filter(F.sequence(F.lit(8), n), lambda i: is_boundary(i)),
+    ).otherwise(F.array().cast("array<int>"))
+    ends_arr = F.array_distinct(
+        F.concat(
+            bpos.cast("array<bigint>"),
+            F.when(n >= 1, F.array(n.cast("bigint"))).otherwise(
+                F.array().cast("array<bigint>")
+            ),
+        )
+    )
+    e = d.select("doc_id", F.explode(ends_arr).alias("e")).repartition(
+        _par(spark), "doc_id"
+    )
+    w = Window.partitionBy("doc_id").orderBy("e")
+    r = e.select(
+        "doc_id",
+        "e",
+        (F.coalesce(F.lag("e").over(w), F.lit(0)) + 1).alias("st"),
+        (F.row_number().over(w) - 1).cast("int").alias("chunk_idx"),
+    )
+    j = r.join(d.select("doc_id", "text"), "doc_id")
+    return j.select(
+        "doc_id",
+        "chunk_idx",
+        (F.col("e") - F.col("st") + 1).cast("bigint").alias("chunk_len"),
+        F.md5(F.expr("substring(text, st, e - st + 1)")).alias("chunk_md5"),
+    )

@@ -1843,3 +1843,71 @@ def test_hits_empty_graph(spark):
 
     df = spark.createDataFrame([], "src long, dst long")
     assert hits_integer(df, n_iter=2).count() == 0
+
+
+# --- content-defined chunking ----------------------------------------------------
+
+
+def _cdc_serial(text: str):
+    """Serial replay of the d_cdc_chunks boundary rule."""
+    import hashlib
+
+    n = len(text)
+    ends = []
+    for i in range(8, n + 1):
+        win = text[i - 8 : i]
+        h = int(hashlib.md5(win.encode("utf-8")).hexdigest()[:8], 16)
+        if h % 64 == 0:
+            ends.append(i)
+    if n >= 1 and (not ends or ends[-1] != n):
+        ends.append(n)
+    out, prev = [], 0
+    for idx, e in enumerate(ends):
+        seg = text[prev:e]
+        out.append(
+            (idx, len(seg), hashlib.md5(seg.encode("utf-8")).hexdigest())
+        )
+        prev = e
+    return out
+
+
+def test_cdc_chunks_match_serial_replay(spark):
+    import random
+
+    import pdf_extractor_spark.queries as Q
+
+    rng = random.Random(7)
+    docs = [
+        (i, "".join(rng.choice("abcdef gh") for _ in range(rng.randrange(0, 600))), "en")
+        for i in range(25)
+    ]
+    docs.append((99, "short", "en"))
+    docs.append((100, "", "en"))
+    df = spark.createDataFrame(docs, "doc_id long, text string, lang string")
+    orig_t = Q._t
+    try:
+        Q._t = lambda s_, sf_, n_: df
+        rows = Q._QUERIES["d_cdc_chunks"](spark, "x").collect()
+    finally:
+        Q._t = orig_t
+    got = {}
+    for r in rows:
+        got.setdefault(r["doc_id"], []).append(
+            (r["chunk_idx"], r["chunk_len"], r["chunk_md5"])
+        )
+    for doc_id, text, _ in docs:
+        assert sorted(got.get(doc_id, [])) == _cdc_serial(text), doc_id
+
+
+def test_cdc_insertion_shifts_only_local_chunks():
+    """The CDC property: prepending text must leave the tail chunks'
+    hashes intact (fixed-size blocking would shift every block)."""
+    base = "the quick brown fox jumps over the lazy dog " * 40
+    edited = "INSERTED PREFIX! " + base
+    a = [h for _, _, h in _cdc_serial(base)]
+    b = [h for _, _, h in _cdc_serial(edited)]
+    # the suffix of the chunk streams must coincide
+    k = 0
+    while k < min(len(a), len(b)) and a[-1 - k] == b[-1 - k]:
+        k += 1
+    assert k >= max(1, len(a) - 3), (len(a), len(b), k)
