@@ -27,6 +27,36 @@ PATHQ_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)"
 TRACKING_RE = r"^(utm_[^=&]*|gclid|fbclid)(=|$)"
 
 
+# minimal multi-label public-suffix set (the publicsuffix.org idea at demo
+# scale; production ships the full list the same way — one generated regex)
+PLD_SUFFIX2 = (
+    "co.uk", "org.uk", "ac.uk", "gov.uk",
+    "com.au", "net.au", "org.au",
+    "co.jp", "co.nz", "co.in", "com.br",
+)
+_S2_ALT = "|".join(s.replace(".", r"\.") for s in sorted(PLD_SUFFIX2))
+PLD_S2_RE = rf"([^.]+\.(?:{_S2_ALT}))$"
+PLD_S1_RE = r"([^.]+\.[^.]+)$"
+
+
+def pay_level_domain(host: Column) -> Column:
+    """Pay-level domain (registrable domain / eTLD+1) from a host column:
+    label+multi-label-suffix when the host ends in a known two-label
+    public suffix (www.blog.example.co.uk -> example.co.uk), else
+    label+TLD (www.a.example.com -> example.com), else the host itself
+    (single-label / IP-ish inputs pass through). Host aggregation keyed by
+    PLD is how crawl budgets and domain-level dedup group sites — per-host
+    keys split a site's subdomains apart. Pure regexp_extract: the same
+    pattern strings run in the DuckDB oracle."""
+    s2 = F.regexp_extract(host, PLD_S2_RE, 1)
+    s1 = F.regexp_extract(host, PLD_S1_RE, 1)
+    return (
+        F.when(F.length(s2) > 0, s2)
+        .when(F.length(s1) > 0, s1)
+        .otherwise(host)
+    )
+
+
 def canonicalize_url(col: Column) -> Column:
     """Canonical url column (see module docstring for the exact rules)."""
     u = F.trim(col)

@@ -8043,3 +8043,65 @@ def d_cdc_chunks(spark: SparkSession, sf: str) -> DataFrame:
         (F.col("e") - F.col("st") + 1).cast("bigint").alias("chunk_len"),
         F.md5(F.expr("substring(text, st, e - st + 1)")).alias("chunk_md5"),
     )
+
+
+_PLD_HOST_SQL = """
+    concat('www.blog', cast(doc_id % 4 AS VARCHAR),
+           '.site', cast(doc_id % 6 AS VARCHAR),
+           CASE doc_id % 5 WHEN 0 THEN '.co.uk' WHEN 1 THEN '.com.au'
+                WHEN 2 THEN '.com' WHEN 3 THEN '.org' ELSE '.co.jp' END)
+"""
+
+
+@query(
+    "u_pld_rollup",
+    f"""
+    WITH h AS (SELECT doc_id, {_PLD_HOST_SQL} AS host FROM documents),
+    p AS (SELECT doc_id, host,
+                 CASE WHEN regexp_extract(host, '([^.]+\.(?:ac\.uk|co\.in|co\.jp|co\.nz|co\.uk|com\.au|com\.br|gov\.uk|net\.au|org\.au|org\.uk))$', 1) <> ''
+                        THEN regexp_extract(host, '([^.]+\.(?:ac\.uk|co\.in|co\.jp|co\.nz|co\.uk|com\.au|com\.br|gov\.uk|net\.au|org\.au|org\.uk))$', 1)
+                      WHEN regexp_extract(host, '([^.]+\.[^.]+)$', 1) <> ''
+                        THEN regexp_extract(host, '([^.]+\.[^.]+)$', 1)
+                      ELSE host END AS pld
+          FROM h)
+    SELECT pld, count(*) AS n_docs,
+           count(DISTINCT host) AS n_hosts,
+           min(doc_id) AS first_doc
+    FROM p GROUP BY pld
+    """,
+)
+def u_pld_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    """Pay-level-domain rollup (publicsuffix.org registrable-domain
+    grouping): crawl budgeting and domain-level dedup key on the eTLD+1,
+    not the host — per-host keys split a site's subdomains apart, and a
+    two-label public suffix (co.uk, com.au, ...) must not swallow the
+    registrant label. Hosts here are synthesized with subdomains across
+    five suffix classes; extraction is two regexp_extracts whose PATTERN
+    STRINGS are module constants shared verbatim with the oracle
+    (functions/urls.pay_level_domain). One groupBy on the PLD key — the
+    same Zipf-skew posture as u_host_rollup."""
+    from pdf_extractor_spark.functions.urls import pay_level_domain
+
+    d = _t(spark, sf, "documents")
+    did = F.col("doc_id")
+    host = F.concat(
+        F.lit("www.blog"),
+        (did % 4).cast("string"),
+        F.lit(".site"),
+        (did % 6).cast("string"),
+        F.when(did % 5 == 0, F.lit(".co.uk"))
+        .when(did % 5 == 1, F.lit(".com.au"))
+        .when(did % 5 == 2, F.lit(".com"))
+        .when(did % 5 == 3, F.lit(".org"))
+        .otherwise(F.lit(".co.jp")),
+    )
+    p = d.select("doc_id", host.alias("host"))
+    return (
+        p.select("doc_id", "host", pay_level_domain(F.col("host")).alias("pld"))
+        .groupBy("pld")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("host").alias("n_hosts"),
+            F.min("doc_id").alias("first_doc"),
+        )
+    )

@@ -154,3 +154,23 @@ def test_clean_training_text_explicit_codepoints(spark):
     df = spark.createDataFrame([(dirty,)], "t string")
     got = df.select(clean_training_text(F.col("t")).alias("c")).first()["c"]
     assert got == "abc\tkeep\nlines\r x y z join many spaces"
+
+
+def test_pay_level_domain_rules(spark):
+    from pyspark.sql import functions as F
+
+    from pdf_extractor_spark.functions.urls import pay_level_domain
+
+    cases = [
+        ("www.blog.example.co.uk", "example.co.uk"),
+        ("a.b.c.site.com.au", "site.com.au"),
+        ("www.example.com", "example.com"),
+        ("example.org", "example.org"),
+        ("deep.sub.domain.example.co.jp", "example.co.jp"),
+        ("localhost", "localhost"),
+        ("co.uk", "co.uk"),  # bare suffix: no registrant label to take
+    ]
+    df = spark.createDataFrame(cases, "host string, want string")
+    rows = df.select("host", "want", pay_level_domain(F.col("host")).alias("got")).collect()
+    for r in rows:
+        assert r["got"] == r["want"], r["host"]
