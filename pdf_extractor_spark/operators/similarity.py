@@ -752,3 +752,84 @@ def pq_adc_topk(
     if exclude_id is not None:
         scored = scored.filter(F.col(id_col) != exclude_id)
     return scored.orderBy(F.asc("adc_dist"), F.col(id_col)).limit(topk)
+
+
+def mmr_rerank(
+    df: DataFrame,
+    query_vec: list[float],
+    n_cand: int = 10,
+    n_pick: int = 5,
+    lam: float = 0.7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_id: int | None = None,
+) -> DataFrame:
+    """Maximal-marginal-relevance rerank (Carbonell & Goldstein, SIGIR'98):
+    greedily pick ``n_pick`` of the ``n_cand`` exact-cosine candidates,
+    each round maximizing  lam·sim(q,d) − (1−lam)·max_{s∈S} sim(d,s) —
+    the standard relevance-vs-redundancy diversification of a top-k.
+
+    Scale shape: candidate selection is the cosine_topk scan (k rows
+    out); the pairwise table is k×k via a broadcast nested-loop over the
+    k-row candidate set (bounded by k², never corpus-scale); each greedy
+    round is one DataFrame argmax collapsing to a single collected row —
+    the bpe_train 1-row-collect discipline, n_pick rounds total.
+    Determinism: qsim and pair sims round to 6 dp; the MMR score rounds
+    to 6 dp IN-ENGINE (F.round half-up, matching the SQL oracle) before
+    the (score DESC, id ASC) argmax.
+    """
+    cand = cosine_topk(
+        df, query_vec, k=n_cand, id_col=id_col, vec_col=vec_col,
+        exclude_id=exclude_id,
+    ).select(F.col(id_col).alias("cid"), F.col("cosine_sim").alias("qsim"))
+    cemb = (
+        df.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("v"))
+        .join(F.broadcast(cand), "cid")
+        .localCheckpoint()
+    )
+    right = cemb.select(
+        F.col("cid").alias("oid"), F.col("v").alias("ov")
+    )
+    pairs = (
+        cemb.crossJoin(F.broadcast(right))
+        .filter(F.col("cid") != F.col("oid"))
+        .select(
+            "cid",
+            "oid",
+            F.round(cosine(F.col("v"), F.col("ov")), 6).alias("ps"),
+        )
+        .localCheckpoint()
+    )
+    picked: list[tuple[int, int, float, float]] = []  # rank, id, qsim, score
+    sel_ids: list = []
+    for r in range(1, n_pick + 1):
+        base = cand.filter(~F.col("cid").isin(sel_ids)) if sel_ids else cand
+        if sel_ids:
+            red = (
+                pairs.filter(F.col("oid").isin(sel_ids))
+                .groupBy("cid")
+                .agg(F.max("ps").alias("mps"))
+            )
+            scored = base.join(red, "cid", "left").select(
+                "cid",
+                "qsim",
+                F.round(
+                    F.lit(lam) * F.col("qsim")
+                    - F.lit(1.0 - lam) * F.coalesce("mps", F.lit(0.0)),
+                    6,
+                ).alias("score"),
+            )
+        else:
+            scored = base.select(
+                "cid", "qsim", F.round(F.lit(lam) * F.col("qsim"), 6).alias("score")
+            )
+        top = scored.orderBy(F.desc("score"), F.col("cid")).limit(1).collect()
+        if not top:
+            break
+        row = top[0]
+        picked.append((r, row["cid"], row["qsim"], row["score"]))
+        sel_ids.append(row["cid"])
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        picked, f"rank int, {id_col} long, qsim double, score double"
+    )

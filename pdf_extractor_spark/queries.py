@@ -8105,3 +8105,129 @@ def u_pld_rollup(spark: SparkSession, sf: str) -> DataFrame:
             F.min("doc_id").alias("first_doc"),
         )
     )
+
+
+@query(
+    "e_ann_recall",
+    """
+    WITH qv AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+    ex AS (
+      SELECT vec_id FROM embeddings, qv
+      ORDER BY round(list_dot_product(embedding::DOUBLE[], qe::DOUBLE[])
+                 / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+                    * sqrt(list_dot_product(qe::DOUBLE[], qe::DOUBLE[]))), 6) DESC,
+               vec_id
+      LIMIT 10),
+    e2 AS (
+      SELECT vec_id, label, unnest(embedding)::DOUBLE AS v,
+             generate_subscripts(embedding, 1) AS d
+      FROM embeddings),
+    c AS (SELECT label, d, avg(v) AS cv FROM e2 GROUP BY label, d),
+    q AS (SELECT d, v AS qv FROM e2 WHERE vec_id = 0),
+    sc AS (
+      SELECT c.label, sum(c.cv * q.qv) AS dp,
+             sum(c.cv * c.cv) AS n1, sum(q.qv * q.qv) AS n2
+      FROM c JOIN q USING (d) GROUP BY c.label),
+    probe AS (
+      SELECT label FROM sc ORDER BY dp / (sqrt(n1) * sqrt(n2)) DESC, label LIMIT 1),
+    iv AS (
+      SELECT e.vec_id FROM embeddings e, qv
+      WHERE e.label = (SELECT label FROM probe)
+      ORDER BY round(list_dot_product(e.embedding::DOUBLE[], qe::DOUBLE[])
+                 / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                    * sqrt(list_dot_product(qe::DOUBLE[], qe::DOUBLE[]))), 6) DESC,
+               e.vec_id
+      LIMIT 10)
+    SELECT cast(10 AS INT) AS k,
+           cast(count(*) AS BIGINT) AS n_overlap,
+           round(count(*) / 10.0, 4) AS recall
+    FROM ex JOIN iv USING (vec_id)
+    """,
+)
+def e_ann_recall(spark: SparkSession, sf: str) -> DataFrame:
+    """ANN quality evaluation — recall@10 of the single-probe IVF index
+    against the exact cosine top-10 for the standard query vector: the
+    number an index operator actually tunes n_probe/k against (the
+    recall-vs-probes trade IS the IVF contract). Composes the two
+    existing operators and reduces their id sets with one 10x10 join +
+    count; at 100 TB this runs per index build over a sampled query set —
+    the eval cost is k^2 per query, independent of corpus size."""
+    from pdf_extractor_spark.operators import similarity as S
+
+    e = _t(spark, sf, "embeddings")
+    qv = _query_vec(spark, sf)
+    ex = S.cosine_topk(e, qv, k=10).select("vec_id")
+    iv = S.ivf_topk(e, qv, k=10, n_probe=1).select("vec_id")
+    return ex.join(iv, "vec_id").agg(
+        F.lit(10).cast("int").alias("k"),
+        F.count(F.lit(1)).cast("bigint").alias("n_overlap"),
+        F.round(F.count(F.lit(1)) / 10.0, 4).alias("recall"),
+    )
+
+
+def _mmr_round_sql(r: int, lam: str = "0.7") -> str:
+    """One greedy MMR round (r >= 2): redundancy = max pair-sim to the
+    already-selected set, score rounded 6 dp, (score DESC, id) argmax."""
+    prev = " UNION ALL ".join(f"SELECT vec_id FROM s{i}" for i in range(1, r))
+    return f"""
+    sel{r} AS ({prev}),
+    m{r} AS (SELECT c.cid, c.qsim,
+               round({lam} * c.qsim - (1 - {lam}) * coalesce(
+                 (SELECT max(p.ps) FROM pair p
+                  WHERE p.ia = c.cid
+                    AND p.ib IN (SELECT vec_id FROM sel{r})), 0), 6) AS score
+             FROM cand c
+             WHERE c.cid NOT IN (SELECT vec_id FROM sel{r})),
+    s{r} AS (SELECT cid AS vec_id, qsim, score, {r} AS rank FROM m{r}
+             ORDER BY score DESC, cid LIMIT 1)"""
+
+
+@query(
+    "e_mmr_rerank",
+    f"""
+    WITH qv AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+    cand AS (
+      SELECT vec_id AS cid,
+             round(list_dot_product(embedding::DOUBLE[], qe::DOUBLE[])
+                 / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+                    * sqrt(list_dot_product(qe::DOUBLE[], qe::DOUBLE[]))), 6)
+               AS qsim
+      FROM embeddings, qv WHERE vec_id != 0
+      ORDER BY qsim DESC, vec_id LIMIT 10),
+    pair AS (
+      SELECT a.vec_id AS ia, b.vec_id AS ib,
+             round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+                 / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+                    * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6)
+               AS ps
+      FROM embeddings a, embeddings b
+      WHERE a.vec_id IN (SELECT cid FROM cand)
+        AND b.vec_id IN (SELECT cid FROM cand)
+        AND a.vec_id != b.vec_id),
+    s1 AS (SELECT cid AS vec_id, qsim, round(0.7 * qsim, 6) AS score, 1 AS rank
+           FROM cand ORDER BY round(0.7 * qsim, 6) DESC, cid LIMIT 1),
+    {_mmr_round_sql(2)},
+    {_mmr_round_sql(3)},
+    {_mmr_round_sql(4)},
+    {_mmr_round_sql(5)}
+    SELECT cast(rank AS INT) AS rank, vec_id, qsim, score FROM (
+      SELECT * FROM s1 UNION ALL SELECT * FROM s2 UNION ALL
+      SELECT * FROM s3 UNION ALL SELECT * FROM s4 UNION ALL SELECT * FROM s5)
+    """,
+)
+def e_mmr_rerank(spark: SparkSession, sf: str) -> DataFrame:
+    """Maximal-marginal-relevance diversification (Carbonell & Goldstein
+    SIGIR'98) of the exact top-10 for the standard query: 5 greedy picks
+    maximizing 0.7·sim(q,d) − 0.3·max sim(d, selected) — what a RAG /
+    retrieval layer runs to stop a near-dup cluster monopolizing the
+    context window (composes with the near-dup family: redundancy IS the
+    near-dup signal). Engine side: candidate scan + k×k broadcast
+    nested-loop pair table, then 5 one-row argmax collects (the bpe_train
+    discipline; all scores rounded 6 dp in-engine). The oracle replays
+    every greedy round CTE-for-CTE. See operators/similarity.mmr_rerank."""
+    from pdf_extractor_spark.operators.similarity import mmr_rerank
+
+    e = _t(spark, sf, "embeddings")
+    return mmr_rerank(
+        e, _query_vec(spark, sf), n_cand=10, n_pick=5, lam=0.7, exclude_id=0
+    )

@@ -1911,3 +1911,45 @@ def test_cdc_insertion_shifts_only_local_chunks():
     while k < min(len(a), len(b)) and a[-1 - k] == b[-1 - k]:
         k += 1
     assert k >= max(1, len(a) - 3), (len(a), len(b), k)
+
+
+# --- MMR rerank ----------------------------------------------------------------
+
+
+def test_mmr_prefers_diverse_over_redundant(spark):
+    """With a near-duplicate pair at the top, plain top-k keeps both;
+    MMR's second pick must skip the duplicate for a diverse candidate."""
+    from pdf_extractor_spark.operators.similarity import mmr_rerank
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),      # query
+        (1, [0.99, 0.14, 0.0, 0.0]),    # best match
+        (2, [0.99, 0.141, 0.0, 0.0]),   # near-dup of 1
+        (3, [0.7, 0.7, 0.0, 0.0]),      # relevant but diverse
+        (4, [0.6, 0.0, 0.8, 0.0]),      # diverse
+        (5, [-1.0, 0.0, 0.0, 0.0]),     # irrelevant
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = mmr_rerank(
+        df, [1.0, 0.0, 0.0, 0.0], n_cand=5, n_pick=3, lam=0.3, exclude_id=0
+    ).collect()
+    order = [r["vec_id"] for r in sorted(got, key=lambda r: r["rank"])]
+    assert order[0] == 1
+    assert 2 not in order[:2]  # the near-dup of pick 1 is deferred
+    assert order[1] in (3, 4)  # a diverse candidate wins round 2
+
+
+def test_mmr_rank1_is_plain_top1_and_scores_monotone_rules(spark):
+    from pdf_extractor_spark.operators.similarity import cosine_topk, mmr_rerank
+
+    rows = [(i, [float((i * 7) % 5), float((i * 3) % 4), 1.0]) for i in range(12)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = [1.0, 2.0, 0.5]
+    top1 = cosine_topk(df, q, k=1).collect()[0]["vec_id"]
+    got = sorted(mmr_rerank(df, q, n_cand=8, n_pick=4, lam=0.7).collect(),
+                 key=lambda r: r["rank"])
+    assert got[0]["vec_id"] == top1
+    # rank-1 score is exactly lam * qsim
+    assert abs(got[0]["score"] - round(0.7 * got[0]["qsim"], 6)) < 1e-9
+    # picks are unique
+    assert len({r["vec_id"] for r in got}) == 4
