@@ -8231,3 +8231,134 @@ def e_mmr_rerank(spark: SparkSession, sf: str) -> DataFrame:
     return mmr_rerank(
         e, _query_vec(spark, sf), n_cand=10, n_pick=5, lam=0.7, exclude_id=0
     )
+
+
+_SPAM_URL_SQL = """
+    concat('https://',
+      CASE WHEN doc_id % 4 = 0
+             THEN concat('best-',
+                         CASE doc_id % 6 WHEN 0 THEN 'casino' WHEN 1 THEN 'poker'
+                              WHEN 2 THEN 'news' WHEN 3 THEN 'blog'
+                              WHEN 4 THEN 'recipes' ELSE 'xxx' END,
+                         cast(doc_id % 1000 AS VARCHAR))
+           ELSE concat('site', cast(doc_id % 9 AS VARCHAR)) END,
+      '.example.com/',
+      CASE doc_id % 6 WHEN 0 THEN 'casino' WHEN 1 THEN 'poker'
+           WHEN 2 THEN 'news' WHEN 3 THEN 'blog'
+           WHEN 4 THEN 'recipes' ELSE 'xxx' END,
+      '/', repeat('p/', cast(doc_id % 8 AS INT)),
+      cast(doc_id % 50 AS VARCHAR),
+      CASE doc_id % 5 WHEN 0 THEN '?a=1&b=2&c=3&d=4'
+           WHEN 1 THEN '?id=9' ELSE '' END)
+"""
+
+
+@query(
+    "u_url_spam_filter",
+    f"""
+    WITH u AS (SELECT doc_id, {_SPAM_URL_SQL} AS url FROM documents),
+    h AS (
+      SELECT doc_id, url,
+             regexp_extract(url, '^https://([^/]+)/', 1) AS host,
+             regexp_extract(url, '^https://[^/]+(/[^?]*)', 1) AS path
+      FROM u),
+    f AS (
+      SELECT doc_id, url,
+             regexp_matches(url, '(casino|poker|xxx|viagra)') AS blacklist_hit,
+             cast((length(host) - length(regexp_replace(host, '[0-9]', '', 'g')))
+                  * 1000000 // length(host) AS BIGINT) AS host_digit_ppm,
+             cast(length(path) - length(regexp_replace(path, '/', '', 'g'))
+                  AS BIGINT) AS path_depth,
+             cast(CASE WHEN url LIKE '%?%'
+                       THEN length(regexp_extract(url, '[?](.*)$', 1))
+                            - length(regexp_replace(regexp_extract(url, '[?](.*)$', 1), '&', '', 'g')) + 1
+                       ELSE 0 END AS BIGINT) AS n_params,
+             cast(length(url) AS BIGINT) AS url_len
+      FROM h)
+    SELECT doc_id, url, blacklist_hit, host_digit_ppm, path_depth, n_params, url_len,
+           (CASE WHEN host_digit_ppm > 100000 THEN 1 ELSE 0 END
+            + CASE WHEN path_depth > 5 THEN 1 ELSE 0 END
+            + CASE WHEN n_params >= 4 THEN 1 ELSE 0 END
+            + CASE WHEN url_len > 90 THEN 1 ELSE 0 END) AS structural_flags,
+           (NOT blacklist_hit) AND
+           (CASE WHEN host_digit_ppm > 100000 THEN 1 ELSE 0 END
+            + CASE WHEN path_depth > 5 THEN 1 ELSE 0 END
+            + CASE WHEN n_params >= 4 THEN 1 ELSE 0 END
+            + CASE WHEN url_len > 90 THEN 1 ELSE 0 END) < 2 AS keep
+    FROM f
+    """,
+)
+def u_url_spam_filter(spark: SparkSession, sf: str) -> DataFrame:
+    """URL-level spam screen (UT1-blacklist recipe used by C4/RefinedWeb/
+    FineWeb before any content is fetched or parsed): a token blacklist
+    over the whole URL plus the four structural adult/SEO-spam tells —
+    digit-stuffed hosts, deep synthetic path trees, parameter farms, and
+    over-long URLs. Cheapest filter in the whole curation funnel (runs on
+    the URL string alone, BEFORE the 100-TB payload is read), so at scale
+    it gates the crawl frontier and the WARC fetch list. URLs are
+    synthesized deterministically across six content classes; every
+    heuristic is a scan-side regex/length expression in the shared
+    Java/RE2 dialect — pure codegen projection, zero shuffles, and the
+    keep decision composes with u_robots_filter and u_crawl_budget.
+    Integer ppm for the digit ratio keeps both engines bit-identical."""
+    d = _t(spark, sf, "documents")
+    did = F.col("doc_id")
+    seg = (
+        F.when(did % 6 == 0, F.lit("casino"))
+        .when(did % 6 == 1, F.lit("poker"))
+        .when(did % 6 == 2, F.lit("news"))
+        .when(did % 6 == 3, F.lit("blog"))
+        .when(did % 6 == 4, F.lit("recipes"))
+        .otherwise(F.lit("xxx"))
+    )
+    url = F.concat(
+        F.lit("https://"),
+        F.when(
+            did % 4 == 0,
+            F.concat(F.lit("best-"), seg, (did % 1000).cast("string")),
+        ).otherwise(F.concat(F.lit("site"), (did % 9).cast("string"))),
+        F.lit(".example.com/"),
+        seg,
+        F.lit("/"),
+        F.repeat(F.lit("p/"), (did % 8).cast("int")),
+        (did % 50).cast("string"),
+        F.when(did % 5 == 0, F.lit("?a=1&b=2&c=3&d=4"))
+        .when(did % 5 == 1, F.lit("?id=9"))
+        .otherwise(F.lit("")),
+    )
+    u = d.select("doc_id", url.alias("url"))
+    host = F.regexp_extract("url", r"^https://([^/]+)/", 1)
+    path = F.regexp_extract("url", r"^https://[^/]+(/[^?]*)", 1)
+    qs = F.regexp_extract("url", r"[?](.*)$", 1)
+    f = u.select(
+        "doc_id",
+        "url",
+        F.col("url").rlike("(casino|poker|xxx|viagra)").alias("blacklist_hit"),
+        F.floor(
+            (F.length(host) - F.length(F.regexp_replace(host, "[0-9]", "")))
+            * 1000000
+            / F.length(host)
+        ).alias("host_digit_ppm"),
+        (F.length(path) - F.length(F.regexp_replace(path, "/", "")))
+        .cast("bigint")
+        .alias("path_depth"),
+        F.when(
+            F.col("url").contains("?"),
+            F.length(qs) - F.length(F.regexp_replace(qs, "&", "")) + 1,
+        )
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("n_params"),
+        F.length("url").cast("bigint").alias("url_len"),
+    )
+    flags = (
+        F.when(F.col("host_digit_ppm") > 100000, 1).otherwise(0)
+        + F.when(F.col("path_depth") > 5, 1).otherwise(0)
+        + F.when(F.col("n_params") >= 4, 1).otherwise(0)
+        + F.when(F.col("url_len") > 90, 1).otherwise(0)
+    )
+    return f.select(
+        "*",
+        flags.alias("structural_flags"),
+        (~F.col("blacklist_hit") & (flags < 2)).alias("keep"),
+    )
