@@ -8362,3 +8362,52 @@ def u_url_spam_filter(spark: SparkSession, sf: str) -> DataFrame:
         flags.alias("structural_flags"),
         (~F.col("blacklist_hit") & (flags < 2)).alias("keep"),
     )
+
+
+@query(
+    "t_sentence_split",
+    """
+    WITH s AS (
+      SELECT doc_id,
+             string_split(regexp_replace(text, '([.!?])\\s+',
+                                         concat('\\1', chr(1)), 'g'),
+                          chr(1)) AS sents
+      FROM documents),
+    u AS (
+      SELECT doc_id,
+             generate_subscripts(sents, 1) - 1 AS sent_idx,
+             unnest(sents) AS sentence
+      FROM s)
+    SELECT doc_id, cast(sent_idx AS INT) AS sent_idx, sentence,
+           cast(length(sentence) AS BIGINT) AS n_chars,
+           md5(sentence) AS sent_md5
+    FROM u WHERE trim(sentence) <> ''
+    """,
+)
+def t_sentence_split(spark: SparkSession, sf: str) -> DataFrame:
+    """Rule-based sentence segmentation: terminal punctuation followed by
+    whitespace ends a sentence (the Moses/CCAligned splitter's core rule,
+    minus language-specific abbreviation tables -- the boundary regex IS
+    the cross-engine contract, stated once in the shared Java/RE2
+    dialect). Sentences are the working grain for bitext mining
+    (e_bitext_mine), boundary-respecting packing, and per-sentence dedup
+    -- sent_md5 is that dedup key. Plan: one scan-side regexp_replace to
+    a \\x01 sentinel, split on it, and an INLINE posexplode
+    (non-attribute generator child, so InferFiltersFromGenerate plants
+    nothing); empty segments are dropped post-explode on both sides
+    identically. Linear, shuffle-free, row-bounded by sentence count."""
+    d = _t(spark, sf, "documents")
+    sents = F.split(
+        F.regexp_replace(F.col("text"), r"([.!?])\s+", "$1\u0001"),
+        "\u0001",
+    )
+    u = d.select(
+        "doc_id", F.posexplode(sents).alias("sent_idx", "sentence")
+    ).where(F.trim("sentence") != "")
+    return u.select(
+        "doc_id",
+        F.col("sent_idx").cast("int").alias("sent_idx"),
+        "sentence",
+        F.length("sentence").cast("bigint").alias("n_chars"),
+        F.md5("sentence").alias("sent_md5"),
+    )
