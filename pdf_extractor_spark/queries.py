@@ -8411,3 +8411,80 @@ def t_sentence_split(spark: SparkSession, sf: str) -> DataFrame:
         F.length("sentence").cast("bigint").alias("n_chars"),
         F.md5("sentence").alias("sent_md5"),
     )
+
+
+@query(
+    "a_shard_manifest",
+    f"""
+    WITH m AS (
+      SELECT doc_id, lang, n_chars,
+             ({_HEX8.format(h="md5(cast(doc_id AS VARCHAR))", p="1")}) % 64
+               AS bucket,
+             ({_HEX8.format(h="md5(concat('ck:', cast(doc_id AS VARCHAR)))",
+                            p="1")}) AS chk
+      FROM documents)
+    SELECT cast(bucket AS BIGINT) AS bucket,
+           count(*) AS doc_count,
+           sum(n_chars) AS bytes_in,
+           min(doc_id) AS min_doc, max(doc_id) AS max_doc,
+           count(DISTINCT lang) AS n_langs,
+           sum(chk) AS chk_sum,
+           md5(concat(cast(bucket AS VARCHAR), ':',
+                      cast(count(*) AS VARCHAR), ':',
+                      cast(sum(chk) AS VARCHAR))) AS checkpoint_marker
+    FROM m GROUP BY bucket
+    """,
+)
+def a_shard_manifest(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-shard lineage manifest -- the north rule's "per-partition
+    lineage rows (partition id, doc count, bytes in/out, checkpoint
+    marker)" as an oracle-checked contract query (the job surface writes
+    the same rows under _lineage/, sources/sinks.py). Shard key is the
+    url-hash bucket (md5 of the doc key, mod 64). The checkpoint content
+    checksum is the SUM of per-doc md5-derived integers: order-invariant
+    and additively mergeable, so map-side partial aggregation computes it
+    with constant memory and two snapshots' manifests diff by plain
+    subtraction -- the property that makes resume-from-last-committed
+    verifiable without re-reading payloads at 100 TB. One groupBy on the
+    bucket key (64 groups, partials combine map-side); no payload column
+    is read (bytes_in comes from the n_chars stat column)."""
+    d = _t(spark, sf, "documents")
+    b = F.pmod(
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+        ).cast("bigint"),
+        F.lit(64),
+    )
+    chk = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("ck:"), F.col("doc_id").cast("string"))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    g = (
+        d.select(
+            b.alias("bucket"), chk.alias("chk"), "doc_id", "lang", "n_chars"
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("doc_count"),
+            F.sum("n_chars").alias("bytes_in"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+            F.countDistinct("lang").alias("n_langs"),
+            F.sum("chk").alias("chk_sum"),
+        )
+    )
+    return g.select(
+        "*",
+        F.md5(
+            F.concat(
+                F.col("bucket").cast("string"),
+                F.lit(":"),
+                F.col("doc_count").cast("string"),
+                F.lit(":"),
+                F.col("chk_sum").cast("string"),
+            )
+        ).alias("checkpoint_marker"),
+    )
