@@ -8488,3 +8488,58 @@ def a_shard_manifest(spark: SparkSession, sf: str) -> DataFrame:
             )
         ).alias("checkpoint_marker"),
     )
+
+
+@query(
+    "m_packing_efficiency",
+    f"""
+    WITH packed AS ({{pack}}),
+    per_seq AS (
+      SELECT lang, seq_id,
+             count(*) AS docs_in_seq,
+             sum(n_tokens) AS seq_tokens,
+             sum(greatest(seq_offset + n_tokens - 2048, 0)) AS seq_overflow
+      FROM packed GROUP BY lang, seq_id)
+    SELECT lang,
+           sum(docs_in_seq) AS n_docs,
+           count(*) AS n_seqs,
+           sum(seq_tokens) AS total_tokens,
+           sum(seq_tokens) * 1000000 // (count(*) * 2048) AS fill_ppm,
+           sum(seq_overflow) AS overflow_tokens,
+           max(seq_tokens) AS max_seq_tokens
+    FROM per_seq GROUP BY lang
+    """.format(pack=_ORACLES["m_pack_sequences"]),
+)
+def m_packing_efficiency(spark: SparkSession, sf: str) -> DataFrame:
+    """Packing-efficiency readout over m_pack_sequences: per language,
+    how full the fixed-budget (2048-token) training sequences actually
+    are (fill_ppm), how much token mass spills past the budget under
+    stateless quotient packing (overflow_tokens -- the carry a trainer
+    either truncates or rolls into the next sequence), and the worst
+    sequence. This is the eval a data team runs before changing the
+    packing strategy: padding waste is paid in FLOPs on every epoch, so
+    at 100-TB corpus scale a 5% fill loss is a 5% training-compute loss.
+    Composes the registered packing query verbatim (engine side calls the
+    same function; oracle embeds the same SQL as a CTE) and adds two
+    map-side-combinable groupBys -- (lang, seq_id) then lang. Integer
+    ppm keeps both engines bit-identical."""
+    packed = _QUERIES["m_pack_sequences"](spark, sf)
+    per_seq = packed.groupBy("lang", "seq_id").agg(
+        F.count(F.lit(1)).alias("docs_in_seq"),
+        F.sum("n_tokens").alias("seq_tokens"),
+        F.sum(
+            F.greatest(
+                F.col("seq_offset") + F.col("n_tokens") - 2048, F.lit(0)
+            )
+        ).alias("seq_overflow"),
+    )
+    return per_seq.groupBy("lang").agg(
+        F.sum("docs_in_seq").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_seqs"),
+        F.sum("seq_tokens").alias("total_tokens"),
+        F.floor(
+            F.sum("seq_tokens") * 1000000 / (F.count(F.lit(1)) * 2048)
+        ).alias("fill_ppm"),
+        F.sum("seq_overflow").alias("overflow_tokens"),
+        F.max("seq_tokens").alias("max_seq_tokens"),
+    )
