@@ -8543,3 +8543,98 @@ def m_packing_efficiency(spark: SparkSession, sf: str) -> DataFrame:
         F.sum("seq_overflow").alias("overflow_tokens"),
         F.max("seq_tokens").alias("max_seq_tokens"),
     )
+
+
+@query(
+    "d_lsh_recall",
+    f"""
+    WITH samp AS (
+      SELECT doc_id, text FROM documents
+      ORDER BY md5(concat('lshr:', cast(doc_id AS VARCHAR))), doc_id
+      LIMIT 150),
+    sh AS (SELECT doc_id, list_distinct({_SHINGLE_SQL}) AS sh FROM samp),
+    tp AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, {_JACCARD_CASE} AS j
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id),
+    truth AS (SELECT id_a, id_b FROM tp WHERE j >= 0.3),
+    cand AS (SELECT * FROM ({_LSH_PAIRS_SQL.replace("FROM documents", "FROM samp")})),
+    hit AS (SELECT t.id_a FROM truth t JOIN cand c
+            ON t.id_a = c.id_a AND t.id_b = c.id_b)
+    SELECT (SELECT count(*) FROM samp) AS n_sample,
+           (SELECT count(*) FROM truth) AS n_truth,
+           (SELECT count(*) FROM cand) AS n_cand,
+           (SELECT count(*) FROM hit) AS n_hit,
+           CASE WHEN (SELECT count(*) FROM truth) = 0 THEN 1000000
+                ELSE (SELECT count(*) FROM hit) * 1000000
+                     // (SELECT count(*) FROM truth) END AS recall_ppm,
+           CASE WHEN (SELECT count(*) FROM cand) = 0 THEN 1000000
+                ELSE (SELECT count(*) FROM hit) * 1000000
+                     // (SELECT count(*) FROM cand) END AS precision_ppm
+    """,
+)
+def d_lsh_recall(spark: SparkSession, sf: str) -> DataFrame:
+    """LSH banding quality eval: recall and precision of the production
+    MinHash-LSH candidate generator (k=4, 2 bands of 2 -- the exact
+    d_lsh_pairs configuration) against exact-Jaccard ground truth at the
+    verify threshold (0.3), on a deterministic fixed-size sample -- the
+    readout that tunes (k, bands, rows-per-band) before a corpus-wide
+    dedup run, exactly as e_ann_recall tunes n_probe for the ANN family.
+    The sample is the 150 docs with the smallest md5 coins (a global
+    TakeOrderedAndProject, bounded rows), so ground truth costs
+    sample-squared -- CORPUS-INDEPENDENT, the only honest way to brute
+    force exact Jaccard at 100 TB. The pair table is a broadcast
+    nested-loop over the 150-row side (never a shuffle); the candidate
+    side reuses operators/dedup.minhash_lsh_pairs verbatim on the same
+    sample. Integer-ppm metrics; division-by-zero guarded identically
+    both sides (vacuous recall/precision = 1e6)."""
+    d = _t(spark, sf, "documents")
+    samp = (
+        d.select(
+            "doc_id",
+            "text",
+            F.md5(
+                F.concat(F.lit("lshr:"), F.col("doc_id").cast("string"))
+            ).alias("_coin"),
+        )
+        .orderBy("_coin", "doc_id")
+        .limit(150)
+        .drop("_coin")
+    )
+    sh = samp.select(
+        "doc_id",
+        F.array_distinct(
+            D.shingles_from_tokens(D.word_tokens(F.col("text")), 2)
+        ).alias("sh"),
+    )
+    a, b = sh.alias("a"), sh.alias("b")
+    tp = a.join(F.broadcast(b), F.col("a.doc_id") < F.col("b.doc_id")).select(
+        F.col("a.doc_id").alias("id_a"),
+        F.col("b.doc_id").alias("id_b"),
+        D.jaccard_similarity(F.col("a.sh"), F.col("b.sh")).alias("j"),
+    )
+    truth = tp.where(F.col("j") >= 0.3).select("id_a", "id_b")
+    cand = D.minhash_lsh_pairs(
+        samp, k=4, bands=2, shingle_n=2, n_partitions=_par(spark)
+    )
+    hit = truth.join(cand, ["id_a", "id_b"]).select("id_a")
+    ns = samp.agg(F.count(F.lit(1)).alias("n_sample"))
+    nt = truth.agg(F.count(F.lit(1)).alias("n_truth"))
+    nc = cand.agg(F.count(F.lit(1)).alias("n_cand"))
+    nh = hit.agg(F.count(F.lit(1)).alias("n_hit"))
+    res = (
+        ns.join(F.broadcast(nt))
+        .join(F.broadcast(nc))
+        .join(F.broadcast(nh))
+    )
+    return res.select(
+        "n_sample",
+        "n_truth",
+        "n_cand",
+        "n_hit",
+        F.when(F.col("n_truth") == 0, F.lit(1000000).cast("bigint"))
+        .otherwise(F.floor(F.col("n_hit") * 1000000 / F.col("n_truth")))
+        .alias("recall_ppm"),
+        F.when(F.col("n_cand") == 0, F.lit(1000000).cast("bigint"))
+        .otherwise(F.floor(F.col("n_hit") * 1000000 / F.col("n_cand")))
+        .alias("precision_ppm"),
+    )
