@@ -8638,3 +8638,111 @@ def d_lsh_recall(spark: SparkSession, sf: str) -> DataFrame:
         .otherwise(F.floor(F.col("n_hit") * 1000000 / F.col("n_cand")))
         .alias("precision_ppm"),
     )
+
+
+_LDJSON_PAGE_SQL = """
+    concat('<html><head>',
+      CASE WHEN doc_id % 7 = 0 THEN ''
+           ELSE concat('<script type="application/ld+json">',
+                       '{"@type":"Article","headline":"Doc ',
+                       cast(doc_id AS VARCHAR), '","wordCount":',
+                       cast(n_chars % 900 AS VARCHAR), '}</script>') END,
+      CASE WHEN doc_id % 3 = 0
+           THEN concat('<script type="application/ld+json">',
+                       '{"@type":"Product","name":"Item ',
+                       cast(doc_id % 40 AS VARCHAR), '","sku":"S',
+                       cast(doc_id AS VARCHAR), '"}</script>') ELSE '' END,
+      '</head><body><p>body</p></body></html>')
+"""
+
+
+@query(
+    "x_extract_jsonld",
+    f"""
+    WITH page AS (SELECT doc_id, {{page}} AS html FROM documents),
+    blocks AS (
+      SELECT doc_id,
+             regexp_extract_all(html,
+               '<script type="application/ld\\+json">(.*?)</script>', 1)
+               AS bs
+      FROM page),
+    u AS (
+      SELECT doc_id,
+             generate_subscripts(bs, 1) - 1 AS block_idx,
+             unnest(bs) AS b
+      FROM blocks)
+    SELECT doc_id, cast(block_idx AS INT) AS block_idx,
+           json_extract_string(b, '$."@type"') AS ld_type,
+           coalesce(json_extract_string(b, '$.headline'),
+                    json_extract_string(b, '$.name')) AS name,
+           try_cast(json_extract_string(b, '$.wordCount') AS BIGINT)
+             AS word_count
+    FROM u
+    """.format(page=_LDJSON_PAGE_SQL),
+)
+def x_extract_jsonld(spark: SparkSession, sf: str) -> DataFrame:
+    """Structured-data (schema.org JSON-LD) extraction -- the WAT-style
+    metadata harvest Common Crawl pipelines run beside main-content
+    extraction: every <script type="application/ld+json"> block is pulled
+    from the page and its @type / display name / wordCount surfaced as
+    typed columns (what populates knowledge-panel corpora and
+    e-commerce/article classifiers). Pages are synthesized
+    deterministically with zero, one, or two blocks per doc so the
+    multi-block path is exercised; extraction is one scan-side
+    regexp_extract_all exploded INLINE (non-attribute generator child --
+    no inferred filter) followed by JSON-path projections
+    (get_json_object / json_extract_string, both engines' native JSON
+    readers on identical bytes). Pure projection, zero shuffles."""
+    d = _t(spark, sf, "documents")
+    did = F.col("doc_id")
+    page = F.concat(
+        F.lit("<html><head>"),
+        F.when(did % 7 == 0, F.lit("")).otherwise(
+            F.concat(
+                F.lit(
+                    '<script type="application/ld+json">'
+                    '{"@type":"Article","headline":"Doc '
+                ),
+                did.cast("string"),
+                F.lit('","wordCount":'),
+                (F.col("n_chars") % 900).cast("string"),
+                F.lit("}</script>"),
+            )
+        ),
+        F.when(
+            did % 3 == 0,
+            F.concat(
+                F.lit(
+                    '<script type="application/ld+json">'
+                    '{"@type":"Product","name":"Item '
+                ),
+                (did % 40).cast("string"),
+                F.lit('","sku":"S'),
+                did.cast("string"),
+                F.lit('"}</script>'),
+            ),
+        ).otherwise(F.lit("")),
+        F.lit("</head><body><p>body</p></body></html>"),
+    )
+    u = d.select(
+        "doc_id",
+        F.posexplode(
+            F.regexp_extract_all(
+                page,
+                F.lit(r'<script type="application/ld\+json">(.*?)</script>'),
+                1,
+            )
+        ).alias("block_idx", "b"),
+    )
+    return u.select(
+        "doc_id",
+        F.col("block_idx").cast("int").alias("block_idx"),
+        F.get_json_object("b", "$['@type']").alias("ld_type"),
+        F.coalesce(
+            F.get_json_object("b", "$.headline"),
+            F.get_json_object("b", "$.name"),
+        ).alias("name"),
+        F.get_json_object("b", "$.wordCount")
+        .try_cast("bigint")
+        .alias("word_count"),
+    )
