@@ -8746,3 +8746,127 @@ def x_extract_jsonld(spark: SparkSession, sf: str) -> DataFrame:
         .try_cast("bigint")
         .alias("word_count"),
     )
+
+
+_CODE_PAGE_SQL = """
+    concat('<html><body><h1>Doc ', cast(doc_id AS VARCHAR), '</h1>',
+      CASE WHEN doc_id % 5 = 0 THEN ''
+           ELSE concat('<pre><code class="language-',
+                       CASE doc_id % 3 WHEN 0 THEN 'python'
+                            WHEN 1 THEN 'sql' ELSE 'js' END, '">',
+                       'def f_', cast(doc_id AS VARCHAR), '():', chr(10),
+                       '    return ', cast(doc_id % 97 AS VARCHAR), chr(10),
+                       '</code></pre>') END,
+      '<p>prose</p>',
+      CASE WHEN doc_id % 4 = 0
+           THEN concat('<pre><code>', 'x = [', cast(doc_id % 7 AS VARCHAR),
+                       ']', chr(10), 'print(x)', '</code></pre>')
+           ELSE '' END,
+      '</body></html>')
+"""
+
+
+@query(
+    "x_extract_code_blocks",
+    f"""
+    WITH page AS (SELECT doc_id, {{page}} AS html FROM documents),
+    blocks AS (
+      SELECT doc_id,
+             regexp_extract_all(html, '(?s)(<pre><code[^>]*>.*?</code></pre>)', 1)
+               AS bs
+      FROM page),
+    u AS (
+      SELECT doc_id,
+             generate_subscripts(bs, 1) - 1 AS block_idx,
+             unnest(bs) AS b
+      FROM blocks),
+    c AS (
+      SELECT doc_id, block_idx,
+             coalesce(nullif(regexp_extract(b,
+               'class="language-([a-z]+)"', 1), ''), 'plain') AS code_lang,
+             regexp_extract(b, '(?s)<pre><code[^>]*>(.*?)</code></pre>', 1)
+               AS code
+      FROM u)
+    SELECT doc_id, cast(block_idx AS INT) AS block_idx, code_lang,
+           cast(length(code) - length(replace(code, chr(10), '')) AS BIGINT)
+             AS n_lines,
+           cast(length(code) AS BIGINT) AS n_chars,
+           md5(code) AS code_md5
+    FROM c
+    """.format(page=_CODE_PAGE_SQL),
+)
+def x_extract_code_blocks(spark: SparkSession, sf: str) -> DataFrame:
+    """Fenced code-block harvest (<pre><code>) with language-class
+    detection -- how web-sourced CODE training corpora (The Stack v2's
+    web slice, StarCoder's jupyter-from-web) are mined out of pages the
+    main-content extractor would otherwise flatten into prose. Pages are
+    synthesized with zero/one/two blocks across three languages plus a
+    class-less block (falls back to 'plain'); extraction is one DOTALL
+    regexp_extract_all exploded INLINE (non-attribute generator child),
+    then per-block language/line/byte stats and the dedup-grain md5 (code
+    dedup runs at block grain, not page grain -- the same boilerplate
+    insight as paragraph dedup). Pure scan-side projection, no shuffle."""
+    d = _t(spark, sf, "documents")
+    did = F.col("doc_id")
+    nl = F.lit(chr(10))
+    page = F.concat(
+        F.lit("<html><body><h1>Doc "),
+        did.cast("string"),
+        F.lit("</h1>"),
+        F.when(did % 5 == 0, F.lit("")).otherwise(
+            F.concat(
+                F.lit('<pre><code class="language-'),
+                F.when(did % 3 == 0, F.lit("python"))
+                .when(did % 3 == 1, F.lit("sql"))
+                .otherwise(F.lit("js")),
+                F.lit('">def f_'),
+                did.cast("string"),
+                F.lit("():"),
+                nl,
+                F.lit("    return "),
+                (did % 97).cast("string"),
+                nl,
+                F.lit("</code></pre>"),
+            )
+        ),
+        F.lit("<p>prose</p>"),
+        F.when(
+            did % 4 == 0,
+            F.concat(
+                F.lit("<pre><code>x = ["),
+                (did % 7).cast("string"),
+                F.lit("]"),
+                nl,
+                F.lit("print(x)</code></pre>"),
+            ),
+        ).otherwise(F.lit("")),
+        F.lit("</body></html>"),
+    )
+    u = d.select(
+        "doc_id",
+        F.posexplode(
+            F.regexp_extract_all(
+                page, F.lit("(?s)(<pre><code[^>]*>.*?</code></pre>)"), 1
+            )
+        ).alias("block_idx", "b"),
+    )
+    code = F.regexp_extract("b", "(?s)<pre><code[^>]*>(.*?)</code></pre>", 1)
+    lang = F.regexp_extract("b", 'class="language-([a-z]+)"', 1)
+    c = u.select(
+        "doc_id",
+        F.col("block_idx").cast("int").alias("block_idx"),
+        F.coalesce(F.nullif(lang, F.lit("")), F.lit("plain")).alias(
+            "code_lang"
+        ),
+        code.alias("code"),
+    )
+    return c.select(
+        "doc_id",
+        "block_idx",
+        "code_lang",
+        (F.length("code") - F.length(F.replace(F.col("code"), nl, F.lit(""))))
+        .cast("bigint")
+        .alias("n_lines"),
+        F.length("code").cast("bigint").alias("n_chars"),
+        F.md5("code").alias("code_md5"),
+    )
