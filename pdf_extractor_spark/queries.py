@@ -8870,3 +8870,100 @@ def x_extract_code_blocks(spark: SparkSession, sf: str) -> DataFrame:
         F.length("code").cast("bigint").alias("n_chars"),
         F.md5("code").alias("code_md5"),
     )
+
+
+@query(
+    "a_quantile_histogram",
+    """
+    WITH v AS (SELECT doc_id, n_chars AS val FROM documents),
+    mm AS (SELECT min(val) AS lo, max(val) AS hi, count(*) AS n FROM v),
+    binned AS (
+      SELECT least(255, (val - mm.lo) * 256 // (mm.hi - mm.lo + 1)) AS bin
+      FROM v, mm),
+    bins AS (SELECT bin, count(*) AS cnt FROM binned GROUP BY bin),
+    cum AS (
+      SELECT x.bin, sum(y.cnt) AS cum_count
+      FROM bins x JOIN bins y ON y.bin <= x.bin GROUP BY x.bin),
+    pcts AS (SELECT cast(p AS BIGINT) AS pct FROM (VALUES (25), (50), (75),
+             (90), (99)) t(p)),
+    tgt AS (
+      SELECT pct, cast((pct * mm.n + 99) // 100 AS BIGINT) AS target_rank,
+             mm.lo, mm.hi, mm.n
+      FROM pcts, mm),
+    pick AS (
+      SELECT t.pct, t.target_rank, t.n AS n_total,
+             min(c.bin) AS bin_id
+      FROM tgt t JOIN cum c ON c.cum_count >= t.target_rank
+      GROUP BY t.pct, t.target_rank, t.n)
+    SELECT p.pct, cast(p.bin_id AS BIGINT) AS bin_id,
+           cast(mm.lo + ((p.bin_id + 1) * (mm.hi - mm.lo + 1)) // 256 - 1
+                AS BIGINT) AS est_value,
+           c.cum_count, p.target_rank, p.n_total
+    FROM pick p JOIN cum c ON c.bin = p.bin_id, mm
+    """,
+)
+def a_quantile_histogram(spark: SparkSession, sf: str) -> DataFrame:
+    """Quantile estimation via a 256-bin equi-width histogram sketch --
+    the mergeable-summary complement to the exact a_range_bounds path and
+    the fourth member of the sketch family (KMV distinct, HLL distinct,
+    CMS heavy hitters, histogram quantiles). Bin counts are ADDITIVE, so
+    map-side partial aggregation builds the sketch in one pass with
+    constant memory and per-partition sketches merge by vector add --
+    at 100 TB this replaces a full global sort with a 256-row reduce;
+    error is bounded by bin width, the standard trade. Bounds ride in as
+    a broadcast 1-row aggregate (no driver action); the 256-row
+    cumulative is a broadcast triangular self-join, NEVER an
+    unpartitioned window. Estimates are bin upper edges in exact integer
+    arithmetic; both engines replay the identical sketch."""
+    d = _t(spark, sf, "documents")
+    v = d.select("doc_id", F.col("n_chars").alias("val"))
+    mm = v.agg(
+        F.min("val").alias("lo"), F.max("val").alias("hi"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    binned = v.join(F.broadcast(mm)).select(
+        F.least(
+            F.lit(255),
+            F.floor(
+                (F.col("val") - F.col("lo"))
+                * 256
+                / (F.col("hi") - F.col("lo") + 1)
+            ),
+        ).alias("bin")
+    )
+    bins = binned.groupBy("bin").agg(F.count(F.lit(1)).alias("cnt"))
+    x, y = bins.alias("x"), bins.alias("y")
+    cum = (
+        x.join(F.broadcast(y), F.col("y.bin") <= F.col("x.bin"))
+        .groupBy(F.col("x.bin").alias("bin"))
+        .agg(F.sum("y.cnt").alias("cum_count"))
+    )
+    pcts = spark.createDataFrame(
+        [(25,), (50,), (75,), (90,), (99,)], "pct: bigint"
+    )
+    tgt = pcts.join(F.broadcast(mm)).select(
+        "pct",
+        F.floor((F.col("pct") * F.col("n") + 99) / 100).alias("target_rank"),
+        "lo",
+        "hi",
+        F.col("n").alias("n_total"),
+    )
+    pick = (
+        tgt.join(F.broadcast(cum), F.col("cum_count") >= F.col("target_rank"))
+        .groupBy("pct", "target_rank", "n_total", "lo", "hi")
+        .agg(F.min("bin").alias("bin_id"))
+    )
+    return pick.join(F.broadcast(cum), F.col("bin") == F.col("bin_id")).select(
+        "pct",
+        F.col("bin_id").cast("bigint").alias("bin_id"),
+        (
+            F.col("lo")
+            + F.floor((F.col("bin_id") + 1) * (F.col("hi") - F.col("lo") + 1) / 256)
+            - 1
+        )
+        .cast("bigint")
+        .alias("est_value"),
+        "cum_count",
+        "target_rank",
+        "n_total",
+    )
