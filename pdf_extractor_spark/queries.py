@@ -8967,3 +8967,90 @@ def a_quantile_histogram(spark: SparkSession, sf: str) -> DataFrame:
         "target_rank",
         "n_total",
     )
+
+
+@query(
+    "t_zipf_slope",
+    f"""
+    WITH tok AS (
+      SELECT lang, unnest({_TOK_SQL}) AS term FROM documents
+      WHERE trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) <> ''),
+    tc AS (SELECT lang, term, count(*) AS cnt FROM tok GROUP BY lang, term),
+    rk AS (
+      SELECT lang, term, cnt,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY cnt DESC, term) AS rnk
+      FROM tc),
+    top AS (SELECT * FROM rk WHERE rnk <= 100),
+    pts AS (SELECT lang, ln(cast(rnk AS DOUBLE)) AS x,
+                   ln(cast(cnt AS DOUBLE)) AS y,
+                   term, cnt, rnk
+            FROM top),
+    s AS (
+      SELECT lang, count(*) AS n,
+             sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+             sum(x * x) AS sxx,
+             min(CASE WHEN rnk = 1 THEN term END) AS top_term,
+             max(cnt) AS top_count
+      FROM pts GROUP BY lang)
+    SELECT lang, cast(n AS BIGINT) AS n_terms_used,
+           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS zipf_slope,
+           round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n,
+                 6) AS zipf_intercept,
+           top_term, top_count
+    FROM s
+    """,
+)
+def t_zipf_slope(spark: SparkSession, sf: str) -> DataFrame:
+    """Zipf-law fit per language: least-squares slope of ln(count) vs
+    ln(rank) over the top-100 vocabulary ranks -- natural text sits near
+    slope -1, and deviation is a cheap corpus-health diagnostic
+    (machine-generated spam flattens the curve, boilerplate contamination
+    steepens the head; Gopher and CCNet both inspect the rank-frequency
+    shape). The rank window is partitioned by lang over the AGGREGATED
+    (lang, term) vocabulary -- sublinear in corpus size by Heaps' law (the
+    corpus-scale token stream is reduced by a map-side-combinable groupBy
+    first), and only the top-100 rows per language survive into the fit.
+    The regression itself is one groupBy over <=100 rows per language
+    with closed-form normal equations; slope/intercept rounded 6 dp on
+    both sides (the cosine-family float discipline)."""
+    d = _t(spark, sf, "documents")
+    tok = (
+        d.select("lang", D.word_tokens(F.col("text")).alias("_t"))
+        .repartition(_par(spark), "lang")
+        .where(F.size("_t") > 0)
+        .select("lang", F.explode("_t").alias("term"))
+    )
+    tc = tok.groupBy("lang", "term").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy("lang").orderBy(F.col("cnt").desc(), F.col("term"))
+    top = tc.withColumn("rnk", F.row_number().over(w)).where(F.col("rnk") <= 100)
+    pts = top.select(
+        "lang",
+        F.log(F.col("rnk").cast("double")).alias("x"),
+        F.log(F.col("cnt").cast("double")).alias("y"),
+        "term",
+        "cnt",
+        "rnk",
+    )
+    s = pts.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.min(F.when(F.col("rnk") == 1, F.col("term"))).alias("top_term"),
+        F.max("cnt").alias("top_count"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return s.select(
+        "lang",
+        F.col("n").cast("bigint").alias("n_terms_used"),
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 6).alias(
+            "zipf_intercept"
+        ),
+        "top_term",
+        "top_count",
+    )
