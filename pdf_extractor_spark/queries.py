@@ -9054,3 +9054,63 @@ def t_zipf_slope(spark: SparkSession, sf: str) -> DataFrame:
         "top_term",
         "top_count",
     )
+
+
+@query(
+    "u_frontier_priority",
+    f"""
+    WITH pr AS ({{pr}}),
+    frontier AS (
+      SELECT doc_id AS cand_id,
+             (doc_id * 11 + 1) % 20 AS host,
+             doc_id % 6 AS depth
+      FROM documents),
+    per_host AS (
+      SELECT host, count(*) AS n_cand FROM frontier GROUP BY host),
+    j AS (
+      SELECT f.cand_id, f.host, f.depth,
+             coalesce(pr.rank, 0) AS host_rank,
+             p.n_cand
+      FROM frontier f
+      JOIN per_host p ON p.host = f.host
+      LEFT JOIN pr ON pr.host = f.host)
+    SELECT cand_id, cast(host AS BIGINT) AS host,
+           cast(depth AS BIGINT) AS depth,
+           host_rank,
+           cast(host_rank // n_cand AS BIGINT) AS share,
+           cast(host_rank // n_cand - 10000 * depth AS BIGINT) AS priority
+    FROM j
+    """.format(pr=_ORACLES["g_host_pagerank"]),
+)
+def u_frontier_priority(spark: SparkSession, sf: str) -> DataFrame:
+    """Crawl-frontier prioritization (OPIC, Abiteboul et al. WWW'03: a
+    page's "cash" is its authority split evenly over its outstanding
+    candidates): each frontier URL inherits host_rank // n_cand -- so a
+    high-authority host with few unfetched pages beats a spam host with a
+    million -- minus a fixed per-level depth penalty (breadth-first bias,
+    the standard frontier shape). Composes the registered integer
+    PageRank verbatim (engine calls the same query function; oracle
+    embeds the same SQL as a CTE), then one groupBy for per-host
+    candidate counts and two joins against host-cardinality tables --
+    both broadcast at any scale (hosts are ~10^7 when docs are 10^12).
+    All integer arithmetic: repartitioning can never flip a priority."""
+    pr = _QUERIES["g_host_pagerank"](spark, sf)
+    d = _t(spark, sf, "documents")
+    frontier = d.select(
+        F.col("doc_id").alias("cand_id"),
+        ((F.col("doc_id") * 11 + 1) % 20).alias("host"),
+        (F.col("doc_id") % 6).alias("depth"),
+    )
+    per_host = frontier.groupBy("host").agg(F.count(F.lit(1)).alias("n_cand"))
+    j = frontier.join(F.broadcast(per_host), "host").join(
+        F.broadcast(pr), "host", "left"
+    )
+    share = F.expr("coalesce(rank, 0) DIV n_cand")
+    return j.select(
+        "cand_id",
+        F.col("host").cast("bigint").alias("host"),
+        F.col("depth").cast("bigint").alias("depth"),
+        F.coalesce(F.col("rank"), F.lit(0)).cast("bigint").alias("host_rank"),
+        share.cast("bigint").alias("share"),
+        (share - 10000 * F.col("depth")).cast("bigint").alias("priority"),
+    )
