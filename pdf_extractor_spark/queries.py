@@ -9114,3 +9114,360 @@ def u_frontier_priority(spark: SparkSession, sf: str) -> DataFrame:
         share.cast("bigint").alias("share"),
         (share - 10000 * F.col("depth")).cast("bigint").alias("priority"),
     )
+
+
+@query(
+    "e_kmeans_cohesion",
+    f"""
+    WITH asg AS ({{km}}),
+    e2 AS (
+      SELECT vec_id, unnest(embedding)::DOUBLE AS v,
+             generate_subscripts(embedding, 1) AS d
+      FROM embeddings),
+    cent AS (
+      SELECT asg.cluster, e2.d, avg(e2.v) AS cv
+      FROM asg JOIN e2 USING (vec_id) GROUP BY asg.cluster, e2.d),
+    sim AS (
+      SELECT e2.vec_id, asg.cluster,
+             round(sum(e2.v * cent.cv)
+                   / (sqrt(sum(e2.v * e2.v)) * sqrt(sum(cent.cv * cent.cv))),
+                   6) AS s
+      FROM e2 JOIN asg USING (vec_id)
+      JOIN cent ON cent.cluster = asg.cluster AND cent.d = e2.d
+      GROUP BY e2.vec_id, asg.cluster),
+    m AS (SELECT cluster, cast(round(s * 1000000, 0) AS BIGINT) AS sm
+          FROM sim)
+    SELECT cluster, count(*) AS n_members,
+           sum(sm) // count(*) AS mean_cohesion_ppm,
+           min(sm) AS min_cohesion_ppm
+    FROM m GROUP BY cluster
+    """.format(km=_ORACLES["e_kmeans_clusters"]),
+)
+def e_kmeans_cohesion(spark: SparkSession, sf: str) -> DataFrame:
+    """Clustering-quality readout for the IVF coarse quantizer: per-final-
+    cluster cosine cohesion (mean and worst member-to-centroid similarity)
+    -- the spherical-k-means analogue of inertia, and the eval that picks
+    k / flags a degenerate cluster before SemDeDup or IVF search trusts
+    the partition (a cluster whose min cohesion is low mixes unrelated
+    regions; one whose size explodes is the d_semdedup hot-cluster case).
+    Composes the registered k-means verbatim (engine calls the same query
+    function; oracle embeds the same SQL), recomputes final centroids as
+    one (cluster, d) groupBy -- k*dim rows -- and scores members with one
+    more join+agg. Per-member similarities are converted to exact integer
+    micro-units BEFORE the per-cluster mean, so the aggregate is an
+    order-invariant integer sum -- no FP-summation-order hazard."""
+    km = _QUERIES["e_kmeans_clusters"](spark, sf)
+    e = _t(spark, sf, "embeddings")
+    e2 = e.select(
+        "vec_id", F.posexplode("embedding").alias("d0", "v")
+    ).select("vec_id", (F.col("d0") + 1).alias("d"), F.col("v").cast("double"))
+    cent = (
+        km.join(e2, "vec_id")
+        .groupBy("cluster", "d")
+        .agg(F.avg("v").alias("cv"))
+    )
+    sim = (
+        e2.join(km, "vec_id")
+        .join(cent, ["cluster", "d"])
+        .groupBy("vec_id", "cluster")
+        .agg(
+            F.round(
+                F.sum(F.col("v") * F.col("cv"))
+                / (
+                    F.sqrt(F.sum(F.col("v") * F.col("v")))
+                    * F.sqrt(F.sum(F.col("cv") * F.col("cv")))
+                ),
+                6,
+            ).alias("s")
+        )
+    )
+    m = sim.select(
+        "cluster", F.round(F.col("s") * 1000000, 0).cast("bigint").alias("sm")
+    )
+    return m.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.expr("sum(sm) DIV count(*)").alias("mean_cohesion_ppm"),
+        F.min("sm").alias("min_cohesion_ppm"),
+    )
+
+
+_HREFLANG_PAGE_SQL = """
+    concat('<html><head>',
+      '<link rel="alternate" hreflang="en" href="https://example.com/en/page',
+      cast(doc_id // 3 AS VARCHAR), '">',
+      '<link rel="alternate" hreflang="de" href="https://example.com/de/page',
+      cast(doc_id // 3 AS VARCHAR), '">',
+      CASE WHEN doc_id % 2 = 0 THEN concat(
+        '<link rel="alternate" hreflang="fr" href="https://example.com/fr/page',
+        cast(doc_id // 3 AS VARCHAR), '">') ELSE '' END,
+      '</head><body></body></html>')
+"""
+
+
+@query(
+    "u_hreflang_cluster",
+    f"""
+    WITH page AS (SELECT doc_id, {{page}} AS html FROM documents),
+    tags AS (
+      SELECT doc_id,
+             regexp_extract_all(html,
+               '(<link rel="alternate" hreflang="[a-z]+" href="[^"]+">)', 1)
+               AS ts
+      FROM page),
+    per_doc AS (
+      SELECT doc_id,
+             md5(list_min(list_transform(ts,
+               t -> regexp_extract(t, 'href="([^"]+)"', 1)))) AS cluster_key,
+             list_sort(list_distinct(list_transform(ts,
+               t -> regexp_extract(t, 'hreflang="([a-z]+)"', 1)))) AS langs
+      FROM tags WHERE len(ts) > 0)
+    SELECT cluster_key,
+           count(*) AS n_pages,
+           max(array_to_string(langs, ',')) AS langs_declared,
+           min(doc_id) AS first_doc
+    FROM per_doc GROUP BY cluster_key
+    """.format(page=_HREFLANG_PAGE_SQL),
+)
+def u_hreflang_cluster(spark: SparkSession, sf: str) -> DataFrame:
+    """hreflang alternate-cluster discovery -- how web-scale bitext
+    mining (CCAligned, CCMatrix) finds translation candidates BEFORE any
+    embedding math: pages that declare each other as language alternates
+    form a cluster keyed by the lexicographically-least alternate URL,
+    and every cross-language pair inside a cluster is a mining candidate
+    for e_bitext_mine. Tag parsing is scan-side regexp_extract_all with
+    per-doc list ops (evaluated on the materialized tag array, never a
+    re-inlined subtree); the cluster key is an md5 so downstream joins
+    shuffle on a uniform 32-char hash. One groupBy on cluster_key; pages
+    per cluster are bounded by a site's language count, so no hot key."""
+    d = _t(spark, sf, "documents")
+    did = F.col("doc_id")
+    cid = F.floor(did / 3).cast("string")
+    page = F.concat(
+        F.lit(
+            '<html><head><link rel="alternate" hreflang="en" '
+            'href="https://example.com/en/page'
+        ),
+        cid,
+        F.lit(
+            '"><link rel="alternate" hreflang="de" '
+            'href="https://example.com/de/page'
+        ),
+        cid,
+        F.lit('">'),
+        F.when(
+            did % 2 == 0,
+            F.concat(
+                F.lit(
+                    '<link rel="alternate" hreflang="fr" '
+                    'href="https://example.com/fr/page'
+                ),
+                cid,
+                F.lit('">'),
+            ),
+        ).otherwise(F.lit("")),
+        F.lit("</head><body></body></html>"),
+    )
+    tags = d.select(
+        "doc_id",
+        F.regexp_extract_all(
+            page,
+            F.lit('(<link rel="alternate" hreflang="[a-z]+" href="[^"]+">)'),
+            1,
+        ).alias("ts"),
+    ).where(F.size("ts") > 0)
+
+    def _href(t):
+        return F.regexp_extract(t, 'href="([^"]+)"', 1)
+
+    def _hl(t):
+        return F.regexp_extract(t, 'hreflang="([a-z]+)"', 1)
+
+    per_doc = tags.select(
+        "doc_id",
+        F.md5(F.array_min(F.transform("ts", _href))).alias("cluster_key"),
+        F.array_sort(F.array_distinct(F.transform("ts", _hl))).alias("langs"),
+    )
+    return per_doc.groupBy("cluster_key").agg(
+        F.count(F.lit(1)).alias("n_pages"),
+        F.max(F.array_join("langs", ",")).alias("langs_declared"),
+        F.min("doc_id").alias("first_doc"),
+    )
+
+
+_RSS_FEED_SQL = """
+    concat('<rss version="2.0"><channel><title>Feed ',
+      cast(doc_id % 11 AS VARCHAR), '</title>',
+      '<item><title>Post ', cast(doc_id AS VARCHAR),
+      '</title><link>https://example', cast(doc_id % 7 AS VARCHAR),
+      '.com/p/', cast(doc_id AS VARCHAR), '</link><pubDate>2024-0',
+      cast(doc_id % 9 + 1 AS VARCHAR), '-1', cast(doc_id % 9 AS VARCHAR),
+      '</pubDate></item>',
+      CASE WHEN doc_id % 3 = 0 THEN concat(
+        '<item><title>Update ', cast(doc_id % 40 AS VARCHAR),
+        '</title><link>https://example', cast(doc_id % 7 AS VARCHAR),
+        '.com/u/', cast(doc_id % 40 AS VARCHAR), '</link></item>')
+      ELSE '' END,
+      '</channel></rss>')
+"""
+
+
+@query(
+    "w_rss_items",
+    f"""
+    WITH feed AS (SELECT doc_id, {{feed}} AS xml FROM documents),
+    items AS (
+      SELECT doc_id,
+             regexp_extract_all(xml, '(<item>.*?</item>)', 1) AS its
+      FROM feed),
+    u AS (
+      SELECT doc_id,
+             generate_subscripts(its, 1) - 1 AS item_idx,
+             unnest(its) AS it
+      FROM items)
+    SELECT doc_id, cast(item_idx AS INT) AS item_idx,
+           regexp_extract(it, '<title>([^<]*)</title>', 1) AS title,
+           regexp_extract(it, '<link>([^<]*)</link>', 1) AS link,
+           nullif(regexp_extract(it, '<pubDate>([^<]*)</pubDate>', 1), '')
+             AS pub_date,
+           md5(regexp_extract(it, '<link>([^<]*)</link>', 1)) AS link_md5
+    FROM u
+    """.format(feed=_RSS_FEED_SQL),
+)
+def w_rss_items(spark: SparkSession, sf: str) -> DataFrame:
+    """RSS/Atom feed-item extraction -- the crawl-DISCOVERY sibling of
+    w_sitemap_parse: feeds surface new URLs faster than sitemaps, so a
+    freshness-oriented crawler (news corpora, C4-news) polls feeds and
+    merges item links into the frontier (u_frontier_priority ranks them;
+    u_bloom_visited drops the seen ones via link_md5). Feeds are
+    synthesized with one or two items; item extraction is one scan-side
+    regexp_extract_all exploded INLINE, then per-item field regexes --
+    the established codec shape (WARC/WET/CDX/sitemap), pure projection,
+    zero shuffles. Missing pubDate maps to NULL identically both sides."""
+    d = _t(spark, sf, "documents")
+    did = F.col("doc_id")
+    xml = F.concat(
+        F.lit('<rss version="2.0"><channel><title>Feed '),
+        (did % 11).cast("string"),
+        F.lit("</title><item><title>Post "),
+        did.cast("string"),
+        F.lit("</title><link>https://example"),
+        (did % 7).cast("string"),
+        F.lit(".com/p/"),
+        did.cast("string"),
+        F.lit("</link><pubDate>2024-0"),
+        (did % 9 + 1).cast("string"),
+        F.lit("-1"),
+        (did % 9).cast("string"),
+        F.lit("</pubDate></item>"),
+        F.when(
+            did % 3 == 0,
+            F.concat(
+                F.lit("<item><title>Update "),
+                (did % 40).cast("string"),
+                F.lit("</title><link>https://example"),
+                (did % 7).cast("string"),
+                F.lit(".com/u/"),
+                (did % 40).cast("string"),
+                F.lit("</link></item>"),
+            ),
+        ).otherwise(F.lit("")),
+        F.lit("</channel></rss>"),
+    )
+    u = d.select(
+        "doc_id",
+        F.posexplode(
+            F.regexp_extract_all(xml, F.lit("(<item>.*?</item>)"), 1)
+        ).alias("item_idx", "it"),
+    )
+    link = F.regexp_extract("it", "<link>([^<]*)</link>", 1)
+    return u.select(
+        "doc_id",
+        F.col("item_idx").cast("int").alias("item_idx"),
+        F.regexp_extract("it", "<title>([^<]*)</title>", 1).alias("title"),
+        link.alias("link"),
+        F.nullif(
+            F.regexp_extract("it", "<pubDate>([^<]*)</pubDate>", 1), F.lit("")
+        ).alias("pub_date"),
+        F.md5(link).alias("link_md5"),
+    )
+
+
+@query(
+    "m_dataset_card_stats",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, lang, source, n_chars,
+             CASE WHEN trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) = ''
+                  THEN 0 ELSE array_length({_TOK_SQL}) END AS n_tokens,
+             md5(text) AS h
+      FROM documents),
+    dup AS (SELECT h, count(*) AS c FROM tok GROUP BY h),
+    per AS (
+      SELECT t.lang, t.n_tokens, t.n_chars,
+             CASE WHEN dup.c > 1 THEN 1 ELSE 0 END AS is_dup
+      FROM tok t JOIN dup ON dup.h = t.h),
+    tot AS (SELECT sum(n_tokens) AS all_tokens FROM per)
+    SELECT lang,
+           count(*) AS n_docs,
+           sum(n_tokens) AS total_tokens,
+           sum(n_chars) AS total_chars,
+           sum(n_tokens) // count(*) AS mean_doc_tokens,
+           sum(n_tokens) * 1000000 // (SELECT all_tokens FROM tot)
+             AS token_share_ppm,
+           sum(is_dup) AS exact_dup_docs,
+           sum(is_dup) * 1000000 // count(*) AS dup_rate_ppm
+    FROM per GROUP BY lang
+    """,
+)
+def m_dataset_card_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Dataset-card rollup (Gebru et al. "Datasheets for Datasets"; the
+    table every corpus release ships): per language -- documents, token
+    and byte mass, token share of the whole corpus, and the exact-dup
+    contamination rate. This is the one-page summary a 100-TB curation
+    run publishes beside the data, and the regression anchor between
+    corpus versions (a share shift or a dup-rate jump is the first sign a
+    filter broke upstream). Plan: one scan-side token/hash projection
+    (text evaluated once per row, repartition barrier), the standard
+    (md5 -> count) dup groupBy probed back 1:1, then a |langs|-row
+    groupBy with every ratio in exact integer ppm against a broadcast
+    1-row total. Everything map-side combinable; no window anywhere."""
+    d = _t(spark, sf, "documents")
+    tok = (
+        d.select(
+            "doc_id",
+            "lang",
+            "n_chars",
+            D.word_tokens(F.col("text")).alias("_t"),
+            F.md5("text").alias("h"),
+        )
+        .repartition(_par(spark), "doc_id")
+        .select("doc_id", "lang", "n_chars", F.size("_t").alias("n_tokens"), "h")
+    )
+    dup = tok.groupBy("h").agg(F.count(F.lit(1)).alias("c"))
+    per = tok.join(dup, "h").select(
+        "lang",
+        "n_tokens",
+        "n_chars",
+        F.when(F.col("c") > 1, 1).otherwise(0).alias("is_dup"),
+    )
+    tot = per.agg(F.sum("n_tokens").alias("all_tokens"))
+    g = per.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.sum("n_chars").alias("total_chars"),
+        F.expr("sum(n_tokens) DIV count(*)").alias("mean_doc_tokens"),
+        F.sum("is_dup").alias("exact_dup_docs"),
+        F.expr("sum(is_dup) * 1000000 DIV count(*)").alias("dup_rate_ppm"),
+    )
+    return g.join(F.broadcast(tot)).select(
+        "lang",
+        "n_docs",
+        "total_tokens",
+        "total_chars",
+        "mean_doc_tokens",
+        F.expr("total_tokens * 1000000 DIV all_tokens").alias(
+            "token_share_ppm"
+        ),
+        "exact_dup_docs",
+        "dup_rate_ppm",
+    )
