@@ -9471,3 +9471,62 @@ def m_dataset_card_stats(spark: SparkSession, sf: str) -> DataFrame:
         "exact_dup_docs",
         "dup_rate_ppm",
     )
+
+
+_REDIR_STEP_SQL = """
+    SELECT doc_id AS u,
+           CASE WHEN doc_id % 8 IN (0, 1, 2, 3) THEN doc_id + 1
+                ELSE doc_id END AS v,
+           CASE WHEN doc_id % 8 IN (0, 1, 2, 3) THEN 1 ELSE 0 END AS h
+    FROM documents
+"""
+
+
+@query(
+    "u_redirect_resolve",
+    f"""
+    WITH s0 AS ({_REDIR_STEP_SQL}),
+    s1 AS (SELECT a.u, b.v, a.h + b.h AS h
+           FROM s0 a JOIN s0 b ON a.v = b.u),
+    s2 AS (SELECT a.u, b.v, a.h + b.h AS h
+           FROM s1 a JOIN s1 b ON a.v = b.u),
+    s3 AS (SELECT a.u, b.v, a.h + b.h AS h
+           FROM s2 a JOIN s2 b ON a.v = b.u)
+    SELECT u AS src, v AS final_dst, cast(h AS BIGINT) AS n_hops,
+           h = 0 AS is_terminal
+    FROM s3
+    """,
+)
+def u_redirect_resolve(spark: SparkSession, sf: str) -> DataFrame:
+    """Redirect-chain resolution by POINTER DOUBLING: each round
+    self-joins the (u -> v, hops) map on v = u', squaring the reachable
+    hop distance -- 3 rounds resolve chains up to 8 hops (the practical
+    cap crawlers enforce anyway; curl defaults to 50 but CC truncates
+    redirects much earlier). This is how a 100-TB CDX redirect table
+    collapses to final URLs in O(log maxchain) shuffles instead of
+    one-join-per-hop: the same large-star contraction idea as
+    d_dup_components, specialized to functional graphs (out-degree 1), so
+    each round is ONE equi-join with no explosion. Terminals self-loop
+    with hop 0, keeping hop sums exact. The redirect map is synthesized
+    with chain runs up to 4 hops (doc_id%8 in 0..3 steps forward); the
+    oracle unrolls the identical three doubling rounds."""
+    d = _t(spark, sf, "documents")
+    step = F.col("doc_id") % 8 < 4
+    s = d.select(
+        F.col("doc_id").alias("u"),
+        F.when(step, F.col("doc_id") + 1).otherwise(F.col("doc_id")).alias("v"),
+        F.when(step, F.lit(1)).otherwise(F.lit(0)).alias("h"),
+    ).repartition(_par(spark), "u")
+    for _ in range(3):
+        a, b = s.alias("a"), s.alias("b")
+        s = a.join(b, F.col("a.v") == F.col("b.u")).select(
+            F.col("a.u").alias("u"),
+            F.col("b.v").alias("v"),
+            (F.col("a.h") + F.col("b.h")).alias("h"),
+        )
+    return s.select(
+        F.col("u").alias("src"),
+        F.col("v").alias("final_dst"),
+        F.col("h").cast("bigint").alias("n_hops"),
+        (F.col("h") == 0).alias("is_terminal"),
+    )
