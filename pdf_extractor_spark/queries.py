@@ -9486,12 +9486,12 @@ _REDIR_STEP_SQL = """
     "u_redirect_resolve",
     f"""
     WITH s0 AS ({_REDIR_STEP_SQL}),
-    s1 AS (SELECT a.u, b.v, a.h + b.h AS h
-           FROM s0 a JOIN s0 b ON a.v = b.u),
-    s2 AS (SELECT a.u, b.v, a.h + b.h AS h
-           FROM s1 a JOIN s1 b ON a.v = b.u),
-    s3 AS (SELECT a.u, b.v, a.h + b.h AS h
-           FROM s2 a JOIN s2 b ON a.v = b.u)
+    s1 AS (SELECT a.u, coalesce(b.v, a.v) AS v, a.h + coalesce(b.h, 0) AS h
+           FROM s0 a LEFT JOIN s0 b ON a.v = b.u),
+    s2 AS (SELECT a.u, coalesce(b.v, a.v) AS v, a.h + coalesce(b.h, 0) AS h
+           FROM s1 a LEFT JOIN s1 b ON a.v = b.u),
+    s3 AS (SELECT a.u, coalesce(b.v, a.v) AS v, a.h + coalesce(b.h, 0) AS h
+           FROM s2 a LEFT JOIN s2 b ON a.v = b.u)
     SELECT u AS src, v AS final_dst, cast(h AS BIGINT) AS n_hops,
            h = 0 AS is_terminal
     FROM s3
@@ -9502,7 +9502,10 @@ def u_redirect_resolve(spark: SparkSession, sf: str) -> DataFrame:
     self-joins the (u -> v, hops) map on v = u', squaring the reachable
     hop distance -- 3 rounds resolve chains up to 8 hops (the practical
     cap crawlers enforce anyway; curl defaults to 50 but CC truncates
-    redirects much earlier). This is how a 100-TB CDX redirect table
+    redirects much earlier). Rounds LEFT-join: a redirect pointing
+    OUTSIDE the table (an off-corpus target) is terminal at that
+    hop, so boundary rows never vanish -- an inner join would
+    silently drop any source whose chain exits the map. This is how a 100-TB CDX redirect table
     collapses to final URLs in O(log maxchain) shuffles instead of
     one-join-per-hop: the same large-star contraction idea as
     d_dup_components, specialized to functional graphs (out-degree 1), so
@@ -9519,10 +9522,10 @@ def u_redirect_resolve(spark: SparkSession, sf: str) -> DataFrame:
     ).repartition(_par(spark), "u")
     for _ in range(3):
         a, b = s.alias("a"), s.alias("b")
-        s = a.join(b, F.col("a.v") == F.col("b.u")).select(
+        s = a.join(b, F.col("a.v") == F.col("b.u"), "left").select(
             F.col("a.u").alias("u"),
-            F.col("b.v").alias("v"),
-            (F.col("a.h") + F.col("b.h")).alias("h"),
+            F.coalesce(F.col("b.v"), F.col("a.v")).alias("v"),
+            (F.col("a.h") + F.coalesce(F.col("b.h"), F.lit(0))).alias("h"),
         )
     return s.select(
         F.col("u").alias("src"),
