@@ -9533,3 +9533,156 @@ def u_redirect_resolve(spark: SparkSession, sf: str) -> DataFrame:
         F.col("h").cast("bigint").alias("n_hops"),
         (F.col("h") == 0).alias("is_terminal"),
     )
+
+
+@query(
+    "e_embedding_norm_outliers",
+    """
+    WITH n AS (
+      SELECT vec_id, label,
+             cast(round(sqrt(list_dot_product(embedding::DOUBLE[],
+                                              embedding::DOUBLE[]))
+                        * 1000000, 0) AS BIGINT) AS norm_ppm
+      FROM embeddings),
+    s AS (SELECT count(*) AS cnt, sum(norm_ppm) AS tot FROM n),
+    m AS (SELECT n.vec_id, n.label, n.norm_ppm,
+                 s.tot // s.cnt AS mean_ppm, s.cnt
+          FROM n, s),
+    v AS (SELECT sum((norm_ppm - mean_ppm) * (norm_ppm - mean_ppm)) // max(cnt)
+            AS var_ppm2 FROM m)
+    SELECT m.vec_id, m.label, m.norm_ppm, m.mean_ppm,
+           (m.norm_ppm - m.mean_ppm) * (m.norm_ppm - m.mean_ppm)
+             > 9 * v.var_ppm2 AS is_outlier
+    FROM m, v
+    """,
+)
+def e_embedding_norm_outliers(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding-column QC: L2-norm outliers at 3 sigma -- the cheap
+    screen that catches a broken encoder batch (zero vectors, fp16
+    overflow rows, un-normalized shards) BEFORE norms poison cosine
+    blocking (SRP buckets and k-means both assume comparable scale).
+    Norms go to integer micro-units immediately; mean and variance are
+    then exact integer aggregates (order-invariant, map-side
+    combinable), and the 3-sigma test compares squared deviation against
+    9x variance -- no sqrt, no FP accumulation anywhere past the one
+    rounded norm. Two 1-row broadcast aggregates; scan-side verdict."""
+    e = _t(spark, sf, "embeddings")
+
+    n = e.select(
+        "vec_id",
+        "label",
+        F.round(
+            F.sqrt(
+                F.aggregate(
+                    "embedding",
+                    F.lit(0.0),
+                    lambda acc, x: acc + x.cast("double") * x.cast("double"),
+                )
+            )
+            * 1000000,
+            0,
+        )
+        .cast("bigint")
+        .alias("norm_ppm"),
+    )
+    s = n.agg(
+        F.count(F.lit(1)).alias("cnt"), F.sum("norm_ppm").alias("tot")
+    )
+    m = n.join(F.broadcast(s)).select(
+        "vec_id",
+        "label",
+        "norm_ppm",
+        F.expr("tot DIV cnt").alias("mean_ppm"),
+        "cnt",
+    )
+    dev2 = (F.col("norm_ppm") - F.col("mean_ppm")) * (
+        F.col("norm_ppm") - F.col("mean_ppm")
+    )
+    v = m.agg(
+        F.expr(
+            "sum((norm_ppm - mean_ppm) * (norm_ppm - mean_ppm)) DIV max(cnt)"
+        ).alias("var_ppm2")
+    )
+    return m.join(F.broadcast(v)).select(
+        "vec_id",
+        "label",
+        "norm_ppm",
+        "mean_ppm",
+        (dev2 > 9 * F.col("var_ppm2")).alias("is_outlier"),
+    )
+
+
+@query(
+    "m_epoch_shuffle",
+    f"""
+    WITH ep AS (SELECT cast(e AS BIGINT) AS epoch
+                FROM (VALUES (0), (1)) t(e)),
+    keyed AS (
+      SELECT ep.epoch, d.doc_id,
+             md5(concat('ep', cast(ep.epoch AS VARCHAR), ':',
+                        cast(d.doc_id AS VARCHAR))) AS k
+      FROM documents d, ep),
+    r AS (
+      SELECT epoch, doc_id, k,
+             row_number() OVER (PARTITION BY epoch, substr(k, 1, 1)
+                                ORDER BY k, doc_id) AS rn
+      FROM keyed),
+    c AS (SELECT epoch, substr(k, 1, 1) AS b, count(*) AS cnt FROM keyed
+          GROUP BY epoch, substr(k, 1, 1)),
+    o AS (
+      SELECT x.epoch, x.b, coalesce(sum(y.cnt), 0) AS off
+      FROM c x LEFT JOIN c y ON y.epoch = x.epoch AND y.b < x.b
+      GROUP BY x.epoch, x.b)
+    SELECT r.epoch, r.doc_id,
+           cast(o.off + r.rn AS BIGINT) AS shuffle_rank
+    FROM r JOIN o ON o.epoch = r.epoch AND o.b = substr(r.k, 1, 1)
+    """,
+)
+def m_epoch_shuffle(spark: SparkSession, sf: str) -> DataFrame:
+    """Reproducible per-epoch training shuffle: every epoch assigns each
+    document a global position by ranking md5('ep<e>:<id>') -- a
+    deterministic permutation that changes completely between epochs but
+    is bit-identical across re-runs, resumes, and partitioning (what a
+    data loader needs to skip to step k of epoch e after a crash without
+    replaying the stream; RNG-seeded shuffles lose that the moment the
+    partition layout changes). The global rank uses the two-level plan:
+    row_number within (epoch, first-hex-digit bucket) -- 16 bounded
+    shards per epoch -- plus broadcast bucket-offset sums; never an
+    unpartitioned window. Epochs ride in as a 2-row broadcast values
+    table, so the whole thing is one corpus scan per epoch-pair."""
+    d = _t(spark, sf, "documents")
+    ep = spark.createDataFrame([(0,), (1,)], "epoch: bigint")
+    keyed = d.join(F.broadcast(ep)).select(
+        "epoch",
+        "doc_id",
+        F.md5(
+            F.concat(
+                F.lit("ep"),
+                F.col("epoch").cast("string"),
+                F.lit(":"),
+                F.col("doc_id").cast("string"),
+            )
+        ).alias("k"),
+    )
+    b = F.substring("k", 1, 1)
+    w = Window.partitionBy("epoch", b).orderBy("k", "doc_id")
+    r = keyed.select(
+        "epoch", "doc_id", "k", b.alias("b"), F.row_number().over(w).alias("rn")
+    )
+    c = keyed.groupBy("epoch", b.alias("b")).agg(F.count(F.lit(1)).alias("cnt"))
+    x, y = c.alias("x"), c.alias("y")
+    o = (
+        x.join(
+            F.broadcast(y),
+            (F.col("y.epoch") == F.col("x.epoch"))
+            & (F.col("y.b") < F.col("x.b")),
+            "left",
+        )
+        .groupBy(F.col("x.epoch").alias("epoch"), F.col("x.b").alias("b"))
+        .agg(F.coalesce(F.sum("y.cnt"), F.lit(0)).alias("off"))
+    )
+    return r.join(F.broadcast(o), ["epoch", "b"]).select(
+        "epoch",
+        "doc_id",
+        (F.col("off") + F.col("rn")).cast("bigint").alias("shuffle_rank"),
+    )
