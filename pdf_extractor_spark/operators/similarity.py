@@ -833,3 +833,84 @@ def mmr_rerank(
     return spark.createDataFrame(
         picked, f"rank int, {id_col} long, qsim double, score double"
     )
+
+
+def knn_graph(
+    df: DataFrame,
+    k: int = 4,
+    sample_n: int = 150,
+    salt: str = "knng",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Mutual k-NN graph over a deterministic md5 sample of the embedding
+    table: per-node out-edges are the exact-cosine top-``k`` neighbors
+    (round-6 sim DESC, id ASC), and an edge is MUTUAL when both endpoints
+    rank each other — the symmetrized graph that graph-based curation
+    (kNN-component dedup, label propagation, graph density pruning) runs
+    on; mutual degree is the standard local-density signal (isolated
+    nodes = outliers, high-degree nodes = redundant regions).
+
+    Scale shape: the sample is a TakeOrderedAndProject over the md5 order
+    (corpus-independent output, one pass over the scan); pairwise cosine
+    is sample_n² with the right side broadcast — bounded by the sample
+    size, never corpus-scale. At production scale the same per-node
+    top-k + mutuality composition runs over ANN candidates
+    (``ann_topk``'s SRP buckets) instead of the exact product — identical
+    downstream plan. Per-row norms computed once and carried (the
+    cosine_near_dup_pairs discipline). The mean mutual sim is emitted in
+    integer micro-units summed exactly (order-invariant), divided once —
+    bit-identical across engines.
+    """
+    samp = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).alias("v"),
+            norm(F.col(vec_col)).alias("n"),
+        )
+        .orderBy(
+            F.md5(F.concat(F.lit(salt + ":"), F.col("id").cast("string"))),
+            "id",
+        )
+        .limit(sample_n)
+        .localCheckpoint()  # one sample job; reused by both join sides
+    )
+    from pyspark.sql import Window
+    b = samp.select(
+        F.col("id").alias("oid"), F.col("v").alias("ov"), F.col("n").alias("bn")
+    )
+    denom = F.col("n") * F.col("bn")
+    sim = F.when(denom == 0, F.lit(0.0)).otherwise(
+        dot(F.col("v"), F.col("ov")) / denom
+    )
+    pairs = (
+        samp.crossJoin(F.broadcast(b))
+        .filter(F.col("id") != F.col("oid"))
+        .select("id", "oid", F.round(sim, 6).alias("sim"))
+    )
+    w = Window.partitionBy("id").orderBy(F.desc("sim"), F.col("oid"))
+    knn = (
+        pairs.select("id", "oid", "sim", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= k)
+        .select(
+            F.col("id").alias("src"),
+            F.col("oid").alias("dst"),
+            (F.round(F.col("sim") * 1e6, 0)).cast("bigint").alias("sim_u"),
+        )
+    )
+    rev = knn.select(
+        F.col("dst").alias("src"), F.col("src").alias("dst")
+    )
+    mut = knn.join(rev, ["src", "dst"])
+    agg = mut.groupBy(F.col("src").alias("id")).agg(
+        F.count(F.lit(1)).alias("deg"), F.sum("sim_u").alias("su")
+    )
+    return samp.join(agg, "id", "left").select(
+        F.col("id").alias(id_col),
+        F.coalesce("deg", F.lit(0)).cast("bigint").alias("mutual_degree"),
+        F.when(F.col("deg").isNull(), F.lit(0.0))
+        .otherwise(
+            F.round(F.col("su") / (F.col("deg") * F.lit(1000000.0)), 6)
+        )
+        .alias("mean_mutual_sim"),
+    )

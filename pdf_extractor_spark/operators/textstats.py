@@ -730,3 +730,80 @@ def compression_stats(
     # driver-testdata tables are single-split parquet files: repartition so
     # the compute-heavy per-row stage actually parallelizes (CLAUDE.md)
     return proj.repartition(n_partitions, id_col).mapInPandas(_batches, schema)
+
+
+def justext_blocks(
+    segs: DataFrame,
+    stopwords: tuple[str, ...] = ("a", "the"),
+    min_tokens_short: int = 3,
+    stop_ppm_good: int = 200_000,
+) -> DataFrame:
+    """jusText-style block classification (Pomikálek 2011): per-block
+    CONTEXT-FREE classing by stopword density, then CONTEXT-SENSITIVE
+    smoothing where short blocks inherit 'good' only when both adjacent
+    blocks classed good — the structural complement to the
+    frequency-based boilerplate family (line_boilerplate_clean finds
+    corpus-repeated segments; this finds low-function-word segments *per
+    document*, no corpus pass at all).
+
+    Contract (the synthetic corpus has no markup, so blocks are the
+    fixed-token segments of ``dedup.token_segments`` and the original's
+    link-density term has no signal): a block with fewer than
+    ``min_tokens_short`` tokens is 'short'; otherwise 'good' iff its
+    stopword density (integer ppm — exact on both engines) is >=
+    ``stop_ppm_good``, else 'bad'. Smoothing: 'short' -> 'good' iff the
+    previous AND next block's context-free class are both 'good' (a
+    missing neighbor at a document edge counts as 'bad' — jusText's
+    header/footer prior).
+
+    Scale shape: everything is a scan-side projection over the exploded
+    segments plus ONE doc-partitioned lag/lead window (bounded by
+    segments-per-doc, embarrassingly parallel across docs). Input
+    ``segs`` must be (id, idx, seg_text) from token_segments.
+    """
+    toks = F.split(F.col("seg_text"), " ")
+    stop_arr = F.array(*[F.lit(s) for s in stopwords])
+    n_tok = F.size(toks)
+    stop_cnt = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    staged = segs.select(
+        "id",
+        "idx",
+        "seg_text",
+        n_tok.alias("n_tokens"),
+        stop_cnt.alias("n_stop"),
+    ).withColumn(
+        "stop_ppm",
+        F.expr("CAST(1000000 * n_stop AS BIGINT) div greatest(n_tokens, 1)"),
+    )
+    cf = (
+        F.when(F.col("n_tokens") < min_tokens_short, F.lit("short"))
+        .when(F.col("stop_ppm") >= stop_ppm_good, F.lit("good"))
+        .otherwise(F.lit("bad"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("id").orderBy("idx")
+    classed = staged.select(
+        "id",
+        "idx",
+        "seg_text",
+        "n_tokens",
+        "stop_ppm",
+        cf.alias("class_cf"),
+    )
+    prev_c = F.coalesce(F.lag("class_cf").over(w), F.lit("bad"))
+    next_c = F.coalesce(F.lead("class_cf").over(w), F.lit("bad"))
+    final = F.when(F.col("class_cf") != "short", F.col("class_cf")).otherwise(
+        F.when(
+            (prev_c == "good") & (next_c == "good"), F.lit("good")
+        ).otherwise(F.lit("bad"))
+    )
+    return classed.select(
+        F.col("id").alias("doc_id"),
+        F.col("idx").alias("block_idx"),
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        "stop_ppm",
+        "class_cf",
+        final.alias("class_final"),
+        F.md5("seg_text").alias("block_md5"),
+    )

@@ -146,6 +146,105 @@ def wet_rows(data: bytes) -> Iterator[dict]:
         }
 
 
+def build_wat_metadata(
+    url: str,
+    date: datetime.datetime,
+    payload_len: int,
+    content_type: str = "text/html",
+    http_status: int = 200,
+) -> bytes:
+    """One WAT ``metadata`` record — the Common Crawl per-page metadata
+    sibling (what CC publishes as *.warc.wat.gz): same ISO 28500 framing,
+    ``Content-Type: application/json``, body a JSON ``Envelope`` that
+    describes the response record it refers to (WARC header echo + payload
+    metadata: length, HTTP status, HTTP Content-Type). The JSON is emitted
+    compact with a FIXED field order so the same corpus always serializes
+    to the same bytes — the byte-level contract the oracle reconstructs.
+    Links to the response record via the same (url, date) md5 id rule as
+    WET."""
+    wdate = date.strftime(_WARC_DATE_FMT)
+    rid = hashlib.md5(f"{url}|{wdate}|wat".encode()).hexdigest()
+    refers = hashlib.md5(f"{url}|{wdate}".encode()).hexdigest()
+    body = (
+        '{"Envelope":{"WARC-Header-Metadata":{'
+        f'"WARC-Type":"response","WARC-Target-URI":"{url}",'
+        f'"WARC-Date":"{wdate}"'
+        '},"Payload-Metadata":{'
+        f'"Actual-Content-Length":{payload_len},'
+        '"HTTP-Response-Metadata":{"Response-Message":{'
+        f'"Status":{http_status}'
+        '},"Headers":{'
+        f'"Content-Type":"{content_type}"'
+        "}}}}}"
+    ).encode("ascii")
+    headers = [
+        b"WARC/1.0",
+        b"WARC-Type: metadata",
+        b"WARC-Target-URI: " + url.encode("ascii"),
+        b"WARC-Date: " + wdate.encode("ascii"),
+        b"WARC-Record-ID: <urn:md5:" + rid.encode("ascii") + b">",
+        b"WARC-Refers-To: <urn:md5:" + refers.encode("ascii") + b">",
+        b"Content-Type: application/json",
+        b"Content-Length: " + str(len(body)).encode("ascii"),
+    ]
+    return CRLF.join(headers) + CRLF + CRLF + body + CRLF + CRLF
+
+
+def build_wat(
+    records: Iterable[tuple[str, datetime.datetime, int]],
+    gzip_members: bool = True,
+    warcinfo_filename: str | None = None,
+) -> bytes:
+    """Serialize (url, date, payload_len) tuples to a .warc.wat /
+    .warc.wat.gz byte string (one gzip member per record, Common Crawl
+    style)."""
+    raws: list[bytes] = []
+    if warcinfo_filename is not None:
+        raws.append(build_warcinfo(warcinfo_filename))
+    for url, date, payload_len in records:
+        raws.append(build_wat_metadata(url, date, payload_len))
+    if not gzip_members:
+        return b"".join(raws)
+    return b"".join(_gzip_member(r) for r in raws)
+
+
+def wat_rows(data: bytes) -> Iterator[dict]:
+    """(url, warc_ts, payload_len, http_status, content_type) rows from WAT
+    archive bytes: ``metadata`` records only, body parsed as JSON with the
+    Envelope layout above. Malformed JSON bodies are skipped, never fatal
+    (same tolerance contract as the WARC/WET parsers)."""
+    import json as _json
+
+    for headers, body in iter_warc_records(data):
+        if headers.get("warc-type") != "metadata":
+            continue
+        url = headers.get("warc-target-uri")
+        if not url:
+            continue
+        try:
+            ts = datetime.datetime.strptime(
+                headers.get("warc-date", ""), _WARC_DATE_FMT
+            )
+        except ValueError:
+            continue
+        try:
+            env = _json.loads(body.decode("utf-8"))["Envelope"]
+            pm = env["Payload-Metadata"]
+            hrm = pm.get("HTTP-Response-Metadata", {})
+        except (ValueError, KeyError, TypeError):
+            continue
+        yield {
+            "url": url,
+            "warc_ts": ts,
+            "target_type": env.get("WARC-Header-Metadata", {}).get(
+                "WARC-Type"
+            ),
+            "payload_len": pm.get("Actual-Content-Length"),
+            "http_status": hrm.get("Response-Message", {}).get("Status"),
+            "content_type": hrm.get("Headers", {}).get("Content-Type"),
+        }
+
+
 def build_warcinfo(filename: str) -> bytes:
     """A ``warcinfo`` leading record (real archives carry one; the reader
     must skip it)."""

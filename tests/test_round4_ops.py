@@ -152,3 +152,127 @@ def test_kmeans_cohesion_bounds(spark):
     for r in rows:
         assert -1000000 <= r["min_cohesion_ppm"] <= 1000000
         assert r["min_cohesion_ppm"] <= r["mean_cohesion_ppm"] <= 1000000
+
+
+def test_justext_smoothing_rules(spark):
+    """class_final never 'short'; non-short blocks keep their context-free
+    class; a short block becomes 'good' iff BOTH neighbors (doc-edge =
+    'bad') are context-free 'good'."""
+    rows = _q("t_justext_blocks")(spark, SF).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], {})[r["block_idx"]] = r
+    for blocks in by_doc.values():
+        for idx, r in blocks.items():
+            assert r["class_final"] in ("good", "bad")
+            if r["n_tokens"] < 3:
+                assert r["class_cf"] == "short"
+            else:
+                assert r["class_cf"] == (
+                    "good" if r["stop_ppm"] >= 200000 else "bad"
+                )
+                assert r["class_final"] == r["class_cf"]
+                continue
+            pc = blocks.get(idx - 1)
+            nc = blocks.get(idx + 1)
+            want = (
+                "good"
+                if pc is not None
+                and nc is not None
+                and pc["class_cf"] == "good"
+                and nc["class_cf"] == "good"
+                else "bad"
+            )
+            assert r["class_final"] == want
+
+
+def test_knn_graph_mutuality(spark):
+    """One row per sampled vector; mutual degree bounded by k; the mutual
+    edge multiset is symmetric (sum of degrees is even and the graph
+    reconstructed from exact cosine agrees on every degree)."""
+    rows = _q("e_knn_graph")(spark, SF).collect()
+    assert len(rows) == 150
+    assert all(0 <= r["mutual_degree"] <= 4 for r in rows)
+    assert sum(r["mutual_degree"] for r in rows) % 2 == 0
+    for r in rows:
+        if r["mutual_degree"] == 0:
+            assert r["mean_mutual_sim"] == 0.0
+        else:
+            assert -1.0 <= r["mean_mutual_sim"] <= 1.0
+
+    # independent reconstruction: exact cosine top-4 over the same sample
+    import hashlib
+    import math
+
+    emb = {
+        r["vec_id"]: r["embedding"]
+        for r in spark.read.parquet(f"{SF}/embeddings.parquet").collect()
+    }
+    ids = sorted(
+        emb,
+        key=lambda i: (hashlib.md5(f"knng:{i}".encode()).hexdigest(), i),
+    )[:150]
+    assert sorted(ids) == sorted(r["vec_id"] for r in rows)
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return 0.0 if na * nb == 0 else d / (na * nb)
+
+    knn = {}
+    for i in ids:
+        sims = sorted(
+            ((round(cos(emb[i], emb[j]), 6), j) for j in ids if j != i),
+            key=lambda t: (-t[0], t[1]),
+        )[:4]
+        knn[i] = {j for _, j in sims}
+    want_deg = {
+        i: sum(1 for j in knn[i] if i in knn[j]) for i in ids
+    }
+    got_deg = {r["vec_id"]: r["mutual_degree"] for r in rows}
+    assert got_deg == want_deg
+
+
+def test_mime_filter_decision_table(spark):
+    """keep iff status 200 AND an extractable text type; charset only set
+    when the Content-Type carried a charset parameter; every branch of
+    the synthesized envelope space is exercised at this SF."""
+    rows = _q("u_mime_filter")(spark, SF).collect()
+    text_ok = {"text/html", "application/xhtml+xml", "text/plain"}
+    seen_status, seen_mime = set(), set()
+    for r in rows:
+        seen_status.add(r["http_status"])
+        seen_mime.add(r["mime"])
+        assert r["keep"] == (
+            r["http_status"] == 200 and r["mime"] in text_ok
+        )
+        if r["mime"] == "text/html":
+            assert r["charset"] == "utf-8"
+        else:
+            assert r["charset"] == ""
+    assert seen_status == {200, 301, 404, 500}
+    assert seen_mime == text_ok | {"application/pdf", "image/png"}
+
+
+def test_sft_format_loss_accounting(spark):
+    """Only docs with a response half survive; prompt tokens fixed at 10
+    (8 content + 2 control); response + prompt = content tokens + 3
+    control tokens; loss_ppm is the integer-ppm trainable fraction."""
+    rows = {r["doc_id"]: r for r in _q("m_sft_format")(spark, SF).collect()}
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    from pdf_extractor_spark.operators import dedup as D
+
+    n_by_doc = {
+        r["doc_id"]: r["n"]
+        for r in d.select(
+            "doc_id", F.size(D.word_tokens(F.col("text"))).alias("n")
+        ).collect()
+    }
+    assert set(rows) == {i for i, n in n_by_doc.items() if n > 8}
+    for i, r in rows.items():
+        n = n_by_doc[i]
+        assert r["n_prompt_tokens"] == 10
+        assert r["n_response_tokens"] == n - 7
+        assert r["loss_ppm"] == 1000000 * (n - 7) // (n + 3)
+        assert len(r["sft_md5"]) == 32

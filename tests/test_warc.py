@@ -229,3 +229,65 @@ def test_read_wet_spark_reader(spark, tmp_path):
     by_url = {r[0]: r[2] for r in recs}
     for r in got:
         assert r["text"].encode("utf-8") == by_url[r["url"]]
+
+
+def _wat_recs(n=5):
+    base = datetime.datetime(2024, 1, 1)
+    return [
+        (
+            f"https://host{i}.example/page/{i}",
+            base + datetime.timedelta(seconds=i),
+            100 + i,
+        )
+        for i in range(n)
+    ]
+
+
+def test_wat_roundtrip_plain_and_gzip():
+    recs = _wat_recs()
+    for gz in (False, True):
+        data = W.build_wat(recs, gzip_members=gz)
+        rows = list(W.wat_rows(data))
+        assert [(r["url"], r["warc_ts"], r["payload_len"]) for r in rows] == recs
+        for r in rows:
+            assert r["target_type"] == "response"
+            assert r["http_status"] == 200
+            assert r["content_type"] == "text/html"
+
+
+def test_wat_build_is_deterministic():
+    recs = _wat_recs()
+    assert W.build_wat(recs) == W.build_wat(recs)
+    assert W.build_wat(recs, gzip_members=False) == W.build_wat(
+        recs, gzip_members=False
+    )
+
+
+def test_wat_refers_to_links_response_record():
+    url = "https://a.example/x"
+    date = datetime.datetime(2024, 6, 1)
+    resp = W.build_warc_response(url, date, b"<html/>", "text/html")
+    wat = W.build_wat_metadata(url, date, 7)
+    resp_id = [
+        line for line in resp.split(b"\r\n") if line.startswith(b"WARC-Record-ID")
+    ][0].split(b": ", 1)[1]
+    refers = [
+        line for line in wat.split(b"\r\n") if line.startswith(b"WARC-Refers-To")
+    ][0].split(b": ", 1)[1]
+    assert refers == resp_id
+
+
+def test_wat_rows_skips_non_metadata_and_bad_json():
+    url = "https://a.example/x"
+    date = datetime.datetime(2024, 6, 1)
+    good = W.build_wat_metadata(url, date, 7)
+    # corrupt a copy's JSON body while keeping framing (same byte length)
+    bad = good.replace(b'{"Envelope"', b'{"EnvelopX"', 1)
+    mixed = (
+        W.build_warcinfo("f.wat")
+        + W.build_warc_response(url, date, b"<html/>", "text/html")
+        + bad
+        + good
+    )
+    rows = list(W.wat_rows(mixed))
+    assert len(rows) == 1 and rows[0]["url"] == url
