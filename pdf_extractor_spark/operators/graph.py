@@ -199,3 +199,160 @@ def hits_integer(
         )
         hub = _normalized(h_raw, "hub")
     return hub.join(auth, "node").select("node", "hub", "auth")
+
+
+def triangle_count(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Per-node triangle count + local clustering coefficient over an
+    undirected edge list -> (node, degree, triangles, clustering_ppm).
+
+    The host-graph density signal: link farms and mirror rings show up as
+    abnormally dense neighborhoods (high clustering at high degree),
+    while legitimate hub hosts have star-like (low-clustering)
+    neighborhoods — a standard web-spam feature alongside PageRank/HITS.
+
+    Algorithm is the degree-ordered triangle enumeration (Suri &
+    Vassilvitskii, WWW'11 — the MapReduce-scalable form): orient every
+    undirected edge from the lower-(degree, id) endpoint to the higher
+    one; the orientation is acyclic and each triangle has exactly ONE
+    wedge u→v, u→w with v→w, so a wedge self-join on the oriented list
+    plus one membership semi-join counts each triangle once. Max
+    out-degree under this orientation is O(sqrt(|E|)) regardless of raw
+    degree skew — the wedge join never explodes on celebrity nodes, which
+    is the property that makes this the 100-TB-safe form (a naive
+    neighbor-pair join on an unoriented list is quadratic in the max
+    degree).
+
+    Plan: one distinct + one groupBy for degrees, one self-equi-join on
+    the wedge pivot, one semi-join for closure, one explode + groupBy for
+    per-node attribution. clustering_ppm = 1e6 * 2T / (deg*(deg-1)) in
+    integer division (0 where deg < 2) — exact on both engines.
+    """
+    lo = F.least(F.col(src_col).cast("long"), F.col(dst_col).cast("long"))
+    hi = F.greatest(F.col(src_col).cast("long"), F.col(dst_col).cast("long"))
+    und = (
+        edges.select(lo.alias("a"), hi.alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint()
+    )
+    adj = und.union(und.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    deg = adj.groupBy(F.col("a").alias("node")).agg(
+        F.count(F.lit(1)).alias("degree")
+    ).localCheckpoint()
+    da = deg.select(F.col("node").alias("a"), F.col("degree").alias("dega"))
+    db = deg.select(F.col("node").alias("b"), F.col("degree").alias("degb"))
+    keyed = und.join(da, "a").join(db, "b")
+    fwd = (F.col("dega") < F.col("degb")) | (
+        (F.col("dega") == F.col("degb")) & (F.col("a") < F.col("b"))
+    )
+    oriented = keyed.select(
+        F.when(fwd, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(fwd, F.col("b")).otherwise(F.col("a")).alias("v"),
+    ).localCheckpoint()
+    e2 = oriented.select(F.col("u").alias("u2"), F.col("v").alias("w"))
+    wedges = oriented.join(e2, F.col("u") == F.col("u2")).filter(
+        F.col("v") != F.col("w")
+    )
+    closing = oriented.select(
+        F.col("u").alias("v"), F.col("v").alias("w")
+    )
+    tris = wedges.join(closing, ["v", "w"], "semi").select("u", "v", "w")
+    per_node = (
+        tris.select(
+            F.explode(F.array("u", "v", "w")).alias("node")
+        )
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("triangles"))
+    )
+    out = deg.join(per_node, "node", "left").select(
+        "node",
+        F.col("degree").cast("bigint").alias("degree"),
+        F.coalesce("triangles", F.lit(0)).cast("bigint").alias("triangles"),
+    )
+    pairs = F.col("degree") * (F.col("degree") - 1)
+    return out.select(
+        "node",
+        "degree",
+        "triangles",
+        F.when(F.col("degree") < 2, F.lit(0))
+        .otherwise(
+            F.expr("CAST(2000000 * triangles AS BIGINT) div "
+                   "(degree * (degree - 1))")
+        )
+        .cast("bigint")
+        .alias("clustering_ppm"),
+    )
+
+
+def label_propagation(
+    edges: DataFrame,
+    seeds: DataFrame,
+    nodes: DataFrame,
+    n_rounds: int = 3,
+) -> DataFrame:
+    """Synchronous semi-supervised label propagation (Zhu & Ghahramani
+    2002 / the fastText-style label-spread recipe) -> (node, label,
+    labeled_round).
+
+    ``edges`` is a DIRECTED neighbor list (symmetric for an undirected
+    graph — e.g. the mutual k-NN graph from similarity.knn_graph);
+    ``seeds`` is (node, label) for the supervised subset; ``nodes`` is
+    the full node list. Each round, every unlabeled node takes the
+    MAJORITY label among its currently-labeled in-neighbors (tie → the
+    smallest label — the deterministic, partitioning-invariant rule);
+    seed labels are clamped and never change. Labels only ever ACCRETE
+    (an assigned label is frozen, round recorded in ``labeled_round``;
+    seeds are round 0), so ``n_rounds`` rounds reach everything within
+    graph distance n_rounds of a seed — the contract form whose fixed
+    round count an oracle can replay as nested CTEs.
+
+    Scale shape per round: one edge⋈label equi-join on the neighbor key +
+    one map-side-combinable groupBy count + one argmax-by-struct groupBy
+    — identical posture to pagerank_integer's rounds. Unlabeled nodes at
+    the end carry NULL label and NULL labeled_round (disconnected from
+    every seed).
+    """
+    e = edges.select(
+        F.col("src").cast("long").alias("dst_of"),
+        F.col("dst").cast("long").alias("nbr"),
+    ).localCheckpoint()
+    state = nodes.join(seeds, "node", "left").select(
+        "node",
+        F.col("label").cast("int").alias("label"),
+        F.when(F.col("label").isNotNull(), F.lit(0))
+        .cast("int")
+        .alias("labeled_round"),
+    ).localCheckpoint()
+    for r in range(1, n_rounds + 1):
+        labeled = state.filter(F.col("label").isNotNull()).select(
+            F.col("node").alias("nbr"), F.col("label").alias("nbr_label")
+        )
+        votes = (
+            e.join(labeled, "nbr")
+            .groupBy(F.col("dst_of").alias("node"), "nbr_label")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        winner = votes.groupBy("node").agg(
+            F.max(F.struct(F.col("cnt"), (-F.col("nbr_label")).alias("nl")))
+            .alias("w")
+        ).select(
+            "node", (-F.col("w.nl")).cast("int").alias("new_label")
+        )
+        state = (
+            state.join(winner, "node", "left")
+            .select(
+                "node",
+                F.coalesce("label", "new_label").alias("label"),
+                F.when(F.col("labeled_round").isNotNull(),
+                       F.col("labeled_round"))
+                .when(F.col("new_label").isNotNull(), F.lit(r))
+                .cast("int")
+                .alias("labeled_round"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return state

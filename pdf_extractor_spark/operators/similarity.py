@@ -862,6 +862,37 @@ def knn_graph(
     integer micro-units summed exactly (order-invariant), divided once —
     bit-identical across engines.
     """
+    samp, mut = mutual_knn_edges(
+        df, k=k, sample_n=sample_n, salt=salt, id_col=id_col, vec_col=vec_col
+    )
+    agg = mut.groupBy(F.col("src").alias("id")).agg(
+        F.count(F.lit(1)).alias("deg"), F.sum("sim_u").alias("su")
+    )
+    return samp.join(agg, "id", "left").select(
+        F.col("id").alias(id_col),
+        F.coalesce("deg", F.lit(0)).cast("bigint").alias("mutual_degree"),
+        F.when(F.col("deg").isNull(), F.lit(0.0))
+        .otherwise(
+            F.round(F.col("su") / (F.col("deg") * F.lit(1000000.0)), 6)
+        )
+        .alias("mean_mutual_sim"),
+    )
+
+
+def mutual_knn_edges(
+    df: DataFrame,
+    k: int = 4,
+    sample_n: int = 150,
+    salt: str = "knng",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame]:
+    """The (sample, mutual-edge-list) pair behind ``knn_graph``: sample is
+    (id, v, n) for the deterministic md5 sample, edges are the SYMMETRIC
+    (src, dst, sim_u) mutual k-NN list (both directions present for every
+    mutual pair). Exposed so graph algorithms (label propagation,
+    kNN-component dedup) can run on the edge list directly; see
+    ``knn_graph`` for the scale posture."""
     samp = (
         df.select(
             F.col(id_col).alias("id"),
@@ -876,6 +907,7 @@ def knn_graph(
         .localCheckpoint()  # one sample job; reused by both join sides
     )
     from pyspark.sql import Window
+
     b = samp.select(
         F.col("id").alias("oid"), F.col("v").alias("ov"), F.col("n").alias("bn")
     )
@@ -898,19 +930,6 @@ def knn_graph(
             (F.round(F.col("sim") * 1e6, 0)).cast("bigint").alias("sim_u"),
         )
     )
-    rev = knn.select(
-        F.col("dst").alias("src"), F.col("src").alias("dst")
-    )
+    rev = knn.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     mut = knn.join(rev, ["src", "dst"])
-    agg = mut.groupBy(F.col("src").alias("id")).agg(
-        F.count(F.lit(1)).alias("deg"), F.sum("sim_u").alias("su")
-    )
-    return samp.join(agg, "id", "left").select(
-        F.col("id").alias(id_col),
-        F.coalesce("deg", F.lit(0)).cast("bigint").alias("mutual_degree"),
-        F.when(F.col("deg").isNull(), F.lit(0.0))
-        .otherwise(
-            F.round(F.col("su") / (F.col("deg") * F.lit(1000000.0)), 6)
-        )
-        .alias("mean_mutual_sim"),
-    )
+    return samp, mut

@@ -276,3 +276,191 @@ def test_sft_format_loss_accounting(spark):
         assert r["n_response_tokens"] == n - 7
         assert r["loss_ppm"] == 1000000 * (n - 7) // (n + 3)
         assert len(r["sft_md5"]) == 32
+
+
+def test_triangle_count_matches_bruteforce(spark):
+    """Engine (degree-ordered wedge join) vs an independent brute-force
+    triple enumeration of the same synthesized 24-host graph."""
+    import itertools
+
+    rows = {r["host"]: r for r in _q("g_triangle_count")(spark, SF).collect()}
+    E = set()
+    for h in range(24):
+        for d in ((h + 1) % 24, (h + 2) % 24, (5 * h + 1) % 24):
+            if d != h:
+                E.add((min(h, d), max(h, d)))
+    nodes = sorted({v for e in E for v in e})
+    deg = {v: sum(1 for e in E if v in e) for v in nodes}
+    per = {v: 0 for v in nodes}
+    for a, b, c in itertools.combinations(nodes, 3):
+        if (a, b) in E and (b, c) in E and (a, c) in E:
+            per[a] += 1
+            per[b] += 1
+            per[c] += 1
+    assert set(rows) == set(nodes)
+    for v in nodes:
+        assert rows[v]["degree"] == deg[v]
+        assert rows[v]["triangles"] == per[v]
+        want = (
+            0
+            if deg[v] < 2
+            else 2_000_000 * per[v] // (deg[v] * (deg[v] - 1))
+        )
+        assert rows[v]["clustering_ppm"] == want
+    assert sum(r["triangles"] for r in rows.values()) % 3 == 0
+    assert sum(r["triangles"] for r in rows.values()) > 0
+
+
+def test_label_propagation_accretive(spark):
+    """Seeds keep their true label at round 0; spread labels appear at
+    rounds 1..3 and are exactly reachable-from-a-seed within that many
+    mutual-kNN hops (BFS reconstruction); unlabeled nodes are those
+    beyond 3 hops from every seed."""
+    rows = {r["vec_id"]: r for r in _q("g_label_propagation")(spark, SF).collect()}
+    assert len(rows) == 150
+    emb = {
+        r["vec_id"]: r["label"]
+        for r in spark.read.parquet(f"{SF}/embeddings.parquet").collect()
+    }
+    for vid, r in rows.items():
+        if r["is_seed"]:
+            assert r["labeled_round"] == 0
+            assert r["label"] == emb[vid]
+            assert r["correct"] is True
+        elif r["label"] is not None:
+            assert 1 <= r["labeled_round"] <= 3
+            assert r["correct"] == (r["label"] == emb[vid])
+        else:
+            assert r["labeled_round"] is None and r["correct"] is None
+
+    # BFS distance-from-seed over the same mutual graph (via similarity op)
+    from pdf_extractor_spark.operators.similarity import mutual_knn_edges
+
+    _, edges = mutual_knn_edges(
+        spark.read.parquet(f"{SF}/embeddings.parquet"),
+        k=4, sample_n=150, salt="lprop",
+    )
+    adj = {}
+    for e in edges.collect():
+        adj.setdefault(e["src"], set()).add(e["dst"])
+    frontier = {v for v, r in rows.items() if r["is_seed"]}
+    seen = set(frontier)
+    dist = {v: 0 for v in frontier}
+    for d in (1, 2, 3):
+        frontier = {
+            n
+            for v in frontier
+            for n in adj.get(v, ())
+            if n not in seen
+        }
+        seen |= frontier
+        for n in frontier:
+            dist[n] = d
+    for vid, r in rows.items():
+        if r["is_seed"]:
+            continue
+        if vid in dist:
+            assert r["labeled_round"] == dist[vid]
+        else:
+            assert r["label"] is None
+
+
+def test_dpo_pairs_strict_preference(spark):
+    """Every pair has a strictly better chosen side; each document appears
+    in at most one pair per side; pair count per lang <= n_lang // 2."""
+    rows = _q("m_dpo_pairs")(spark, SF).collect()
+    assert rows
+    chosen, rejected = set(), set()
+    for r in rows:
+        assert r["chosen_ppm"] > r["rejected_ppm"]
+        assert r["gap_ppm"] == r["chosen_ppm"] - r["rejected_ppm"]
+        assert r["chosen_doc"] not in chosen
+        assert r["rejected_doc"] not in rejected
+        chosen.add(r["chosen_doc"])
+        rejected.add(r["rejected_doc"])
+    assert not (chosen & rejected)
+    import collections
+
+    per_lang = collections.Counter(r["lang"] for r in rows)
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    n_lang = {r["lang"]: r["n"] for r in d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    for lang, c in per_lang.items():
+        assert c <= n_lang[lang] // 2
+
+
+def test_length_bucket_batches_partition(spark):
+    """Batches partition the corpus: row counts sum to the table total;
+    bucket bounds hold (2^bucket <= max_len < 2^(bucket+1) is implied by
+    max over members whose own bucket matches); at most one non-full
+    batch per bucket and pad accounting is exact."""
+    rows = _q("m_length_bucket_batches")(spark, SF).collect()
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    assert sum(r["n_rows"] for r in rows) == d.count()
+    import collections
+
+    partial = collections.Counter()
+    for r in rows:
+        assert 1 <= r["n_rows"] <= 8
+        if r["n_rows"] < 8:
+            partial[r["bucket"]] += 1
+        assert 2 ** r["bucket"] <= r["max_len"] < 2 ** (r["bucket"] + 1)
+        assert r["sum_len"] <= r["n_rows"] * r["max_len"]
+        assert r["pad_ppm"] == (
+            1_000_000 * (r["n_rows"] * r["max_len"] - r["sum_len"])
+            // (r["n_rows"] * r["max_len"])
+        )
+    assert all(c <= 1 for c in partial.values())
+
+
+def test_og_meta_extraction_branches(spark):
+    """Docs without og tags surface NULLs; docs with them echo the title
+    and the document's lang; canonical/description always extract."""
+    rows = _q("x_extract_og_meta")(spark, SF).collect()
+    langs = {
+        r["doc_id"]: r["lang"]
+        for r in spark.read.parquet(f"{SF}/documents.parquet")
+        .select("doc_id", "lang").collect()
+    }
+    saw_og, saw_plain = False, False
+    for r in rows:
+        assert r["canonical"] == f"https://docs.example/{r['doc_id']}"
+        assert r["description"] is not None
+        assert r["title"] is not None
+        if r["has_og"]:
+            saw_og = True
+            assert r["og_title"] == r["title"]
+            assert r["og_locale"] == langs[r["doc_id"]]
+        else:
+            saw_plain = True
+            assert r["og_title"] is None and r["og_locale"] is None
+    assert saw_og and saw_plain
+
+
+def test_trigram_novelty_recompute(spark):
+    """Bounds hold everywhere and an independent single-process
+    recomputation agrees on every document."""
+    rows = {
+        r["doc_id"]: r for r in _q("t_trigram_novelty")(spark, SF).collect()
+    }
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(f"{SF}/documents.parquet")
+        .select("doc_id", "text").collect()
+    }
+    assert set(rows) == set(docs)
+    grams = {}
+    for did, text in docs.items():
+        t = text.split(" ")
+        grams[did] = {
+            " ".join(t[i : i + 3]) for i in range(max(len(t) - 2, 0))
+        }
+    import collections
+
+    df = collections.Counter(g for gs in grams.values() for g in gs)
+    for did, r in rows.items():
+        gs = grams[did]
+        novel = sum(1 for g in gs if df[g] == 1)
+        assert r["n_distinct_trigrams"] == len(gs)
+        assert r["n_novel"] == novel
+        assert r["novelty_ppm"] == 1_000_000 * novel // max(len(gs), 1)
