@@ -356,3 +356,85 @@ def label_propagation(
             .localCheckpoint(eager=False)
         )
     return state
+
+
+def kcore_decompose(
+    edges: DataFrame,
+    k: int = 3,
+    rounds: int = 8,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """k-core decomposition by parallel peeling (Matula & Beck 1983;
+    distributed form per Montresor et al. 2013) ->
+    (node, degree, core_degree, in_core).
+
+    The k-core is the maximal subgraph where every node keeps degree >= k
+    after everything weaker is stripped away — the standard host-graph
+    density screen one step beyond triangle counting: link farms and
+    mirror rings form high-k cores, legitimate long-tail hosts peel out
+    in the first rounds. Crawl curation uses it to cap frontier budget
+    for core members (spam-dense) and to pick seed hosts (moderate core).
+
+    Parallel peeling removes ALL nodes with degree < k simultaneously per
+    round, so cascades converge in O(rounds) supersteps, not O(|V|) —
+    each round is one map-side-combinable groupBy (degrees) plus two
+    semi-joins of the edge list against the survivor set, the same
+    per-round shape as pagerank_integer. ``rounds`` is a FIXED count (not
+    a convergence test) so the result is a pure function both engines
+    replay identically; callers size it to the cascade depth (peeling a
+    cycle-free fringe of depth d needs d rounds; 8 covers any graph whose
+    non-core fringe is shallower than 8 hops, and a converged round is a
+    no-op). Outputs are defined on the round-``rounds`` graph:
+    ``core_degree`` = remaining degree (0 once peeled), ``in_core`` =
+    core_degree >= k. ``degree`` is the round-0 degree for reference.
+
+    Scale: edge list shuffles on its endpoint keys every round; survivor
+    sets are |V'|-row and shrink monotonically. localCheckpoint(eager=
+    False) truncates lineage per round — one scheduled job per round, the
+    connected-components discipline (dedup.connected_components_star).
+    """
+    lo = F.least(F.col(src_col).cast("long"), F.col(dst_col).cast("long"))
+    hi = F.greatest(F.col(src_col).cast("long"), F.col(dst_col).cast("long"))
+    und = (
+        edges.select(lo.alias("a"), hi.alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    adj = und.union(und.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    nodes0 = adj.select(F.col("a").alias("node")).distinct().localCheckpoint(
+        eager=False
+    )
+    deg0 = adj.groupBy(F.col("a").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("degree")
+    ).localCheckpoint(eager=False)
+    cur = adj
+    for _ in range(rounds):
+        keep = (
+            cur.groupBy("a")
+            .agg(F.count(F.lit(1)).alias("_d"))
+            .filter(F.col("_d") >= k)
+            .select("a")
+        )
+        cur = (
+            cur.join(keep, "a", "semi")
+            .join(keep.withColumnRenamed("a", "b"), "b", "semi")
+            .select("a", "b")
+            .localCheckpoint(eager=False)
+        )
+    core_deg = cur.groupBy(F.col("a").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("core_degree")
+    )
+    return (
+        nodes0.join(deg0, "node")
+        .join(core_deg, "node", "left")
+        .select(
+            "node",
+            "degree",
+            F.coalesce("core_degree", F.lit(0)).cast("long").alias(
+                "core_degree"
+            ),
+            (F.coalesce("core_degree", F.lit(0)) >= k).alias("in_core"),
+        )
+    )

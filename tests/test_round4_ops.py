@@ -464,3 +464,116 @@ def test_trigram_novelty_recompute(spark):
         assert r["n_distinct_trigrams"] == len(gs)
         assert r["n_novel"] == novel
         assert r["novelty_ppm"] == 1_000_000 * novel // max(len(gs), 1)
+
+
+def test_crawl_trap_class_decisions(spark):
+    """Each synthesized URL class lands on its intended verdict: loop
+    paths (class 0) and calendar archives (class 1) and session ids
+    (class 2) are always traps; plain pages (class 4) never are; deep
+    repeats (class 3) trap iff the repeated-segment count crosses 2."""
+    rows = _q("u_crawl_trap")(spark, SF).collect()
+    assert rows
+    for r in rows:
+        cls = r["doc_id"] % 5
+        if cls in (0, 1, 2):
+            assert r["is_trap"], r
+        elif cls == 4:
+            assert not r["is_trap"], r
+        else:
+            n = r["doc_id"] % 12
+            assert r["is_trap"] == (max(n - 1, 0) >= 2), r
+        assert r["session_hit"] == (cls == 2)
+        assert r["calendar_hit"] == (cls == 1)
+
+
+def test_link_reciprocity_farm_vs_organic(spark):
+    """The planted clique (hosts 24-29) reciprocates; the organic chord
+    hosts (0-23) have recip_ppm = 0 (their +1..+5 forward chords are
+    never returned). ppm is exact integer math."""
+    rows = {r["host"]: r for r in _q("u_link_reciprocity")(spark, SF).collect()}
+    for h, r in rows.items():
+        assert 0 <= r["recip_ppm"] <= 1_000_000
+        assert r["recip_ppm"] == 1_000_000 * r["recip_edges"] // r["outdeg"]
+        if h < 24:
+            assert r["recip_edges"] == 0 and not r["farm_flag"], r
+    assert any(r["farm_flag"] for h, r in rows.items() if h >= 24)
+
+
+def test_host_template_mass_recompute(spark):
+    """dup_mass_ppm recomputed from a single-process shingle count equals
+    the distributed result for every host (partitioning invariance of
+    the (host, shingle) aggregation)."""
+    import re
+    from collections import Counter
+
+    rows = {r["host"]: r for r in _q("d_host_template_mass")(spark, SF).collect()}
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "text"
+    ).collect()
+    total = Counter()
+    dist: dict[int, set] = {}
+    ndocs = Counter()
+    for d in docs:
+        h = d["doc_id"] % 24
+        ndocs[h] += 1
+        toks = [t for t in re.sub(r"[^a-z0-9]+", " ", d["text"].lower()).split() if t]
+        sh = [" ".join(toks[i : i + 2]) for i in range(len(toks) - 1)]
+        total[h] += len(sh)
+        dist.setdefault(h, set()).update(sh)
+    for h, r in rows.items():
+        t, n = total[h], len(dist.get(h, set()))
+        assert r["n_docs"] == ndocs[h]
+        assert r["total_shingles"] == t
+        assert r["distinct_shingles"] == n
+        assert r["dup_mass_ppm"] == 1_000_000 * (t - n) // max(t, 1)
+
+
+def test_kcore_clique_survives_ring_peels(spark):
+    """At k=3 the 6-clique (nodes 100-105) is the entire surviving core;
+    every ring/chord node (0-29) peels out across the cascade rounds.
+    Extra rounds are a no-op (the peeling converged inside 8)."""
+    from pdf_extractor_spark.operators.graph import kcore_decompose
+
+    rows = {r["node"]: r for r in _q("g_kcore")(spark, SF).collect()}
+    for n, r in rows.items():
+        if n >= 100:
+            assert r["in_core"] and r["core_degree"] == 5, r
+        else:
+            assert not r["in_core"] and r["core_degree"] == 0, r
+    # convergence: 10 rounds == 8 rounds on a directly-built graph
+    edges = spark.createDataFrame(
+        [(i, (i + 1) % 12) for i in range(12)]
+        + [(100 + a, 100 + b) for a in range(4) for b in range(4) if a != b]
+        + [(100, 0)],
+        "src long, dst long",
+    )
+    r8 = {
+        (r["node"], r["core_degree"], r["in_core"])
+        for r in kcore_decompose(edges, k=3, rounds=8).collect()
+    }
+    r10 = {
+        (r["node"], r["core_degree"], r["in_core"])
+        for r in kcore_decompose(edges, k=3, rounds=10).collect()
+    }
+    assert r8 == r10
+    assert {n for (n, _, c) in r8 if c} == {100, 101, 102, 103}
+
+
+def test_sitemap_gap_set_identities(spark):
+    """Per host: declared = gap + (declared AND crawled), crawled =
+    orphan + (declared AND crawled), and the global counts match the
+    synthesis rates (2/3 declared, 3/4 crawled of each host's urls)."""
+    rows = _q("u_sitemap_gap")(spark, SF).collect()
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    n_total = d.count()
+    assert sum(r["declared_n"] for r in rows) == d.filter(
+        F.col("doc_id") % 3 != 2
+    ).count()
+    assert sum(r["crawled_n"] for r in rows) == d.filter(
+        F.col("doc_id") % 4 != 3
+    ).count()
+    for r in rows:
+        both = r["declared_n"] - r["gap_n"]
+        assert both == r["crawled_n"] - r["orphan_n"]
+        assert r["coverage_ppm"] == 1_000_000 * both // max(r["declared_n"], 1)
+    assert n_total >= sum(r["declared_n"] for r in rows)
