@@ -577,3 +577,138 @@ def test_sitemap_gap_set_identities(spark):
         assert both == r["crawled_n"] - r["orphan_n"]
         assert r["coverage_ppm"] == 1_000_000 * both // max(r["declared_n"], 1)
     assert n_total >= sum(r["declared_n"] for r in rows)
+
+
+def test_table_markdown_shape(spark):
+    """Markdown reassembly: header line is row 0, separator has exactly
+    n_cols(row 0) dashes, body line count = n_rows - 1, and every line
+    is pipe-delimited with the row's cells in column order."""
+    rows = _q("x_table_markdown")(spark, SF).collect()
+    assert rows
+    for r in rows:
+        lines = r["markdown"].split("\n")
+        assert len(lines) == r["n_rows"] + 1  # header + sep + body
+        sep = lines[1]
+        assert set(sep.replace("|", "").split()) <= {"---"}
+        assert sep.count("---") == lines[0].count("|") - 1
+        for ln in lines:
+            assert ln.startswith("|") and ln.endswith("|")
+        if r["table_idx"] == 0:
+            assert lines[0] == "| name | v1 | v2 |"
+            assert r["n_rows"] == 3 and r["n_cols"] == 3
+        else:
+            assert r["n_rows"] == 1 and r["n_cols"] == 2
+
+
+def test_sentence_windows_reconstruct(spark):
+    """Windows partition each document's kept sentences: joined window
+    texts in window order equal the sentence sequence, no window starts
+    past the 200-char budget of its predecessor, and n_chars sums to the
+    doc's kept-sentence mass."""
+    import re
+
+    win = _q("m_sentence_windows")(spark, SF).collect()
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(f"{SF}/documents.parquet").collect()
+    }
+    by_doc: dict[int, list] = {}
+    for r in win:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for doc_id, ws in by_doc.items():
+        ws.sort(key=lambda r: r["window_id"])
+        sents = [
+            s
+            for s in re.sub(
+                r"([.!?])\s+", lambda m: m.group(1) + "\x01", docs[doc_id]
+            ).split("\x01")
+            if s.strip()
+        ]
+        joined = " ".join(w["window_text"] for w in ws)
+        assert joined == " ".join(sents)
+        assert sum(w["n_chars"] for w in ws) == sum(len(s) for s in sents)
+        assert sum(w["n_sents"] for w in ws) == len(sents)
+        # window ids are start-offset // 200 of a prefix sum: strictly increasing
+        assert [w["window_id"] for w in ws] == sorted(
+            {w["window_id"] for w in ws}
+        )
+
+
+def test_int8_quant_roundtrip_bounds(spark):
+    """Codes stay in [0, 255], every vector emits 64 codes, and the
+    reconstruction error is bounded by half a quantization step per
+    dimension (the defining property of round-to-nearest affine SQ)."""
+    rows = _q("e_int8_quant")(spark, SF).collect()
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").collect()
+    import collections
+
+    vals = collections.defaultdict(list)
+    for r in emb:
+        for i, v in enumerate(r["embedding"]):
+            vals[i].append(float(v))
+    steps = {
+        i: (max(v) - min(v)) / 255.0 if max(v) > min(v) else 0.0
+        for i, v in vals.items()
+    }
+    max_step = max(steps.values())
+    for r in rows:
+        codes = [int(c) for c in r["codes_csv"].split(",")]
+        assert len(codes) == 64
+        assert 0 <= r["code_min"] <= r["code_max"] <= 255
+        assert min(codes) == r["code_min"] and max(codes) == r["code_max"]
+        # mse_pico <= (max_step/2)^2 * 1e12 (+1 for the floor(+0.5) pico round)
+        assert r["mse_pico"] <= (max_step / 2) ** 2 * 1e12 + 1
+
+
+def test_oov_rate_top_vocab_zero(spark):
+    """A document made only of the corpus's most frequent tokens has
+    oov_ppm 0; global identity: sum(n_oov) = total token instances not
+    covered by the top-1000 vocabulary (recomputed single-process)."""
+    import re
+    from collections import Counter
+
+    rows = {r["doc_id"]: r for r in _q("t_oov_rate")(spark, SF).collect()}
+    docs = spark.read.parquet(f"{SF}/documents.parquet").collect()
+    freq = Counter()
+    toks_by_doc = {}
+    for d in docs:
+        toks = re.sub(r"[^a-z0-9]+", " ", d["text"].lower()).split()
+        toks_by_doc[d["doc_id"]] = toks
+        freq.update(toks)
+    vocab = {
+        t
+        for t, _ in sorted(freq.items(), key=lambda kv: (-kv[1], kv[0]))[
+            :1000
+        ]
+    }
+    for doc_id, toks in toks_by_doc.items():
+        r = rows[doc_id]
+        oov = sum(1 for t in toks if t not in vocab)
+        assert r["n_tokens"] == len(toks)
+        assert r["n_oov"] == oov
+        assert r["oov_ppm"] == 1_000_000 * oov // max(len(toks), 1)
+
+
+def test_anneal_mix_budget_identities(spark):
+    """Phase allocations are proportional floors: sum(phase1) <= 1e6,
+    sum(phase2) <= 2e5 (floor dust only — deficit < |langs|), and a
+    language with above-average high-quality share gets upweight_ppm >
+    1e6 iff its combined share beats its proportional baseline."""
+    rows = _q("m_anneal_mix")(spark, SF).collect()
+    assert rows
+    p1 = sum(r["phase1_alloc"] for r in rows)
+    p2 = sum(r["phase2_alloc"] for r in rows)
+    assert 1_000_000 - len(rows) <= p1 <= 1_000_000
+    assert 200_000 - len(rows) <= p2 <= 200_000
+    total = sum(r["lang_tokens"] for r in rows)
+    total_hq = sum(r["hq_tokens"] for r in rows)
+    for r in rows:
+        a = 1_000_000 * r["lang_tokens"] // max(total, 1)
+        b = 200_000 * r["hq_tokens"] // max(total_hq, 1)
+        assert r["phase1_alloc"] == a and r["phase2_alloc"] == b
+        expect = (
+            (1_000_000 * (a + b) // 1_200_000)
+            * total
+            // max(r["lang_tokens"], 1)
+        )
+        assert r["upweight_ppm"] == expect
