@@ -807,3 +807,91 @@ def justext_blocks(
         final.alias("class_final"),
         F.md5("seg_text").alias("block_md5"),
     )
+
+
+# Invisible characters stripped by unicode_clean BEFORE NFC: zero-width
+# space/non-joiner/joiner, BOM/ZWNBSP, soft hyphen, and C0/C1 controls
+# except \t and \n. NBSP maps to a plain space. Kept as a module constant
+# so the DuckDB oracle can regenerate the identical strip set.
+ZERO_WIDTH = ("\u200b", "\u200c", "\u200d", "\ufeff", "\u00ad")
+_CONTROL_RE = "[\\x00-\\x08\\x0b-\\x1f\\x7f\\u0080-\\u009f]"
+
+
+def strip_invisible(col: Column) -> Column:
+    """Scan-side half of unicode cleaning: drop zero-width characters and
+    C0/C1 controls (keeping tab/newline), map NBSP to a normal space.
+    Pure codegen — regexp_replace chain, no UDF."""
+    out = F.regexp_replace(col, "[" + "".join(ZERO_WIDTH) + "]", "")
+    out = F.regexp_replace(out, _CONTROL_RE, "")
+    return F.regexp_replace(out, "\u00a0", " ")
+
+
+def unicode_clean(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """Unicode hygiene: strip invisibles/controls, then NFC-normalize —
+    the ftfy-class cleanup every web-corpus recipe runs before tokenizing
+    (decomposed accents from editors, zero-width joiners from copy-paste,
+    soft hyphens from justified print layouts all survive HTML extraction
+    and silently fragment token statistics).
+
+    Split by execution cost: the strip set is a scan-side regexp_replace
+    chain (strip_invisible — pure codegen); canonical composition has no
+    Spark built-in, so NFC alone runs in ONE Arrow-batched mapInPandas
+    stage (unicodedata.normalize at C speed per batch), outside the
+    extraction hot path. Emits per-doc before/after char counts, whether
+    NFC recomposed anything beyond the strip, and md5 of the cleaned
+    UTF-8 bytes — the column downstream exact-dedup keys on (NFC-stable
+    hashing is WHY this stage runs before dedup: 'café' composed and
+    decomposed must be the same duplicate).
+    """
+    import pandas as pd
+
+    if n_partitions is None:
+        n_partitions = df.sparkSession.sparkContext.defaultParallelism
+    id_type = df.schema[id_col].dataType.simpleString()
+    schema = (
+        f"{id_col} {id_type}, n_in bigint, n_stripped bigint, "
+        "n_out bigint, nfc_changed boolean, clean_md5 string"
+    )
+
+    def _batches(it):
+        import hashlib
+        import unicodedata
+
+        for pdf in it:
+            n_in, n_stripped, n_out, changed, md5s = [], [], [], [], []
+            for raw, stripped in zip(
+                pdf["_raw"].fillna(""), pdf["_stripped"].fillna("")
+            ):
+                clean = unicodedata.normalize("NFC", stripped)
+                n_in.append(len(raw))
+                n_stripped.append(len(stripped))
+                n_out.append(len(clean))
+                changed.append(clean != stripped)
+                md5s.append(hashlib.md5(clean.encode("utf-8")).hexdigest())
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "n_in": pd.Series(n_in, index=pdf.index, dtype="int64"),
+                    "n_stripped": pd.Series(
+                        n_stripped, index=pdf.index, dtype="int64"
+                    ),
+                    "n_out": pd.Series(n_out, index=pdf.index, dtype="int64"),
+                    "nfc_changed": pd.Series(changed, index=pdf.index),
+                    "clean_md5": pd.Series(md5s, index=pdf.index),
+                }
+            )
+
+    proj = df.select(
+        F.col(id_col),
+        F.col(text_col).alias("_raw"),
+        strip_invisible(F.col(text_col)).alias("_stripped"),
+    )
+    # single-split driver parquet: repartition so the Arrow stage fans out
+    return proj.repartition(n_partitions, id_col).mapInPandas(
+        _batches, schema
+    )

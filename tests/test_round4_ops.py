@@ -712,3 +712,164 @@ def test_anneal_mix_budget_identities(spark):
             // max(r["lang_tokens"], 1)
         )
         assert r["upweight_ppm"] == expect
+
+
+def test_unicode_clean_branch_semantics(spark):
+    """Each planted dirt class behaves as specified: decomposed accents
+    recompose (nfc_changed, n_out < n_stripped), zero-width/soft-hyphen
+    and control classes shrink at the STRIP stage only, NBSP class keeps
+    length (1:1 space swap), precomposed class is a no-op end-to-end; and
+    the md5 equals a single-process unicodedata replay (golden gate)."""
+    import hashlib
+    import re
+    import unicodedata
+
+    rows = {r["doc_id"]: r for r in _q("t_unicode_clean")(spark, SF).collect()}
+    docs = spark.read.parquet(f"{SF}/documents.parquet").collect()
+    markers = {
+        0: " e\u0301 cafe\u0301",
+        1: " \u200bx\u00ady",
+        2: "\u00a0q",
+        3: " \x07bell\u009f",
+        4: " \u00e9 plain",
+    }
+    for d in docs:
+        did = d["doc_id"]
+        r = rows[did]
+        dirty = d["text"] + markers[did % 5]
+        stripped = re.sub("[\u200b\u200c\u200d\ufeff\u00ad]", "", dirty)
+        stripped = re.sub(
+            "[\x00-\x08\x0b-\x1f\x7f\u0080-\u009f]", "", stripped
+        )
+        stripped = stripped.replace("\u00a0", " ")
+        clean = unicodedata.normalize("NFC", stripped)
+        assert r["n_in"] == len(dirty)
+        assert r["n_stripped"] == len(stripped)
+        assert r["n_out"] == len(clean)
+        assert r["nfc_changed"] == (clean != stripped)
+        assert r["clean_md5"] == hashlib.md5(clean.encode()).hexdigest()
+        cls = did % 5
+        if cls == 0:
+            assert r["nfc_changed"] and r["n_out"] == r["n_stripped"] - 2
+        elif cls == 1:
+            assert r["n_stripped"] == r["n_in"] - 2 and not r["nfc_changed"]
+        elif cls == 2:
+            assert r["n_stripped"] == r["n_in"] and not r["nfc_changed"]
+        elif cls == 3:
+            assert r["n_stripped"] == r["n_in"] - 2 and not r["nfc_changed"]
+        else:
+            assert r["n_out"] == r["n_in"] and not r["nfc_changed"]
+
+
+def test_topic_classify_planted_winner(spark):
+    """The planted topic wins for every marked class, 'none' only for the
+    unmarked class, score equals the planted instance count, and the
+    cross-topic noise term shows up in total_hits on even ids."""
+    from pdf_extractor_spark.queries import _TOPIC_LEX
+
+    rows = _q("t_topic_classify")(spark, SF).collect()
+    names = [n for n, _ in _TOPIC_LEX]
+    for r in rows:
+        did = r["doc_id"]
+        cls = did % 7
+        if cls == 6:
+            assert r["topic"] == "none"
+            assert r["score"] == 0 and r["total_hits"] == 0
+        else:
+            reps = 1 + did % 3
+            noise = 1 if did % 2 == 0 else 0
+            assert r["topic"] == names[cls]
+            assert r["score"] == 2 * reps
+            assert r["total_hits"] == 2 * reps + noise
+
+
+def test_charset_sniff_rules(spark):
+    """BOM classes report the BOM encoding; meta classes extract the
+    declared label; the past-prelude meta trap falls through to
+    windows-1252."""
+    rows = _q("w_charset_sniff")(spark, SF).collect()
+    for r in rows:
+        cls = r["doc_id"] % 6
+        if cls == 0:
+            assert (r["method"], r["charset"]) == ("bom", "utf-8")
+        elif cls == 1:
+            assert (r["method"], r["charset"]) == ("bom", "utf-16le")
+        elif cls == 2:
+            assert (r["method"], r["charset"]) == ("bom", "utf-16be")
+        elif cls == 3:
+            assert (r["method"], r["charset"]) == ("meta", "utf-8")
+        elif cls == 4:
+            assert (r["method"], r["charset"]) == ("meta", "iso-8859-1")
+        else:
+            assert (r["method"], r["charset"]) == (
+                "default",
+                "windows-1252",
+            )
+            assert r["n_bytes"] > 1100  # the trap body really is long
+
+
+def test_canonical_cluster_identities(spark):
+    """Clusters partition the corpus (every member carries the cluster's
+    true size); predecessor-pointing docs land in their target's cluster;
+    the representative is the min doc_id of the cluster."""
+    rows = _q("u_canonical_cluster")(spark, SF).collect()
+    by_key: dict[str, list] = {}
+    for r in rows:
+        by_key.setdefault(r["canonical_key"], []).append(r)
+    assert sum(len(v) for v in by_key.values()) == len(rows)
+    for members in by_key.values():
+        assert {m["cluster_n"] for m in members} == {len(members)}
+        rep = min(m["doc_id"] for m in members)
+        assert all(m["rep_doc"] == rep for m in members)
+    by_id = {r["doc_id"]: r for r in rows}
+    for r in rows:
+        did = r["doc_id"]
+        if did % 3 == 1 and did > 0:
+            assert not r["is_canonical"]
+            assert r["canonical_key"] == by_id[did - 1]["url"]
+        else:
+            assert r["is_canonical"] and r["canonical_key"] == r["url"]
+
+
+def test_containment_pairs_vs_bruteforce(spark):
+    """Every reported pair's containment matches a single-process
+    recompute from raw text, values are bounded (inter <= min(n_a, n_b)),
+    the 0.6 filter holds, and NO candidate pair the LSH emits above the
+    threshold is missing from the output."""
+    import re
+
+    from pdf_extractor_spark.operators import dedup as D
+
+    rows = _q("d_containment_pairs")(spark, SF).collect()
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in D.minhash_lsh_pairs(
+            d, k=4, bands=2, shingle_n=2, n_partitions=8
+        ).collect()
+    }
+
+    def sh(text):
+        toks = re.sub(r"[^a-z0-9]+", " ", text.lower()).split()
+        return {" ".join(toks[i : i + 2]) for i in range(len(toks) - 1)}
+
+    texts = {r["doc_id"]: r["text"] for r in d.collect()}
+    got = {(r["id_a"], r["id_b"]): r for r in rows}
+    assert set(got) <= pairs
+    expected = set()
+    for a, b in pairs:
+        sa, sb = sh(texts[a]), sh(texts[b])
+        inter = len(sa & sb)
+        ca = 1_000_000 * inter // max(len(sa), 1)
+        cb = 1_000_000 * inter // max(len(sb), 1)
+        if max(ca, cb) >= 600_000:
+            expected.add((a, b))
+            r = got[(a, b)]
+            assert (r["n_a"], r["n_b"], r["inter_n"]) == (
+                len(sa),
+                len(sb),
+                inter,
+            )
+            assert (r["cont_a_ppm"], r["cont_b_ppm"]) == (ca, cb)
+            assert r["inter_n"] <= min(r["n_a"], r["n_b"])
+    assert set(got) == expected
