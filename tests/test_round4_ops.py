@@ -873,3 +873,132 @@ def test_containment_pairs_vs_bruteforce(spark):
             assert (r["cont_a_ppm"], r["cont_b_ppm"]) == (ca, cb)
             assert r["inter_n"] <= min(r["n_a"], r["n_b"])
     assert set(got) == expected
+
+
+def test_script_detect_planted_dominance(spark):
+    """Every marked class reports its planted script as dominant (counts
+    beat the 120-char latin body by construction), class 0 stays latin
+    (or 'none' for letterless bodies), and counts equal a single-process
+    regex recompute."""
+    import re
+
+    rows = {r["doc_id"]: r for r in _q("t_script_detect")(spark, SF).collect()}
+    docs = spark.read.parquet(f"{SF}/documents.parquet").collect()
+    from pdf_extractor_spark.queries import _SCRIPTS
+
+    # python re lacks \x{...}: rebuild the classes from the ranges directly
+    py_pat = {
+        "latin": "[A-Za-z]",
+        "cyrillic": "[Ѐ-ӿ]",
+        "greek": "[Ͱ-Ͽ]",
+        "arabic": "[؀-ۿ]",
+        "cjk": "[一-鿿]",
+        "hangul": "[가-힣]",
+    }
+    markers = {i: mk for i, (_, _, mk) in enumerate(_SCRIPTS)}
+    for d in docs:
+        did = d["doc_id"]
+        r = rows[did]
+        cls = did % 6
+        body = d["text"][:120] + (
+            (" " + markers[cls]) * 40 if markers.get(cls) else ""
+        )
+        total = 0
+        for name, _, _ in _SCRIPTS:
+            n = len(re.findall(py_pat[name], body))
+            assert r[f"n_{name}"] == n, (did, name)
+            total += n
+        assert r["n_letters"] == total
+        if cls == 0:
+            assert r["script"] in ("latin", "none")
+        else:
+            assert r["script"] == _SCRIPTS[cls][0]
+            assert r["dom_ppm"] > 500000  # planted script holds a majority
+
+
+def test_badwords_gate_routes(spark):
+    """Class semantics: clean keeps, single hit flags, dense repeats and
+    3+ distinct terms drop, and the token-boundary trap ('casinos') never
+    matches — exact-token matching only."""
+    rows = _q("t_badwords_gate")(spark, SF).collect()
+    for r in rows:
+        cls = r["doc_id"] % 5
+        if cls == 0:
+            assert (r["n_bad"], r["route"]) == (0, "keep")
+        elif cls == 1:
+            assert r["n_bad"] == 1 and r["n_bad_terms"] == 1
+            # a single hit in a very short doc legitimately crosses the
+            # 8% density threshold
+            assert (r["route"] == "drop") == (r["bad_ppm"] >= 80000)
+            assert r["route"] in ("flag", "drop")
+        elif cls == 2:
+            reps = 1 + r["doc_id"] % 4
+            assert r["n_bad"] == 2 * reps and r["n_bad_terms"] == 2
+            assert r["route"] in ("flag", "drop")
+            assert (r["route"] == "drop") == (r["bad_ppm"] >= 80000)
+        elif cls == 3:
+            assert r["n_bad_terms"] == 4 and r["route"] == "drop"
+        else:
+            assert (r["n_bad"], r["n_bad_terms"]) == (0, 0)
+            assert r["route"] == "keep"
+        assert r["bad_ppm"] == 1_000_000 * r["n_bad"] // max(r["n_tokens"], 1)
+
+
+def test_pii_density_gate_counts_and_routes(spark):
+    """Planted PII classes count exactly (1 email / email+IP+phone / 8
+    emails), density and route recompute from the row's own counts, and
+    the redacted md5 matches a single-process redaction replay."""
+    import hashlib
+    import re
+
+    from pdf_extractor_spark.functions.redact import (
+        EMAIL_RE,
+        EMAIL_TOKEN,
+        IP_TOKEN,
+        IPV4_RE,
+        PHONE_RE,
+        PHONE_TOKEN,
+    )
+
+    rows = {
+        r["doc_id"]: r for r in _q("t_pii_density_gate")(spark, SF).collect()
+    }
+    docs = spark.read.parquet(f"{SF}/documents.parquet").collect()
+    for d in docs:
+        did = d["doc_id"]
+        r = rows[did]
+        cls = did % 4
+        if cls == 0:
+            assert (r["n_emails"], r["n_ips"], r["n_phones"]) == (0, 0, 0)
+            assert r["route"] == "keep"
+        elif cls == 1:
+            assert (r["n_emails"], r["n_ips"], r["n_phones"]) == (1, 0, 0)
+            assert r["route"] in ("redact", "drop")
+        elif cls == 2:
+            assert (r["n_emails"], r["n_ips"], r["n_phones"]) == (1, 1, 1)
+        else:
+            assert r["n_emails"] == 8
+        total = r["n_emails"] + r["n_ips"] + r["n_phones"]
+        assert r["pii_ppm"] == 1_000_000 * total // max(r["n_tokens"], 1)
+        expect_route = (
+            "drop"
+            if r["pii_ppm"] >= 150_000
+            else ("redact" if total > 0 else "keep")
+        )
+        assert r["route"] == expect_route
+        if cls == 1:
+            marker = f" reach me at u{did}@mail.example now"
+        elif cls == 2:
+            marker = (
+                f" u{did}@mail.example or 10.0.{did % 200}.5"
+                f" or +44 7700 900{did % 1000:03d}"
+            )
+        elif cls == 3:
+            marker = f" spam{did}@x.example" * 8
+        else:
+            marker = ""
+        t = d["text"] + marker
+        red = re.sub(EMAIL_RE, EMAIL_TOKEN, t)
+        red = re.sub(IPV4_RE, IP_TOKEN, red)
+        red = re.sub(PHONE_RE, PHONE_TOKEN, red)
+        assert r["redacted_md5"] == hashlib.md5(red.encode()).hexdigest()
