@@ -1002,3 +1002,133 @@ def test_pii_density_gate_counts_and_routes(spark):
         red = re.sub(IPV4_RE, IP_TOKEN, red)
         red = re.sub(PHONE_RE, PHONE_TOKEN, red)
         assert r["redacted_md5"] == hashlib.md5(red.encode()).hexdigest()
+
+
+def test_doremi_weights_identities(spark):
+    """Weights stay a (floored) distribution, the largest domain's weight
+    strictly grows from uniform init, every round replays in pure python
+    (integer recurrence), and excess is 1e6 for exactly the max domain."""
+    rows = _q("m_doremi_weights")(spark, SF).collect()
+    k = len(rows)
+    w_init = 1_000_000 // k
+    assert all(r["w_init_ppm"] == w_init for r in rows)
+    assert sum(r["w_final_ppm"] for r in rows) <= 1_000_000
+    assert sum(r["w_final_ppm"] for r in rows) >= 1_000_000 - k
+    mx = max(r["n_tokens"] for r in rows)
+    for r in rows:
+        assert r["excess_ppm"] == 1_000_000 * r["n_tokens"] // mx
+    top = max(rows, key=lambda r: r["n_tokens"])
+    assert top["excess_ppm"] == 1_000_000
+    assert top["w_final_ppm"] > w_init
+    # full pure-python replay
+    ws = {r["lang"]: w_init for r in rows}
+    for _ in range(6):
+        raw = {
+            r["lang"]: ws[r["lang"]]
+            * (1_000_000 + 200_000 * r["excess_ppm"] // 1_000_000)
+            // 1_000_000
+            for r in rows
+        }
+        tot = sum(raw.values())
+        ws = {lang: 1_000_000 * raw[lang] // tot for lang in raw}
+    for r in rows:
+        assert r["w_final_ppm"] == ws[r["lang"]]
+
+
+def test_temporal_split_boundaries(spark):
+    """Split boundaries are exact: eval iff date >= cutoff, embargo iff
+    within the 14 days before it, train else; days_to_cutoff recomputes
+    from the synthesized date rule."""
+    import datetime
+
+    rows = _q("m_temporal_split")(spark, SF).collect()
+    base = datetime.date(2025, 1, 1)
+    cutoff = datetime.date(2025, 10, 1)
+    for r in rows:
+        d = base + datetime.timedelta(days=(r["doc_id"] * 37) % 365)
+        assert r["warc_date"] == d
+        assert r["days_to_cutoff"] == (cutoff - d).days
+        if d >= cutoff:
+            assert r["split"] == "eval"
+        elif (cutoff - d).days <= 14:
+            assert r["split"] == "embargo"
+        else:
+            assert r["split"] == "train"
+    assert {r["split"] for r in rows} == {"train", "embargo", "eval"}
+
+
+def test_dim_truncation_bounds_and_top1(spark):
+    """overlap@10 is in [0,10]; the full-dim top-1 matches a single-process
+    brute-force recompute with the same 6dp-round-then-tie-break rule."""
+    rows = _q("e_dim_truncation")(spark, SF).collect()
+    assert rows
+    emb = {
+        r["vec_id"]: r["embedding"]
+        for r in spark.read.parquet(f"{SF}/embeddings.parquet").collect()
+    }
+
+    def cos(a, b, dims=None):
+        if dims:
+            a, b = a[:dims], b[:dims]
+        dp = sum(float(x) * float(y) for x, y in zip(a, b))
+        na = sum(float(x) ** 2 for x in a) ** 0.5
+        nb = sum(float(x) ** 2 for x in b) ** 0.5
+        return round(dp / max(na * nb, 1e-12), 6)
+
+    for r in rows:
+        assert 0 <= r["overlap_at_10"] <= 10
+        av = emb[r["anchor_id"]]
+        best = min(
+            ((-cos(emb[v], av), v) for v in emb if v != r["anchor_id"]),
+        )
+        assert r["top1_full"] == best[1]
+        assert abs(r["top1_full_sim"] - (-best[0])) < 1e-9
+        best_t = min(
+            ((-cos(emb[v], av, 16), v) for v in emb if v != r["anchor_id"]),
+        )
+        assert r["top1_trunc"] == best_t[1]
+
+
+def test_unigram_kl_nonneg_and_replay(spark):
+    """KL >= 0 (within float eps of the 6dp rounding), n_terms <= 50, and
+    the value replays from a single-process recompute over raw text with
+    the same md5 coin."""
+    import hashlib
+    import math
+    import re
+    from collections import Counter
+
+    rows = {r["lang"]: r for r in _q("t_unigram_kl")(spark, SF).collect()}
+    docs = spark.read.parquet(f"{SF}/documents.parquet").collect()
+    corpus: dict[str, Counter] = {}
+    sample: dict[str, Counter] = {}
+    for d in docs:
+        toks = re.sub(r"[^a-z0-9]+", " ", d["text"].lower()).split()
+        corpus.setdefault(d["lang"], Counter()).update(toks)
+        h = hashlib.md5(f"kl:{d['doc_id']}".encode()).hexdigest()
+        if int(h[:8], 16) / 2**32 < 0.2:
+            sample.setdefault(d["lang"], Counter()).update(toks)
+    for lang, r in rows.items():
+        assert r["kl_divergence"] >= -1e-6
+        assert r["n_terms"] <= 50
+        top = sorted(
+            corpus[lang].items(), key=lambda kv: (-kv[1], kv[0])
+        )[:50]
+        tot_c = sum(c for _, c in top)
+        scnt = sample.get(lang, Counter())
+        tot_s = sum(scnt.get(t, 0) for t, _ in top)
+        n = len(top)
+        assert (r["corpus_tokens"], r["sample_tokens"], r["n_terms"]) == (
+            tot_c,
+            tot_s,
+            n,
+        )
+        kl = sum(
+            ((scnt.get(t, 0) + 1) / (tot_s + n))
+            * math.log(
+                ((scnt.get(t, 0) + 1) / (tot_s + n))
+                / ((c + 1) / (tot_c + n))
+            )
+            for t, c in top
+        )
+        assert abs(r["kl_divergence"] - round(kl, 6)) <= 1e-6
