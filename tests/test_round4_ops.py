@@ -1132,3 +1132,119 @@ def test_unigram_kl_nonneg_and_replay(spark):
             for t, c in top
         )
         assert abs(r["kl_divergence"] - round(kl, 6)) <= 1e-6
+
+
+def test_dehyphenate_roundtrip_and_python_replay(spark):
+    """Every synthesized break must be repaired (n_breaks == n_repaired),
+    every repair must restore the original bytes, and the wrap+repair
+    pair must agree with an independent Python `re` replay (Java, RE2 and
+    Python re share leftmost-match + resume-after-replacement semantics
+    for these patterns)."""
+    import hashlib
+    import re
+
+    rows = {r["doc_id"]: r for r in _q("x_dehyphenate")(spark, SF).collect()}
+    docs = spark.read.parquet(f"{SF}/documents.parquet").collect()
+    assert len(rows) == len(docs)
+    for d in docs:
+        r = rows[d["doc_id"]]
+        assert r["restored_ok"] is True
+        assert r["n_breaks"] == r["n_repaired"]
+        wrapped = re.sub(
+            r"(.{39}[a-z0-9])([a-z0-9])", r"\1-\n\2", d["text"]
+        )
+        repaired = re.sub(r"([a-z0-9])-\n([a-z0-9])", r"\1\2", wrapped)
+        assert repaired == d["text"]
+        assert r["n_breaks"] == (len(wrapped) - len(d["text"])) // 2
+        assert r["repaired_md5"] == hashlib.md5(repaired.encode()).hexdigest()
+
+
+def test_ligature_fold_roundtrip_and_counts(spark):
+    """Fold(inject(text)) must equal text for every row, and the per-class
+    ligature counts must match a str.replace replay (leftmost
+    non-overlapping in both engines and Python)."""
+    rows = {r["doc_id"]: r for r in _q("t_ligature_fold")(spark, SF).collect()}
+    docs = spark.read.parquet(f"{SF}/documents.parquet").collect()
+    seen_nonzero = 0
+    for d in docs:
+        r = rows[d["doc_id"]]
+        assert r["restored_ok"] is True
+        dirty = d["text"]
+        for a, b in (("fi", "ﬁ"), ("fl", "ﬂ"), ("ae", "æ"), ("oe", "œ")):
+            dirty = dirty.replace(a, b)
+        expected = {
+            "n_fi": dirty.count("ﬁ"),
+            "n_fl": dirty.count("ﬂ"),
+            "n_ae": dirty.count("æ"),
+            "n_oe": dirty.count("œ"),
+        }
+        for k, v in expected.items():
+            assert r[k] == v, (d["doc_id"], k, r[k], v)
+        seen_nonzero += any(expected.values())
+    assert seen_nonzero > 0  # the corpus really plants ligatures
+
+
+def test_list_markdown_matches_synthesis_rules(spark):
+    """Markdown output must be reconstructible from the page-synthesis
+    rules alone: item counts, numbering, and the no-list/gamma/extra
+    branches."""
+    rows = _q("x_list_markdown")(spark, SF).collect()
+    by_key = {(r["doc_id"], r["kind"], r["list_idx"]): r for r in rows}
+    assert len(by_key) == len(rows)
+    ids = [
+        r["doc_id"]
+        for r in spark.read.parquet(f"{SF}/documents.parquet")
+        .select("doc_id")
+        .collect()
+    ]
+    expected = {}
+    for did in ids:
+        if did % 5 == 0:
+            continue
+        ul = [f"alpha {did % 7}", f"beta {did % 5}"]
+        if did % 3 == 0:
+            ul.append("gamma")
+        expected[(did, "ul", 0)] = "\n".join(f"- {x}" for x in ul)
+        if did % 2 == 0:
+            ol = [f"step {did % 4}", "done"]
+            if did % 7 == 0:
+                ol.append("extra")
+            expected[(did, "ol", 0)] = "\n".join(
+                f"{j + 1}. {x}" for j, x in enumerate(ol)
+            )
+    assert set(by_key) == set(expected)
+    for k, md in expected.items():
+        assert by_key[k]["markdown"] == md, (k, by_key[k]["markdown"], md)
+        assert by_key[k]["n_items"] == md.count("\n") + 1
+
+
+def test_phrase_search_matches_bruteforce(spark):
+    """Winner phrase and per-doc hit counts must match a full Python
+    recount of the corpus trigram stream."""
+    import re
+    from collections import Counter
+
+    rows = _q("t_phrase_search")(spark, SF).collect()
+    docs = spark.read.parquet(f"{SF}/documents.parquet").collect()
+    per_doc = {}
+    corpus = Counter()
+    for d in docs:
+        toks = re.sub(r"[^a-z0-9]+", " ", d["text"].lower()).split()
+        grams = [
+            " ".join(toks[i : i + 3]) for i in range(max(len(toks) - 2, 0))
+        ]
+        per_doc[d["doc_id"]] = Counter(grams)
+        corpus.update(grams)
+    phrase = min(corpus, key=lambda g: (-corpus[g], g))
+    hits = sorted(
+        (
+            (did, c[phrase])
+            for did, c in per_doc.items()
+            if c[phrase] > 0
+        ),
+        key=lambda t: (-t[1], t[0]),
+    )[:20]
+    assert [(r["doc_id"], r["n_occurrences"]) for r in rows] == hits
+    for r in rows:
+        assert r["phrase"] == phrase
+        assert r["corpus_occurrences"] == corpus[phrase]
