@@ -1248,3 +1248,84 @@ def test_phrase_search_matches_bruteforce(spark):
     for r in rows:
         assert r["phrase"] == phrase
         assert r["corpus_occurrences"] == corpus[phrase]
+
+
+def test_soft_dedup_weights_mass_conservation(spark):
+    """Weights must give every distinct content ~1e6 total ppm mass
+    (floor rounding), the canonical flag must pick exactly one row (the
+    min doc_id) per content group, and dup_count must match a Python
+    groupby of md5(text)."""
+    import hashlib
+    from collections import defaultdict
+
+    rows = {
+        r["doc_id"]: r
+        for r in _q("d_soft_dedup_weights")(spark, SF).collect()
+    }
+    docs = spark.read.parquet(f"{SF}/documents.parquet").collect()
+    groups = defaultdict(list)
+    for d in docs:
+        groups[hashlib.md5(d["text"].encode()).hexdigest()].append(
+            d["doc_id"]
+        )
+    assert len(rows) == len(docs)
+    for ids in groups.values():
+        c = len(ids)
+        canon = [i for i in ids if rows[i]["is_canonical"]]
+        assert canon == [min(ids)]
+        for i in ids:
+            assert rows[i]["dup_count"] == c
+            assert rows[i]["weight_ppm"] == 1_000_000 // c
+        total = sum(rows[i]["weight_ppm"] for i in ids)
+        assert 1_000_000 - c < total <= 1_000_000
+
+
+def test_bootstrap_ci_brackets_point_mean(spark):
+    """The Poisson-bootstrap CI must bracket the point mean, be ordered,
+    and match an independent Python replay of the threshold table."""
+    import hashlib
+
+    r = _q("a_bootstrap_ci")(spark, SF).first()
+    docs = spark.read.parquet(f"{SF}/documents.parquet").collect()
+    ths = [
+        1580030168, 3160060337, 3950075421,
+        4213413783, 4279248373, 4292415291,
+    ]
+    means = []
+    for b in range(32):
+        sk = skx = 0
+        for d in docs:
+            coin = int(
+                hashlib.md5(f"boot:{b}:{d['doc_id']}".encode())
+                .hexdigest()[:8],
+                16,
+            )
+            k = next((i for i, t in enumerate(ths) if coin <= t), 6)
+            sk += k
+            skx += k * d["n_chars"]
+        means.append(round(skx / sk, 6))
+    means.sort()
+    assert r["n_replicates"] == 32 and r["n_docs"] == len(docs)
+    assert r["ci_lo_p05"] == means[1] and r["ci_hi_p95"] == means[30]
+    assert r["ci_lo_p05"] <= r["mean_nchars"] <= r["ci_hi_p95"]
+
+
+def test_band_tuning_s_curve_properties(spark):
+    """The S-curve table must be monotone in the right directions: more
+    bands -> lower threshold and higher candidate probability at every
+    j; p is a probability; the b=128/r=1 row degenerates to
+    'any shared hash'."""
+    rows = sorted(
+        _q("d_minhash_band_tuning")(spark, SF).collect(),
+        key=lambda r: r["bands"],
+    )
+    assert [r["bands"] for r in rows] == [1, 2, 4, 8, 16, 32, 64, 128]
+    for r in rows:
+        assert r["bands"] * r["rows_per_band"] == 128
+        for c in ("p_at_050", "p_at_070", "p_at_080", "p_at_090"):
+            assert 0.0 <= r[c] <= 1.0
+    for a, b in zip(rows, rows[1:]):
+        assert b["threshold"] < a["threshold"]
+        assert b["p_at_080"] >= a["p_at_080"]
+    top = rows[-1]
+    assert top["rows_per_band"] == 1 and top["p_at_050"] == 1.0

@@ -121,9 +121,14 @@ def test_star_join_broadcasts_dims(spark):
 def _unpartitioned_windows(plan: str) -> list[str]:
     """Arguments lines of Window nodes with NO partition spec.
 
-    A formatted Window detail is ``Arguments: [funcs], [partSpec], [orderSpec]``
-    (3 top-level groups); an unpartitioned window has only 2 — and executes
-    on a SinglePartition exchange, serializing the whole input on one task.
+    A formatted Window detail prints only the NON-empty spec groups:
+    ``[funcs], [partSpec], [orderSpec]`` when both are set, but just TWO
+    groups when one is empty — and the two-group forms are only
+    distinguishable by content (order-spec entries carry ``ASC``/``DESC``,
+    partition columns never do; verified empirically on Spark 4.1).
+    Unpartitioned = the order-only form (it executes on a SinglePartition
+    exchange, serializing the whole input on one task) or a window with
+    neither spec.
     """
     bad, lines = [], plan.splitlines()
     import re
@@ -132,8 +137,13 @@ def _unpartitioned_windows(plan: str) -> list[str]:
         if re.fullmatch(r"\(\d+\) Window", ln.strip()):
             for detail in lines[i + 1 : i + 8]:
                 if detail.startswith("Arguments:"):
-                    if detail.count("], [") < 2:
+                    groups = detail.count("], [") + 1
+                    if groups < 2:
                         bad.append(detail)
+                    elif groups == 2:
+                        tail = detail[detail.rindex("], [") + 2 :]
+                        if " ASC" in tail or " DESC" in tail:
+                            bad.append(detail)  # order-only: SinglePartition
                     break
     return bad
 
