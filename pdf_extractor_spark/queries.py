@@ -47,67 +47,75 @@ def query(name: str, oracle: str | None = None):
 
 
 # The driver records CORRECTNESS rows for exactly the FIRST 50 entries of
-# ``queries()`` (registration order). Round-4 rotation (VERDICT r3 "Next
-# round" item 1): the 49 queries with no row in any CORRECTNESS_r0{1,2,3}.json
-# — every round-3 addition plus the five converted SURVEY items
-# (P4/F18/F19/F20/F21) — in registration order, led by the flagship
-# `x_extract_pipeline` as the one continuously-graded anchor. With this window
-# green, the r1–r4 union covers all 131 catalog queries. New queries MUST be
-# appended AFTER the graded set (i.e. left out of this list) so driver
-# coverage stays stable across rounds (VERDICT r2 item 1 / ADVICE r2 item 1).
+# ``queries()`` (registration order). Round-5 rotation (VERDICT r4 items
+# 1/2/4/6, amending the COVERAGE.md round-5 plan): the flagship anchor is
+# DROPPED this round (x_extract_pipeline holds green r3 AND r4 rows; a third
+# adds nothing while a never-checked query loses its only slot). The window
+# leads with the protocol-drift canary (environment fingerprint — if IT goes
+# red, every other mismatch in the round is suspect), then the re-check of
+# m_mixture_epochs (the only red driver row in four rounds, oracle now
+# BIGINT-cast on every numeric column), then the new composed multimodal
+# dedup query, then 47 of the 50 never-driver-checked names from the
+# committed COVERAGE.md plan — the three displaced names (x_list_markdown,
+# t_ligature_fold, w_wat_codec) each have a driver-checked or in-window
+# family sibling (justifications in COVERAGE.md round-5 section). With this
+# window green, the r1–r5 union covers 180/211; every remaining query carries
+# a written sibling-coverage justification in COVERAGE.md.
 _DRIVER_WINDOW: list[str] = [
-    # --- continuously-graded flagship anchor (green r3) ----------------------
-    "x_extract_pipeline",
-    # --- the 49 never-driver-checked queries, registration order -------------
-    "t_line_boilerplate_clean",
-    "d_paragraph_dedup",
-    "t_trigram_typicality",
-    "t_target_mix_sample",
-    "u_host_cap",
-    "d_incremental_near_dups",
-    "u_recrawl_stats",
-    "u_bloom_visited",
-    "t_c4_filter",
-    "t_dsir_importance",
-    "d_semdedup",
-    "w_warc_codec",
-    "u_robots_filter",
-    "g_host_pagerank",
-    "t_ccnet_buckets",
-    "d_paragraph_dedup_rewrite",
-    "t_temperature_mix",
-    "m_bpe_train",
-    "t_quality_classifier",
-    "m_bpe_encode",
-    "d_exact_substr_spans",
-    "d_exact_substr_rewrite",
-    "s_first_event_per_key",
-    "w_cdx_index",
-    "u_outlinks",
-    "u_anchor_top_terms",
-    "d_leakage_free_split",
+    # --- environment fingerprint first (VERDICT r4 item 4) -------------------
+    "a_protocol_canary",
+    # --- the r4 red row, re-checked with hardened oracle (item 1) ------------
     "m_mixture_epochs",
-    "f20_format_size",
-    "p4_multi_statement_detect",
-    "f18_schema_drift_repair",
-    "f19_statement_type_split",
-    "f21_parse_validation_report",
-    "e_hard_negatives",
-    "m_ngram_counts",
-    "t_mojibake_fix",
-    "t_quality_rrf",
-    "u_fetch_schedule",
-    "e_diversity_sample",
-    "w_sitemap_parse",
-    "u_crawl_budget",
-    "t_paragraph_langid",
-    "u_outlinks_resolved",
-    "x_extract_tables",
-    "t_bm25_topk",
-    "mm_phash_near_dup",
-    "t_simpson_diversity",
-    "d_boilerplate_paragraphs",
-    "d_drop_boilerplate",
+    # --- composed multimodal dedup path (item 6) -----------------------------
+    "mm_phash_dedup_reps",
+    # --- 47 never-driver-checked round-4 queries (COVERAGE.md plan order) ----
+    "t_quality_train",
+    "e_bitext_mine",
+    "m_span_corruption",
+    "e_pq_encode",
+    "m_curriculum_order",
+    "e_adc_topk",
+    "a_hll_distinct",
+    "m_fim_transform",
+    "a_cms_heavy_hitters",
+    "w_wet_codec",
+    "x_extract_outline",
+    "d_cdc_chunks",
+    "e_mmr_rerank",
+    "u_url_spam_filter",
+    "t_sentence_split",
+    "d_lsh_recall",
+    "x_extract_jsonld",
+    "x_extract_code_blocks",
+    "a_quantile_histogram",
+    "t_zipf_slope",
+    "u_redirect_resolve",
+    "u_mime_filter",
+    "t_justext_blocks",
+    "m_sft_format",
+    "e_knn_graph",
+    "g_triangle_count",
+    "g_label_propagation",
+    "m_dpo_pairs",
+    "m_length_bucket_batches",
+    "u_link_reciprocity",
+    "g_kcore",
+    "x_table_markdown",
+    "t_unicode_clean",
+    "t_topic_classify",
+    "u_canonical_cluster",
+    "d_containment_pairs",
+    "t_script_detect",
+    "t_badwords_gate",
+    "t_pii_density_gate",
+    "m_doremi_weights",
+    "m_temporal_split",
+    "e_dim_truncation",
+    "t_unigram_kl",
+    "x_dehyphenate",
+    "t_phrase_search",
+    "d_soft_dedup_weights",
+    "a_bootstrap_ci",
 ]
 
 
@@ -5084,11 +5092,16 @@ def d_leakage_split(spark: SparkSession, sf: str) -> DataFrame:
                  // greatest(n_tokens, 1)))
                AS epochs
       FROM w)
-    SELECT lang, n_docs, n_tokens, weight_pct, target_tokens, epochs,
-           n_tokens * epochs AS planned_tokens,
-           CASE WHEN (target_tokens + greatest(n_tokens, 1) - 1)
-                     // greatest(n_tokens, 1) > 8
-                THEN 1 ELSE 0 END AS budget_capped
+    SELECT lang,
+           cast(n_docs AS BIGINT) AS n_docs,
+           cast(n_tokens AS BIGINT) AS n_tokens,
+           cast(weight_pct AS BIGINT) AS weight_pct,
+           cast(target_tokens AS BIGINT) AS target_tokens,
+           cast(epochs AS BIGINT) AS epochs,
+           cast(n_tokens * epochs AS BIGINT) AS planned_tokens,
+           cast(CASE WHEN (target_tokens + greatest(n_tokens, 1) - 1)
+                          // greatest(n_tokens, 1) > 8
+                     THEN 1 ELSE 0 END AS BIGINT) AS budget_capped
     FROM plan
     """,
 )
@@ -5128,20 +5141,33 @@ def m_mixture(spark: SparkSession, sf: str) -> DataFrame:
         "(CAST(weight_pct * 1000000 AS BIGINT) div 100"
         " + greatest(n_tokens, 1) - 1) div greatest(n_tokens, 1)"
     )
+    # r4 driver postmortem: this query held the only red driver row in four
+    # rounds (CORRECTNESS_r04 hash_match false; rows/schema green; locally
+    # unreproducible across the full sweep). Its oracle was one of the few
+    # whose final SELECT left the sum() aggregate (HUGEINT in DuckDB) and
+    # derived columns uncast — the one discipline difference vs its green
+    # sibling m_doremi_weights. Both sides now cast EVERY numeric output to
+    # BIGINT explicitly; a_protocol_canary fingerprints the driver's hashing
+    # of each numeric type family so any recurrence is diagnosable.
     return planned.select(
         "lang",
-        "n_docs",
-        "n_tokens",
-        "weight_pct",
-        target.alias("target_tokens"),
-        F.least(F.lit(8), F.greatest(F.lit(1), raw_epochs)).alias("epochs"),
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.col("weight_pct").cast("bigint").alias("weight_pct"),
+        target.cast("bigint").alias("target_tokens"),
+        F.least(F.lit(8), F.greatest(F.lit(1), raw_epochs))
+        .cast("bigint")
+        .alias("epochs"),
         (
             F.col("n_tokens")
             * F.least(F.lit(8), F.greatest(F.lit(1), raw_epochs))
-        ).alias("planned_tokens"),
-        F.when(raw_epochs > 8, F.lit(1)).otherwise(F.lit(0)).alias(
-            "budget_capped"
-        ),
+        )
+        .cast("bigint")
+        .alias("planned_tokens"),
+        F.when(raw_epochs > 8, F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("budget_capped"),
     )
 
 
@@ -13527,3 +13553,163 @@ def d_minhash_band_tuning(spark: SparkSession, sf: str) -> DataFrame:
         s_curve(0.8).alias("p_at_080"),
         s_curve(0.9).alias("p_at_090"),
     ).orderBy("bands")
+
+
+# --- round-5 additions (catalog near-frozen: each addition displaces a ------
+# --- driver-window slot; justifications in COVERAGE.md round-5 section) -----
+
+
+@query(
+    "a_protocol_canary",
+    """
+    WITH r AS (SELECT cast(i AS BIGINT) AS i FROM range(6) r(i)),
+    g AS (SELECT i % 3 AS grp, sum(i) AS hugeint_sum, count(*) AS cnt
+          FROM r GROUP BY i % 3)
+    SELECT cast(grp AS BIGINT) AS grp,
+           hugeint_sum,
+           cnt,
+           cast(grp AS BIGINT) * 1000000007 AS big_mul,
+           round(cast(grp AS DOUBLE) / 7, 6) AS dbl_round,
+           'canary-' || cast(grp AS VARCHAR) AS label,
+           grp = 1 AS flag,
+           DATE '2025-01-01' + cast(grp AS INT) AS d
+    FROM g
+    """,
+)
+def a_protocol_canary(spark: SparkSession, sf: str) -> DataFrame:
+    """Driver-vs-local protocol-drift canary (VERDICT r4 item 4): a
+    table-free 3-row result with FIXED literal values covering every
+    numeric type family the driver hashes — BIGINT, an UNCAST sum()
+    aggregate (HUGEINT in DuckDB, the exact shape implicated in the
+    m_mixture_epochs r4 hash mismatch), a rounded DOUBLE, VARCHAR,
+    BOOLEAN, and DATE. Both engines compute the identical values by
+    construction (integer arithmetic over range(6), one IEEE-exact
+    division rounded to 6dp), so ANY driver hash mismatch on this row
+    set is provably environmental (DuckDB version / hash-normalization
+    drift), never a query bug — turning a red driver row elsewhere into
+    a five-minute diagnosis instead of a round-long hunt. Scale: no
+    table scan at all; constant 3-row plan."""
+    r = spark.range(6).select(
+        (F.col("id") % 3).alias("grp"), F.col("id").alias("i")
+    )
+    g = r.groupBy("grp").agg(
+        F.sum("i").alias("hugeint_sum"), F.count(F.lit(1)).alias("cnt")
+    )
+    return g.select(
+        F.col("grp").cast("bigint").alias("grp"),
+        "hugeint_sum",
+        "cnt",
+        (F.col("grp").cast("bigint") * 1000000007).alias("big_mul"),
+        F.round(F.col("grp").cast("double") / 7, 6).alias("dbl_round"),
+        F.concat(F.lit("canary-"), F.col("grp").cast("string")).alias(
+            "label"
+        ),
+        (F.col("grp") == 1).alias("flag"),
+        F.date_add(
+            F.to_date(F.lit("2025-01-01")), F.col("grp").cast("int")
+        ).alias("d"),
+    )
+
+
+@query(
+    "mm_phash_dedup_reps",
+    f"""
+    WITH RECURSIVE ph AS (
+      SELECT doc_id AS media_id, {_H60_PHASH_SQL} AS phash
+      FROM documents),
+    keyed AS (
+      SELECT media_id, phash, ci,
+             ((phash // power(2, ci * 15)::bigint) % 32768) AS ck
+      FROM ph CROSS JOIN range(4) r(ci)),
+    pairs AS (
+      SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b
+      FROM keyed a JOIN keyed b
+        ON a.ci = b.ci AND a.ck = b.ck AND a.media_id < b.media_id
+      WHERE bit_count(xor(a.phash, b.phash)) <= 3),
+    edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    walk(node, reach) AS (
+      SELECT node, node FROM nodes
+      UNION
+      SELECT eg.dst, w.reach FROM walk w JOIN edges eg ON w.node = eg.src),
+    comps AS (SELECT node, min(reach) AS comp FROM walk GROUP BY node),
+    labeled AS (
+      SELECT p.media_id, coalesce(c.comp, p.media_id) AS rep_id
+      FROM ph p LEFT JOIN comps c ON p.media_id = c.node)
+    SELECT cast(media_id AS BIGINT) AS media_id,
+           cast(rep_id AS BIGINT) AS rep_id,
+           cast(count(*) OVER (PARTITION BY rep_id) AS BIGINT) AS n_members,
+           cast(CASE WHEN media_id = rep_id THEN 0 ELSE 1 END AS BIGINT)
+             AS is_dup
+    FROM labeled
+    """,
+)
+def mm_phash_dedup_reps(spark: SparkSession, sf: str) -> DataFrame:
+    """End-to-end multimodal dedup path (VERDICT r4 item 6): decode ->
+    60-bit perceptual hash (mapInPandas, multimodal.extract_phash) ->
+    chunk-blocked Hamming candidate join (Manku WWW'07 pigeonhole,
+    signature_near_dup_pairs) -> star connected components (Kiveris
+    SoCC'14) -> canonical representative per component (component-min id,
+    singletons their own rep) + component size + keep/drop flag. This is
+    the COMPOSITION of the driver-checked pieces mm_phash_near_dup (r4
+    window) and the CC operator behind d_dup_components/d_leakage_free_
+    split, proving the image-dedup pipeline end-to-end: the rep table is
+    what a curator anti-joins against the media corpus to drop re-encoded
+    duplicates. Payloads are the deterministic fake-codec signatures
+    (doc_id % 300 exact-re-encode classes; no codec libs in this sandbox
+    — real path is phash_from_gray, unit-tested on pixel matrices).
+    Scale: the pairwise stage is the bucketed equi-join (never all-pairs,
+    popcount on candidates only); CC is O(log^2 n) alternating-star
+    rounds over the (tiny, near-dup-only) edge set; the rep/size readout
+    is one window over the component key's hash partitioning."""
+    from pdf_extractor_spark.operators.dedup import (
+        connected_components_star,
+        signature_near_dup_pairs,
+    )
+
+    d = _t(spark, sf, "documents")
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(
+            F.repeat(
+                F.concat(
+                    F.lit("px:"),
+                    (F.col("doc_id") % 300).cast("string"),
+                    F.lit(";"),
+                ),
+                16,
+            ),
+            "UTF-8",
+        ).alias("payload"),
+    ).repartition(_par(spark), "media_id")
+    ph = M.extract_phash(media, fake=True).localCheckpoint()
+    pairs = signature_near_dup_pairs(
+        ph.select("media_id", "phash"),
+        sig_col="phash",
+        id_col="media_id",
+        bits=M.PHASH_BITS,
+        n_chunks=4,
+        hamming_max=3,
+    )
+    comps = connected_components_star(pairs)
+    labeled = (
+        ph.select("media_id")
+        .join(comps, ph["media_id"] == comps["node"], "left")
+        .select(
+            F.col("media_id").cast("bigint").alias("media_id"),
+            F.coalesce("comp", F.col("media_id"))
+            .cast("bigint")
+            .alias("rep_id"),
+        )
+    )
+    w = Window.partitionBy("rep_id")
+    return labeled.select(
+        "media_id",
+        "rep_id",
+        F.count(F.lit(1)).over(w).cast("bigint").alias("n_members"),
+        F.when(F.col("media_id") == F.col("rep_id"), 0)
+        .otherwise(1)
+        .cast("bigint")
+        .alias("is_dup"),
+    )

@@ -22,44 +22,57 @@ def test_queries_and_oracles_paired():
 
 def test_driver_window_first_50():
     """The driver grades CORRECTNESS for exactly the first 50 queries()
-    entries. Pin the window: flagship extraction pipelines first, every
-    never-driver-checked query inside, and no duplicates (VERDICT r2 item 1)."""
+    entries. R5 rotation policy (VERDICT r4 items 1/2/4/6): canary first,
+    the r4 red row second, no slot wasted on a green-driver-checked query,
+    and every never-checked query left outside the window is justified by
+    name in COVERAGE.md."""
     from pdf_extractor_spark.queries import _DRIVER_WINDOW
 
     names = list(E.queries())
     assert len(_DRIVER_WINDOW) == 50
     assert len(set(_DRIVER_WINDOW)) == 50
     assert names[:50] == _DRIVER_WINDOW
-    assert names[0] == "x_extract_pipeline"
-    # r4 rotation policy (VERDICT r3 item 1): every query that has no driver
-    # CORRECTNESS row from a prior round must sit inside the graded window,
-    # so the union of r1..r4 rows covers the whole catalog. Derive the
-    # never-checked set from the committed CORRECTNESS files, not a pin.
+    # environment fingerprint leads; the only-ever red driver row is re-checked
+    assert names[0] == "a_protocol_canary"
+    assert "m_mixture_epochs" in _DRIVER_WINDOW[:3]
+    assert "mm_phash_dedup_reps" in _DRIVER_WINDOW
+    # Derive the green-driver-checked set from the committed CORRECTNESS
+    # files (r1..r4), not a pin. A row is GREEN only if rows+schema matched,
+    # the value hash did not mismatch, and the run didn't error — the r4
+    # m_mixture_epochs hash_match:false row therefore stays eligible.
     import json
     import os
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    prior_rows: set[str] = set()
-    for n in (1, 2, 3):
+    green: set[str] = set()
+    for n in (1, 2, 3, 4):
         path = os.path.join(repo, f"CORRECTNESS_r0{n}.json")
-        if os.path.exists(path):
-            with open(path) as fh:
-                prior_rows |= set(json.load(fh))
-    never_checked = {n for n in names if n not in prior_rows}
-    # Queries added during round 4 register AFTER the window (they get their
-    # driver rows in the r5 rotation); the window itself, anchor aside, must
-    # spend every slot on a never-checked query, and every never-checked
-    # query that predates the rotation must be inside it.
-    wasted = set(_DRIVER_WINDOW) - never_checked - {"x_extract_pipeline"}
+        if not os.path.exists(path):
+            continue
+        with open(path) as fh:
+            for qname, row in json.load(fh).items():
+                if (
+                    row.get("rows_match")
+                    and row.get("schema_match")
+                    and row.get("hash_match") is not False
+                    and not row.get("err")
+                ):
+                    green.add(qname)
+    wasted = set(_DRIVER_WINDOW) & green
     assert not wasted, (
-        f"window slots wasted on already-driver-checked queries: {sorted(wasted)}"
+        f"window slots wasted on green-driver-checked queries: {sorted(wasted)}"
     )
-    left_out = never_checked - set(_DRIVER_WINDOW)
-    for n in sorted(left_out):
-        # tolerated only for post-rotation registrations (appended after slot 50)
-        assert names.index(n) >= 50, (
-            f"never-driver-checked query {n!r} sits outside the graded window"
-        )
+    # every never-green-checked query NOT in the window must be justified by
+    # name in COVERAGE.md's round-5 left-out table (sibling coverage /
+    # property-test pin / oracle-less by design)
+    left_out = {n for n in names if n not in green} - set(_DRIVER_WINDOW)
+    with open(os.path.join(repo, "COVERAGE.md")) as fh:
+        coverage = fh.read()
+    unjustified = sorted(n for n in left_out if n not in coverage)
+    assert not unjustified, (
+        f"never-driver-checked queries outside the window with no COVERAGE.md "
+        f"justification: {unjustified}"
+    )
     # oracles, where present, follow the same order as queries
     o = list(E.oracle_sql())
     assert o == [n for n in names if n in set(o)]
