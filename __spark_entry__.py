@@ -4,7 +4,7 @@
   synthesized deterministically from `documents.text`, boilerplate-wrapped,
   then stripped back out by the vectorized extraction UDF.
 - ``queries()`` / ``oracle_sql()``: one entry per implemented operator from
-  SURVEY.md §2 (see pdf_extractor_spark/queries.py for the catalog).
+  SURVEY.md §2 (see pdf_extractor_spark/queries/ for the catalog).
 """
 
 from __future__ import annotations

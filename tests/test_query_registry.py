@@ -7,16 +7,27 @@ duplicate nearly landed in round 3. These tests are pure-Python (no
 SparkSession) so they run in milliseconds.
 """
 
+import glob
 import os
 import re
 
-_QUERIES_PY = os.path.join(
+_QUERIES_PKG = os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
     "pdf_extractor_spark",
-    "queries.py",
+    "queries",
 )
 
 _DECOR_RE = re.compile(r'@query\(\s*\n?\s*"([^"]+)"')
+
+
+def _catalog_source() -> str:
+    """Concatenated source of every family module in the queries package
+    (round-5 split of the former single-file catalog)."""
+    parts = []
+    for path in sorted(glob.glob(os.path.join(_QUERIES_PKG, "*.py"))):
+        with open(path, encoding="utf-8") as fh:
+            parts.append(fh.read())
+    return "\n".join(parts)
 
 
 def test_no_shadowed_query_registrations():
@@ -29,8 +40,7 @@ def test_no_shadowed_query_registrations():
     single quotes is invisible to the shadow-guard regex (the
     set(names) == set(_QUERIES) cross-check below would still fail loudly,
     but without naming the duplicate)."""
-    with open(_QUERIES_PY, encoding="utf-8") as fh:
-        names = _DECOR_RE.findall(fh.read())
+    names = _DECOR_RE.findall(_catalog_source())
     dupes = sorted({n for n in names if names.count(n) > 1})
     assert not dupes, f"shadowed @query registrations: {dupes}"
 
