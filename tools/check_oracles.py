@@ -52,8 +52,16 @@ def main() -> int:
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
         )
 
-    spark = build_session(app_name="oracle-check", master="local[8]",
-                         extra_conf={"spark.sql.shuffle.partitions": "8"})
+    # Default mirrors the driver-ish local[8]; the env overrides exist so the
+    # sweep can be repeated at ADVERSARIAL parallelism (e.g. local[5] with 7
+    # shuffle partitions) — a query whose VALUES depend on partitioning is
+    # exactly the local-green/driver-red class, and only an off-nominal run
+    # exposes it.
+    import os
+    master = os.environ.get("ORACLE_CHECK_MASTER", "local[8]")
+    shuffle = os.environ.get("ORACLE_CHECK_SHUFFLE", "8")
+    spark = build_session(app_name="oracle-check", master=master,
+                         extra_conf={"spark.sql.shuffle.partitions": shuffle})
     queries = all_queries()
     oracles = all_oracles()
     failures = []
