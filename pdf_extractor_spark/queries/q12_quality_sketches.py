@@ -104,9 +104,9 @@ _PTRON_FEATS_SQL = f"""
     {_ptron_epoch_sql(3)},
     {_ptron_epoch_sql(4)}
     SELECT f.doc_id, f.y AS label,
-           ({_PTRON_MARGIN}) AS margin,
+           cast(({_PTRON_MARGIN}) AS BIGINT) AS margin,
            (({_PTRON_MARGIN}) > 0) AS keep,
-           {', '.join(_PTRON_W)}
+           {', '.join(f'cast({w} AS BIGINT) AS {w}' for w in _PTRON_W)}
     FROM feats f, s4
     """,
 )

@@ -214,10 +214,10 @@ def t_sentence_split(spark: SparkSession, sf: str) -> DataFrame:
       FROM documents)
     SELECT cast(bucket AS BIGINT) AS bucket,
            count(*) AS doc_count,
-           sum(n_chars) AS bytes_in,
+           cast(sum(n_chars) AS BIGINT) AS bytes_in,
            min(doc_id) AS min_doc, max(doc_id) AS max_doc,
            count(DISTINCT lang) AS n_langs,
-           sum(chk) AS chk_sum,
+           cast(sum(chk) AS BIGINT) AS chk_sum,
            md5(concat(cast(bucket AS VARCHAR), ':',
                       cast(count(*) AS VARCHAR), ':',
                       cast(sum(chk) AS VARCHAR))) AS checkpoint_marker
@@ -290,12 +290,13 @@ def a_shard_manifest(spark: SparkSession, sf: str) -> DataFrame:
              sum(greatest(seq_offset + n_tokens - 2048, 0)) AS seq_overflow
       FROM packed GROUP BY lang, seq_id)
     SELECT lang,
-           sum(docs_in_seq) AS n_docs,
+           cast(sum(docs_in_seq) AS BIGINT) AS n_docs,
            count(*) AS n_seqs,
-           sum(seq_tokens) AS total_tokens,
-           sum(seq_tokens) * 1000000 // (count(*) * 2048) AS fill_ppm,
-           sum(seq_overflow) AS overflow_tokens,
-           max(seq_tokens) AS max_seq_tokens
+           cast(sum(seq_tokens) AS BIGINT) AS total_tokens,
+           cast(sum(seq_tokens) * 1000000 // (count(*) * 2048) AS BIGINT)
+             AS fill_ppm,
+           cast(sum(seq_overflow) AS BIGINT) AS overflow_tokens,
+           cast(max(seq_tokens) AS BIGINT) AS max_seq_tokens
     FROM per_seq GROUP BY lang
     """.format(pack=_ORACLES["m_pack_sequences"]),
 )
@@ -687,7 +688,7 @@ def x_extract_code_blocks(spark: SparkSession, sf: str) -> DataFrame:
     SELECT p.pct, cast(p.bin_id AS BIGINT) AS bin_id,
            cast(mm.lo + ((p.bin_id + 1) * (mm.hi - mm.lo + 1)) // 256 - 1
                 AS BIGINT) AS est_value,
-           c.cum_count, p.target_rank, p.n_total
+           cast(c.cum_count AS BIGINT) AS cum_count, p.target_rank, p.n_total
     FROM pick p JOIN cum c ON c.bin = p.bin_id, mm
     """,
 )
@@ -927,7 +928,7 @@ def u_frontier_priority(spark: SparkSession, sf: str) -> DataFrame:
     m AS (SELECT cluster, cast(round(s * 1000000, 0) AS BIGINT) AS sm
           FROM sim)
     SELECT cluster, count(*) AS n_members,
-           sum(sm) // count(*) AS mean_cohesion_ppm,
+           cast(sum(sm) // count(*) AS BIGINT) AS mean_cohesion_ppm,
            min(sm) AS min_cohesion_ppm
     FROM m GROUP BY cluster
     """.format(km=_ORACLES["e_kmeans_clusters"]),
@@ -1198,13 +1199,13 @@ def w_rss_items(spark: SparkSession, sf: str) -> DataFrame:
     tot AS (SELECT sum(n_tokens) AS all_tokens FROM per)
     SELECT lang,
            count(*) AS n_docs,
-           sum(n_tokens) AS total_tokens,
-           sum(n_chars) AS total_chars,
-           sum(n_tokens) // count(*) AS mean_doc_tokens,
-           sum(n_tokens) * 1000000 // (SELECT all_tokens FROM tot)
-             AS token_share_ppm,
-           sum(is_dup) AS exact_dup_docs,
-           sum(is_dup) * 1000000 // count(*) AS dup_rate_ppm
+           cast(sum(n_tokens) AS BIGINT) AS total_tokens,
+           cast(sum(n_chars) AS BIGINT) AS total_chars,
+           cast(sum(n_tokens) // count(*) AS BIGINT) AS mean_doc_tokens,
+           cast(sum(n_tokens) * 1000000 // (SELECT all_tokens FROM tot)
+                AS BIGINT) AS token_share_ppm,
+           cast(sum(is_dup) AS BIGINT) AS exact_dup_docs,
+           cast(sum(is_dup) * 1000000 // count(*) AS BIGINT) AS dup_rate_ppm
     FROM per GROUP BY lang
     """,
 )
@@ -1339,7 +1340,8 @@ def u_redirect_resolve(spark: SparkSession, sf: str) -> DataFrame:
           FROM n, s),
     v AS (SELECT sum((norm_ppm - mean_ppm) * (norm_ppm - mean_ppm)) // max(cnt)
             AS var_ppm2 FROM m)
-    SELECT m.vec_id, m.label, m.norm_ppm, m.mean_ppm,
+    SELECT m.vec_id, m.label, m.norm_ppm,
+           cast(m.mean_ppm AS BIGINT) AS mean_ppm,
            (m.norm_ppm - m.mean_ppm) * (m.norm_ppm - m.mean_ppm)
              > 9 * v.var_ppm2 AS is_outlier
     FROM m, v

@@ -76,3 +76,45 @@ def test_every_oracle_has_a_query():
 
     orphans = sorted(set(_ORACLES) - set(_QUERIES))
     assert not orphans, f"oracles without queries: {orphans}"
+
+
+def test_no_hugeint_or_decimal_oracle_outputs():
+    """Every numeric column of every oracle's FINAL projection must be a
+    width-stable type. DuckDB widens sum(BIGINT) to HUGEINT and integer
+    division of HUGEINT stays HUGEINT — types the driver's value hasher
+    may normalize differently from the local harness (the r4
+    m_mixture_epochs postmortem: the only red driver row in four rounds
+    was the one oracle whose final SELECT left aggregates uncast). This
+    binds the CLAUDE.md rule: cast every numeric output to BIGINT.
+
+    Pure-DuckDB test (no Spark): plan each oracle against sf0.001 views
+    and inspect the result types. The ONE deliberate exception is the
+    protocol canary's `hugeint_sum`, which exists precisely to
+    fingerprint how the driver hashes HUGEINT."""
+    import duckdb
+
+    from pdf_extractor_spark.queries import all_oracles
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings"
+    ).split():
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')"
+        )
+    offenders = {}
+    for name, sql in all_oracles().items():
+        rel = con.sql(sql)
+        sus = {
+            c: str(ty)
+            for c, ty in zip(rel.columns, rel.types)
+            if str(ty) in ("HUGEINT", "UHUGEINT")
+            or str(ty).startswith("DECIMAL")
+        }
+        if name == "a_protocol_canary":
+            sus.pop("hugeint_sum", None)
+        if sus:
+            offenders[name] = sus
+    assert not offenders, offenders
