@@ -165,6 +165,13 @@ _RAW_CLOSE = {
     t: re.compile(rf"</\s*{t}\s*>", re.IGNORECASE) for t in _RAW_TEXT
 }
 
+# Memo of raw tag spelling -> (lowercased tag, flag bits): one dict get
+# replaces a .lower() call + a flags lookup per tag event (tags repeat
+# constantly; real-world markup is overwhelmingly lowercase already).
+# Size-capped so adversarial unique-tag documents cannot grow it unboundedly.
+_TAG_CACHE: dict[str, tuple[str, int]] = {}
+_TAG_CACHE_MAX = 4096
+
 
 def tokenize(source: str) -> list[tuple[str, str, str, int, int]]:
     """Lex ``source`` into a list of (kind, tag, text, start, end) events.
@@ -271,7 +278,8 @@ def _assemble_blocks(source: str) -> list[_Block]:
         # adjacent block tags (</td></tr>...) with nothing accumulated.
         # Call sites guard on cur.parts so the common no-op costs no call.
         nonlocal cur
-        t = _normalize_ws("".join(cur.parts))
+        # _normalize_ws inlined (65k+ calls/batch: the call overhead shows)
+        t = " ".join("".join(cur.parts).split())
         if t:
             cur.text = t  # normalize exactly once per block
             blocks.append(cur)
@@ -284,27 +292,19 @@ def _assemble_blocks(source: str) -> list[_Block]:
             cur.tag = ""
             cur.path_flags = False
 
-    _block_tags, _void, _raw, _boiler = (
-        _BLOCK_TAGS,
-        _VOID,
-        _RAW_TEXT,
-        _BOILERPLATE_ANCESTORS,
-    )
-    _flags = _TAG_FLAGS
-    _fget = _flags.get
+    _block_tags = _BLOCK_TAGS
+    _fget = _TAG_FLAGS.get
+    _cache = _TAG_CACHE
+    _cget = _cache.get
     _unescape = _htmllib.unescape
 
-    def text_run(start: int, end: int) -> None:
-        # one text run [start, end): whitespace fast path, unescape,
-        # block birth bookkeeping, anchor-char accounting — shared by the
-        # in-loop gaps and the trailing run (a fix to one must hit both)
-        text = source[start:end]
-        if text.isspace():
-            # fast path: pure-whitespace gaps between tags (the most
-            # common text run) need no unescape and no new string
-            if cur.parts:
-                cur.parts.append(" ")
-            return
+    def text_run(text: str, start: int, end: int) -> None:
+        # one non-whitespace text run [start, end), pre-sliced and
+        # pre-isspace-tested at the call sites (the pure-whitespace gap —
+        # the most common run — is inlined there and never reaches this
+        # call): unescape, block birth bookkeeping, anchor-char accounting
+        # — shared by the in-loop gaps and the trailing run (a fix to one
+        # must hit both call sites' inline fast path too)
         unescaped = _unescape(text) if "&" in text else text
         if unescaped is not text and unescaped.isspace():
             if cur.parts:
@@ -331,35 +331,57 @@ def _assemble_blocks(source: str) -> list[_Block]:
         if mstart < pos:
             continue  # inside a skipped raw-text body
         if mstart > pos:
-            text_run(pos, mstart)
-        tag = m[1]
-        if tag is not None:
+            text = source[pos:mstart]
+            if text.isspace():
+                # inline fast path: pure-whitespace gaps between tags (the
+                # most common text run) need no call, unescape, or new string
+                if cur.parts:
+                    cur.parts.append(" ")
+            else:
+                text_run(text, pos, mstart)
+        raw = m[1]
+        if raw is not None:
             # ---- close tag ----
-            tag = tag.lower()
-            fl = _fget(tag, 0)
+            hit = _cget(raw)
+            if hit is None:
+                hit = (raw.lower(), _fget(raw.lower(), 0))
+                if len(_cache) < _TAG_CACHE_MAX:
+                    _cache[raw] = hit
+            tag, fl = hit
             if fl & 1 and cur.parts:  # block tag
                 flush()
             if fl & 16 and anchor_depth > 0:  # "a"
                 anchor_depth -= 1
             if fl & 8 and boiler_depth > 0:  # boilerplate ancestor
                 boiler_depth -= 1
-            # pop the nearest matching open tag (forgiving of malformed HTML)
-            for i in range(len(stack) - 1, -1, -1):
-                if stack[i] == tag:
-                    for t in stack[i:]:
-                        if t in _block_tags:
-                            block_stack.pop()
-                    del stack[i:]
-                    break
+            if stack and stack[-1] == tag:
+                # common well-formed case: close matches the innermost open
+                stack.pop()
+                if fl & 1:
+                    block_stack.pop()
+            else:
+                # pop the nearest matching open tag (forgiving of malformed
+                # HTML)
+                for i in range(len(stack) - 1, -1, -1):
+                    if stack[i] == tag:
+                        for t in stack[i:]:
+                            if t in _block_tags:
+                                block_stack.pop()
+                        del stack[i:]
+                        break
             pos = mend
             continue
-        tag = m[2]
-        if tag is None:
+        raw = m[2]
+        if raw is None:
             pos = mend  # comment / doctype / CDATA / PI
             continue
         # ---- open tag ----
-        tag = tag.lower()
-        fl = _fget(tag, 0)
+        hit = _cget(raw)
+        if hit is None:
+            hit = (raw.lower(), _fget(raw.lower(), 0))
+            if len(_cache) < _TAG_CACHE_MAX:
+                _cache[raw] = hit
+        tag, fl = hit
         if fl & 4:  # raw-text element
             # The tokenizer emits open+close around the skipped body; no
             # raw-text element is a block tag, "a", or a boilerplate
@@ -384,7 +406,12 @@ def _assemble_blocks(source: str) -> list[_Block]:
                 block_stack.append(tag)
         pos = mend
     if pos < n:
-        text_run(pos, n)
+        text = source[pos:n]
+        if text.isspace():
+            if cur.parts:
+                cur.parts.append(" ")
+        else:
+            text_run(text, pos, n)
     if cur.parts:
         flush()
     return blocks
