@@ -260,7 +260,32 @@ _ADVERSARIAL = [
     "<p>&nbsp;</p><p>ws-only entity gap</p>",
     "<svg><rect/><text>svg text skipped</text></svg><p>after svg</p>",
     "<a href='/x'>link one</a> and <a href='/y'>link two</a> amid prose",
+    # case-crossing pairs: the tag-spelling memo must land on the same
+    # lowercased identity for every spelling, or stack matching breaks
+    "<DIV><p>upper open, lower close</P></div>tail",
+    "<NaV>mixed nav</nAv><P>after</p>",
+    "<A HREF='/x'>UPPER ANCHOR</a> prose <p>long enough paragraph here</p>",
+    # close tag that does NOT match the innermost open (fast path must
+    # fall through to the forgiving scan)
+    "<div><span>x</div><p>after mismatched close</p>",
+    "<ul><li>one<li>two</ul><p>implicit li closes</p>",
 ]
+
+
+def test_tag_memo_case_insensitive_and_capped():
+    """The raw-spelling memo caches (lowered, flags) per spelling and stops
+    growing at its cap; behavior must be identical either side of the cap."""
+    from pdf_extractor_spark.extract import html_parser as hp
+
+    page = "<DIV><P>Case crossing paragraph long enough to be real content.</p></div>"
+    before = hp._assemble_blocks(page)
+    # flood the memo past its cap with unique tag spellings
+    junk = "".join(f"<x{i}>t</x{i}>" for i in range(hp._TAG_CACHE_MAX + 64))
+    hp._assemble_blocks(junk)
+    assert len(hp._TAG_CACHE) <= hp._TAG_CACHE_MAX
+    after = hp._assemble_blocks(page)
+    key = lambda b: (b.text, b.start, b.end, b.tag, b.path_flags, b.anchor_chars)
+    assert [key(b) for b in before] == [key(b) for b in after]
 
 
 def test_fused_assembler_matches_event_driven_reference():
