@@ -341,6 +341,25 @@ def main() -> int:
     with open(os.path.join(_REPO, "bench_full_latest.json"), "w") as fh:
         json.dump(result, fh, indent=1, sort_keys=True)
     print(json.dumps(result))
+    # Every recorded BENCH_r{1..4}.json shows the driver keeps only the LAST
+    # 2000 chars of stdout and stores parsed=None — the full result line
+    # (~8 KB with 211 per-query walls) never fit whatever it tries to parse.
+    # Emit a compact summary as the FINAL line, well under 2000 chars: a
+    # last-line or tail-substring parser gets a complete JSON object with
+    # the headline figures; the full per-query map stays in the line above
+    # and in bench_full_latest.json.
+    compact = {
+        "metric": result["metric"],
+        "value": result["value"],
+        "unit": "sec",
+        "sf": sf,
+        "extraction": result["extraction"],
+        "queries": {q: timings[q] for q in heavy},
+        "queries_n_total": len(timings),
+        "queries_total_sec": round(sum(timings.values()), 1),
+        "queries_full_map": "bench_full_latest.json (committed)",
+    }
+    print(json.dumps(compact))
     return 0
 
 
