@@ -196,3 +196,42 @@ def test_extract_one_total_on_mutated_html(doc_id, cut_seed, flip_val):
     assert isinstance(text, str)
     if kind == "html" and ok:
         assert len(spans) == n_blocks
+
+
+# --- fused assembler == event-driven reference on random tag soup -------------
+
+
+_SOUP_TAGS = [
+    "p", "P", "div", "DIV", "span", "a", "A", "li", "ul", "nav", "NaV",
+    "footer", "aside", "h2", "td", "tr", "table", "br", "img", "script",
+    "style", "em", "x-custom", "form",
+]
+_soup_piece = st.one_of(
+    st.sampled_from([f"<{t}>" for t in _SOUP_TAGS]),
+    st.sampled_from([f"</{t}>" for t in _SOUP_TAGS]),
+    st.sampled_from([f"<{t}/>" for t in _SOUP_TAGS]),
+    st.sampled_from(["<!-- c -->", "<!DOCTYPE html>", "<?pi?>", "&amp;",
+                     "&nbsp;", "  ", "\n\t", "&#65;"]),
+    st.text(
+        alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+        min_size=1,
+        max_size=30,
+    ),
+)
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.lists(_soup_piece, min_size=0, max_size=40))
+def test_fused_assembler_equivalence_fuzz(pieces):
+    """The fused finditer-driven assembler must match the tokenize()-driven
+    reference block-for-block on arbitrary (mixed-case, malformed, entity-
+    laden) tag soup — pins the tag-spelling memo and the innermost-close
+    fast path against every soup hypothesis can brew."""
+    from tests.test_html_extract import _assemble_blocks_reference
+    from pdf_extractor_spark.extract.html_parser import _assemble_blocks
+
+    src = "".join(pieces)
+    got = _assemble_blocks(src)
+    want = _assemble_blocks_reference(src)
+    key = lambda b: (b.text, b.start, b.end, b.tag, b.path_flags, b.anchor_chars)
+    assert [key(b) for b in got] == [key(b) for b in want], src[:120]
