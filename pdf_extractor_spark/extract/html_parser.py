@@ -168,9 +168,13 @@ _RAW_CLOSE = {
 # Memo of raw tag spelling -> (lowercased tag, flag bits): one dict get
 # replaces a .lower() call + a flags lookup per tag event (tags repeat
 # constantly; real-world markup is overwhelmingly lowercase already).
-# Size-capped so adversarial unique-tag documents cannot grow it unboundedly.
+# Bounded two ways against adversarial unique-tag documents: entry count
+# AND key length (every real HTML tag name is short; an uncacheable long
+# name just pays the pre-memo cost), so the cache can never pin more than
+# ~a few hundred KB per process.
 _TAG_CACHE: dict[str, tuple[str, int]] = {}
 _TAG_CACHE_MAX = 4096
+_TAG_CACHE_MAX_KEY_LEN = 32
 
 
 def tokenize(source: str) -> list[tuple[str, str, str, int, int]]:
@@ -234,7 +238,9 @@ def tokenize(source: str) -> list[tuple[str, str, str, int, int]]:
 def _normalize_ws(s: str) -> str:
     # identical to _WS_RE.sub(" ", s).strip() (str.split() splits on the
     # same unicode whitespace set \s matches) but ~3x faster — this is the
-    # hottest scalar in the HTML path
+    # hottest scalar in the HTML path. NOTE: _assemble_blocks.flush()
+    # inlines this expression; a semantic change here must be mirrored
+    # there or block text diverges from strip_tags_and_normalize.
     return " ".join(s.split())
 
 
@@ -299,12 +305,18 @@ def _assemble_blocks(source: str) -> list[_Block]:
     _unescape = _htmllib.unescape
 
     def text_run(text: str, start: int, end: int) -> None:
-        # one non-whitespace text run [start, end), pre-sliced and
-        # pre-isspace-tested at the call sites (the pure-whitespace gap —
-        # the most common run — is inlined there and never reaches this
-        # call): unescape, block birth bookkeeping, anchor-char accounting
-        # — shared by the in-loop gaps and the trailing run (a fix to one
-        # must hit both call sites' inline fast path too)
+        # one text run [start, end), pre-sliced at the call sites (which
+        # also inline the pure-whitespace fast path — the most common run
+        # normally never reaches this call): unescape, block birth
+        # bookkeeping, anchor-char accounting — shared by the in-loop gaps
+        # and the trailing run. The isspace() guard is kept here too so
+        # the function stays total (safe for any future call site); on the
+        # non-whitespace runs that reach it the check bails at the first
+        # non-space character.
+        if text.isspace():
+            if cur.parts:
+                cur.parts.append(" ")
+            return
         unescaped = _unescape(text) if "&" in text else text
         if unescaped is not text and unescaped.isspace():
             if cur.parts:
@@ -344,8 +356,9 @@ def _assemble_blocks(source: str) -> list[_Block]:
             # ---- close tag ----
             hit = _cget(raw)
             if hit is None:
-                hit = (raw.lower(), _fget(raw.lower(), 0))
-                if len(_cache) < _TAG_CACHE_MAX:
+                low = raw.lower()
+                hit = (low, _fget(low, 0))
+                if len(_cache) < _TAG_CACHE_MAX and len(raw) <= _TAG_CACHE_MAX_KEY_LEN:
                     _cache[raw] = hit
             tag, fl = hit
             if fl & 1 and cur.parts:  # block tag
@@ -378,8 +391,9 @@ def _assemble_blocks(source: str) -> list[_Block]:
         # ---- open tag ----
         hit = _cget(raw)
         if hit is None:
-            hit = (raw.lower(), _fget(raw.lower(), 0))
-            if len(_cache) < _TAG_CACHE_MAX:
+            low = raw.lower()
+            hit = (low, _fget(low, 0))
+            if len(_cache) < _TAG_CACHE_MAX and len(raw) <= _TAG_CACHE_MAX_KEY_LEN:
                 _cache[raw] = hit
         tag, fl = hit
         if fl & 4:  # raw-text element
