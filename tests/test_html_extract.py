@@ -283,6 +283,12 @@ def test_tag_memo_case_insensitive_and_capped():
     junk = "".join(f"<x{i}>t</x{i}>" for i in range(hp._TAG_CACHE_MAX + 64))
     hp._assemble_blocks(junk)
     assert len(hp._TAG_CACHE) <= hp._TAG_CACHE_MAX
+    # long tag spellings must never be pinned in the memo (byte bound, not
+    # just entry-count bound)
+    before = len(hp._TAG_CACHE)
+    hp._assemble_blocks("".join(f"<y{'A' * 500}{i}>t</y{'A' * 500}{i}>" for i in range(50)))
+    assert len(hp._TAG_CACHE) == before
+    assert all(len(k) <= hp._TAG_CACHE_MAX_KEY_LEN for k in hp._TAG_CACHE)
     after = hp._assemble_blocks(page)
     key = lambda b: (b.text, b.start, b.end, b.tag, b.path_flags, b.anchor_chars)
     assert [key(b) for b in before] == [key(b) for b in after]
