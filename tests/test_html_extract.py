@@ -285,9 +285,9 @@ def test_tag_memo_case_insensitive_and_capped():
     assert len(hp._TAG_CACHE) <= hp._TAG_CACHE_MAX
     # long tag spellings must never be pinned in the memo (byte bound, not
     # just entry-count bound)
-    before = len(hp._TAG_CACHE)
+    n_cached = len(hp._TAG_CACHE)
     hp._assemble_blocks("".join(f"<y{'A' * 500}{i}>t</y{'A' * 500}{i}>" for i in range(50)))
-    assert len(hp._TAG_CACHE) == before
+    assert len(hp._TAG_CACHE) == n_cached
     assert all(len(k) <= hp._TAG_CACHE_MAX_KEY_LEN for k in hp._TAG_CACHE)
     after = hp._assemble_blocks(page)
     key = lambda b: (b.text, b.start, b.end, b.tag, b.path_flags, b.anchor_chars)
